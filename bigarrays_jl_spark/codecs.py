@@ -1,0 +1,145 @@
+"""Chunk payload codecs with magic-byte-sniffing decode.
+
+Mirrors the reference codec layer (src/Codings.jl): raw passthrough,
+gzip, zstd, blosc, with the reference's defensive decode behavior — if a
+payload does not start with the codec's magic bytes it is passed through
+unchanged (src/Codings.jl:51-57 for zstd, :65-72 for gzip).  This guards
+against double-compression by cloud storage layers.
+
+zstd and blosc are optional extras in this environment; they are gated
+behind import-try and raise a clear error when used without the library
+(JPEG parity: the reference's JPEG encode is unimplemented and decode is
+disabled — src/Codings.jl:82-94 — we mirror that with NotImplementedError).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+
+GZIP_MAGIC = b"\x1f\x8b\x08"          # src/Codings.jl:15
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"      # src/Codings.jl:16
+
+try:  # optional
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+try:  # optional
+    import blosc as _blosc
+except ImportError:  # pragma: no cover
+    _blosc = None
+
+
+class Codec:
+    name = "abstract"
+
+    def encode(self, data: bytes) -> bytes:
+        raise NotImplementedError
+
+    def decode(self, data: bytes) -> bytes:
+        raise NotImplementedError
+
+
+class RawCodec(Codec):
+    """Identity (src/Codings.jl:39-45). Parquet's own page compression
+    (zstd) covers the storage-size concern the reference solved by
+    aliasing raw→gzip (src/Infos.jl:23-30)."""
+
+    name = "raw"
+
+    def encode(self, data: bytes) -> bytes:
+        return data
+
+    def decode(self, data: bytes) -> bytes:
+        return data
+
+
+class GzipCodec(Codec):
+    """gzip with magic-sniffing decode (src/Codings.jl:60-72)."""
+
+    name = "gzip"
+
+    def encode(self, data: bytes) -> bytes:
+        return _gzip.compress(data, compresslevel=6)
+
+    def decode(self, data: bytes) -> bytes:
+        if data[:3] != GZIP_MAGIC:
+            return data          # passthrough: not actually gzipped
+        return _gzip.decompress(data)
+
+
+class ZstdCodec(Codec):
+    """zstd with magic-sniffing decode (src/Codings.jl:47-57)."""
+
+    name = "zstd"
+
+    def __init__(self):
+        if _zstd is None:
+            raise NotImplementedError(
+                "zstd codec requires the 'zstandard' package (optional extra)")
+
+    def encode(self, data: bytes) -> bytes:
+        return _zstd.ZstdCompressor().compress(data)
+
+    def decode(self, data: bytes) -> bytes:
+        if data[:4] != ZSTD_MAGIC:
+            return data
+        return _zstd.ZstdDecompressor().decompress(data)
+
+
+class BloscCodec(Codec):
+    """blosclz (src/Codings.jl:74-80)."""
+
+    name = "blosclz"
+
+    def __init__(self):
+        if _blosc is None:
+            raise NotImplementedError(
+                "blosclz codec requires the 'blosc' package (optional extra)")
+
+    def encode(self, data: bytes) -> bytes:
+        return _blosc.compress(data, typesize=1, cname="blosclz")
+
+    def decode(self, data: bytes) -> bytes:
+        return _blosc.decompress(data)
+
+
+class JpegCodec(Codec):
+    """Parity stub: unimplemented in the reference (src/Codings.jl:82-94)."""
+
+    name = "jpeg"
+
+    def encode(self, data: bytes) -> bytes:
+        raise NotImplementedError("jpeg encoding is unimplemented (reference parity)")
+
+    def decode(self, data: bytes) -> bytes:
+        raise NotImplementedError("jpeg decoding is disabled (reference parity)")
+
+
+_CODECS = {
+    "raw": RawCodec,
+    "gzip": GzipCodec,
+    "zstd": ZstdCodec,
+    "blosclz": BloscCodec,
+    "jpeg": JpegCodec,
+}
+
+DEFAULT_ENCODING = "gzip"  # src/Codings.jl:37
+
+
+def get_codec(encoding: str) -> Codec:
+    """Encoding string → codec instance (ENCODING_MAP, src/Infos.jl:23-30)."""
+    try:
+        return _CODECS[encoding]()
+    except KeyError:
+        raise ValueError(f"unknown encoding {encoding!r}; "
+                         f"supported: {sorted(_CODECS)}") from None
+
+
+def available_encodings() -> list[str]:
+    out = ["raw", "gzip"]
+    if _zstd is not None:
+        out.append("zstd")
+    if _blosc is not None:
+        out.append("blosclz")
+    return out

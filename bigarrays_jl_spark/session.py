@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would
+set per-executor; the knobs that matter at 100 TB (AQE, shuffle
+partitions, Arrow) are on by default so every operator in this package is
+exercised under the same planner behavior it would see on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Cluster-relevant settings:
+    - AQE on: runtime coalescing, skew-join handling — replaces the
+      reference's hand-rolled task pools (src/modes/multithreads.jl).
+    - shuffle.partitions ~ cores locally; on a real cluster AQE coalesces
+      from a higher initial number.
+    - Arrow on: every pandas UDF (codec work, ANN scoring) rides Arrow.
+    - UTC session timezone: oracle (DuckDB) comparisons are tz-naive UTC.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Make this package importable by executor python workers (pandas UDFs
+    # reference bigarrays_jl_spark.codecs/indexes); on a real cluster this
+    # is a --py-files zip instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + existing if existing else "")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

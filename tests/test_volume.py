@@ -1,0 +1,209 @@
+"""Volume end-to-end round-trip tests.
+
+Mirrors the reference's behavioral spec (test/BinDicts.jl, test/GSDicts.jl)
+— write a seeded random array, read it back, assert exact elementwise
+equality against the in-memory numpy oracle.  Scenario boxes are the F1/F3
+fixtures translated from Julia 1-based-inclusive to 0-based half-open.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from bigarrays_jl_spark.infos import Info
+from bigarrays_jl_spark.volume import MissingChunkError, Volume
+
+F1 = {
+    "num_channels": 1, "type": "image", "data_type": "uint8", "scales": [
+        {"encoding": "gzip", "chunk_sizes": [[100, 100, 5]], "key": "6_6_30",
+         "resolution": [6, 6, 30], "voxel_offset": [-300, -300, -10],
+         "size": [510, 510, 2022]},
+        {"encoding": "gzip", "chunk_sizes": [[100, 100, 5]], "key": "12_12_30",
+         "resolution": [12, 12, 30], "voxel_offset": [-597, -597, -103],
+         "size": [12286, 11262, 2046]},
+    ]}
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture
+def vol(spark, tmp_path):
+    info = Info.from_dict(F1)
+    return Volume.create(spark, str(tmp_path / "ds"), info)
+
+
+def rand_u8(shape):
+    return RNG.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_create_open_roundtrip(spark, tmp_path, vol):
+    reopened = Volume.open(spark, vol.root)
+    assert reopened.info == vol.info
+    assert reopened.shape == (510, 510, 2022)
+    assert "uint8" in repr(reopened)
+
+
+def test_aligned_in_bounds_roundtrip(vol):
+    # test/BinDicts.jl:51-57 — [1:200,1:200,1:10]
+    a = rand_u8((200, 200, 10))
+    vol[0:200, 0:200, 0:10] = a
+    out = vol[0:200, 0:200, 0:10]
+    np.testing.assert_array_equal(out, a)
+
+
+def test_negative_coordinates(vol):
+    # test/BinDicts.jl:59-65 — [-199:0, -99:100, -4:1995]
+    a = rand_u8((200, 200, 2000))
+    vol[-200:0, -100:100, -5:1995] = a
+    np.testing.assert_array_equal(vol[-200:0, -100:100, -5:1995], a)
+
+
+def test_aligned_write_crossing_volume_stop(vol):
+    # test/BinDicts.jl:76-85 — beyond-bounds voxels dropped, read back zeros
+    a = rand_u8((200, 200, 10))
+    vol[100:300, 100:300, 2005:2015] = a
+    out = vol[100:300, 100:300, 2005:2015]
+    # volume stops: x,y at 210, z at 2012
+    np.testing.assert_array_equal(out[:110, :110, :7], a[:110, :110, :7])
+    assert (out[110:, :, :] == 0).all()
+    assert (out[:, 110:, :] == 0).all()
+    assert (out[:, :, 7:] == 0).all()
+
+
+def test_non_aligned_write_crossing_volume_stop(vol):
+    # test/BinDicts.jl:87-96 — [101:290, 101:290, 2006:2014]
+    a = rand_u8((190, 190, 8))
+    vol[100:290, 100:290, 2005:2013] = a
+    out = vol[100:290, 100:290, 2005:2013]
+    np.testing.assert_array_equal(out[:110, :110, :7], a[:110, :110, :7])
+    assert (out[110:, :, :] == 0).all()
+
+
+def test_unaligned_interior_write_rejected(vol):
+    with pytest.raises(ValueError, match="aligned"):
+        vol.write(rand_u8((50, 100, 5)), (0, 0, 0))
+
+
+def test_missing_chunks_zero_fill_and_strict(spark, vol):
+    a = rand_u8((100, 100, 5))
+    vol[0:100, 0:100, 0:5] = a
+    out = vol[0:100, 0:200, 0:5]   # second y-chunk never written
+    np.testing.assert_array_equal(out[:, :100, :], a)
+    assert (out[:, 100:, :] == 0).all()
+    strict = Volume(spark, vol.root, vol.info, fill_missing=False)
+    with pytest.raises(MissingChunkError):
+        strict.cutout(((0, 100), (0, 200), (0, 5)))
+
+
+def test_overwrite_latest_wins(vol):
+    a = rand_u8((100, 100, 5))
+    b = rand_u8((100, 100, 5))
+    vol[0:100, 0:100, 0:5] = a
+    vol[0:100, 0:100, 0:5] = b
+    np.testing.assert_array_equal(vol[0:100, 0:100, 0:5], b)
+    # compaction folds history, result unchanged
+    vol.compact()
+    np.testing.assert_array_equal(vol[0:100, 0:100, 0:5], b)
+
+
+def test_mip2_offset_anchored_lattice(spark, vol):
+    # test/BinDicts.jl:134-150 — mip 2 offset (-597,-597,-103): lattice
+    # anchored at offset mod chunk_size = (3,3,2)
+    v2 = vol.mip_volume(1)
+    a = rand_u8((200, 200, 10))
+    v2[203:403, 203:403, 102:112] = a
+    np.testing.assert_array_equal(v2[203:403, 203:403, 102:112], a)
+    b = rand_u8((200, 200, 10))
+    v2[-97:103, -297:-97, -3:7] = b
+    np.testing.assert_array_equal(v2[-97:103, -297:-97, -3:7], b)
+
+
+def test_codec_sweep_raw(spark, tmp_path):
+    # codec variants (test/BinDicts.jl:99-120); zstd/blosc env-gated
+    f1 = json.loads(json.dumps(F1))
+    f1["scales"][0]["encoding"] = "raw"
+    vol = Volume.create(spark, str(tmp_path / "raw_ds"), Info.from_dict(f1))
+    a = rand_u8((200, 200, 10))
+    vol[0:200, 0:200, 0:10] = a
+    np.testing.assert_array_equal(vol[0:200, 0:200, 0:10], a)
+
+
+@pytest.mark.parametrize("data_type,nch", [
+    ("uint8", 1), ("uint32", 1), ("uint64", 1), ("float32", 3), ("float32", 4),
+    ("uint16", 1), ("float64", 1), ("bool", 1),
+])
+def test_dtype_fixtures(spark, tmp_path, data_type, nch):
+    # F3 cloud-parity fixtures: box [257:512,257:512,17:32] → 0-based
+    # [256,512)²×[16,32); full dtype map incl. 4D channel volumes
+    info = Info.from_dict({
+        "num_channels": nch, "type": "image", "data_type": data_type,
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[128, 128, 16]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [1024, 1024, 64]}]})
+    vol = Volume.create(spark, str(tmp_path / f"ds_{data_type}_{nch}"), info)
+    shape = (256, 256, 16) if nch == 1 else (256, 256, 16, nch)
+    if data_type.startswith("float"):
+        a = RNG.standard_normal(shape).astype(data_type)
+    elif data_type == "bool":
+        a = RNG.integers(0, 2, size=shape).astype(bool)
+    else:
+        hi = min(np.iinfo(data_type).max, 1 << 62)
+        a = RNG.integers(0, hi, size=shape, dtype=data_type)
+    vol.write(a, (256, 256, 16))
+    out, origin = vol.cutout(((256, 512), (256, 512), (16, 32)))
+    assert origin == (256, 512 and 256, 16) or origin == (256, 256, 16)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_maintenance_ops(spark, vol):
+    a = rand_u8((200, 100, 5))
+    vol[0:200, 0:100, 0:5] = a
+    box = ((0, 200), (0, 200), (0, 5))
+    assert vol.num_chunks(box) == 2 * 2 * 1
+    missing = vol.list_missing_chunks(box)
+    # chunk ids for offset (-300,-300,-10): cx = x//100 + 3 anchor 0 → x0 chunk 0
+    assert len(missing) == 2   # the y∈[100,200) column, both x chunks
+    assert all(cy == 1 for (_, cy, _) in missing)
+    keys = vol.keys()
+    assert len(keys) == 2
+    vol.delete(((0, 100), (0, 100), (0, 5)))
+    assert len(vol.keys()) == 1
+    assert (vol[0:100, 0:100, 0:5] == 0).all()
+
+
+def test_voxel_view(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[10, 10, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [20, 20, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "vox"), info)
+    a = rand_u8((20, 20, 8))
+    vol.write(a, (0, 0, 0))
+    df = vol.voxels(((5, 15), (0, 10), (2, 6)))
+    rows = df.collect()
+    assert len(rows) == 10 * 10 * 4
+    for r in rows[:50]:
+        assert r.value == int(a[r.x, r.y, r.z])
+    # distributed aggregation over the voxel view
+    total = df.groupBy().sum("value").collect()[0][0]
+    assert total == int(a[5:15, 0:10, 2:6].astype(np.int64).sum())
+
+
+def test_downsample_mean(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "mips"), info)
+    a = rand_u8((32, 32, 8))
+    vol.write(a, (0, 0, 0))
+    vol.downsample()
+    v2 = Volume.open(spark, vol.root, mip=1)
+    assert v2.scale.volume_size == (16, 16, 8)
+    out, _ = v2.cutout(((0, 16), (0, 16), (0, 8)))
+    expect = ((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+               + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
