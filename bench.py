@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Also reports cutout/ingest MB/s for the chunked-volume engine — the same
+instrumentation points the reference prints (src/modes/sequential.jl:62-63).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary", "q03_join_revenue", "q07_window_rank",
+    "q09_rollup", "q13_distinct_agg", "q22_range_join",
+    "dedup_exact", "dedup_minhash_pairs", "text_quality",
+    "ann_cosine_topk", "sim_lsh_pairs", "events_sessionize",
+    "mm_byte_features",
+]
+
+
+def run_volume_bench(spark) -> dict[str, float]:
+    """Cutout/ingest MB/s on a 200×200×200 uint8 volume (≈8 MB), the
+    reference's larger BinDicts workload scale (test/BinDicts.jl:61)."""
+    import numpy as np
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[64, 64, 64]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [256, 256, 256]}]})
+    with tempfile.TemporaryDirectory() as td:
+        vol = Volume.create(spark, td + "/vol", info)
+        arr = np.random.default_rng(42).integers(
+            0, 256, size=(256, 256, 192), dtype=np.uint8)
+        mb = arr.nbytes / 1e6
+        t0 = time.time()
+        vol.write(arr, (0, 0, 0))
+        w = time.time() - t0
+        t0 = time.time()
+        out, _ = vol.cutout(((0, 256), (0, 256), (0, 192)))
+        r = time.time() - t0
+        assert (out == arr).all()
+        return {"ingest_mb_s": round(mb / w, 2), "cutout_mb_s": round(mb / r, 2)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bigarrays_jl_spark.operators import ALL_QUERIES
+    from bigarrays_jl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    vol_stats = run_volume_bench(spark)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "volume": vol_stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()

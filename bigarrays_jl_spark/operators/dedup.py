@@ -1,0 +1,256 @@
+"""Deduplication operators over the documents table (SURVEY §2B).
+
+Exact, fingerprint, MinHash-LSH and n-gram-Jaccard dedup, each expressed
+as DataFrame ops with a DuckDB SQL oracle implementing the *same
+algorithm* — the hash-compare therefore verifies engine parity on every
+stage (tokenize → shingle → sign → band → candidate-join → verify).
+
+The raw documents table has no duplicates, so near-dup queries would be
+vacuous; every near-dup query therefore runs on a deterministic
+*augmented* corpus: the original docs plus, for every ``doc_id % 10 == 0``,
+a mutant copy (id + 1_000_000) with the first token dropped.  Both the
+Spark and SQL sides build the same augmentation, so true near-dup pairs
+exist and the candidate machinery is actually exercised.
+
+Scale design (100 TB): the band join is the scale path — O(docs × bands)
+rows shuffle, never O(docs²); exact Jaccard runs only on band candidates.
+The shingle explode is the widest intermediate; at cluster scale it is
+hash-partitioned by shingle, and band signatures are 16-byte md5s, so the
+candidate join's build side stays compact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.sources.tables import load
+
+N_HASHES = 8
+N_BANDS = 4          # 2 hashes per band
+
+
+def _augmented(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    mutants = (d.filter(F.col("doc_id") % 10 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.expr("substring(text, instr(text, ' ') + 1)").alias("text")))
+    return d.unionByName(mutants)
+
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _shingles(aug: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc; docs under 3 tokens drop out
+    (mirrors the SQL side where range(1, len-1) is empty)."""
+    toks = aug.select("doc_id",
+                      F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    return (toks.filter(F.size("t") >= 3)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), "
+                "element_at(t, i+3)))")).alias("sh"))
+            .distinct())
+
+_SHINGLE_SQL = r"""
+  toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM aug),
+  sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         FROM toks, UNNEST(range(1, len(t) - 1)) u(i))
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup: hash-groupBy on the full text
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _augmented(spark, sf)
+    return (aug.groupBy(F.md5("text").alias("fp"))
+               .agg(F.min("doc_id").alias("keep_id"),
+                    F.count("*").alias("n_copies")))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH aug AS ({_AUG_SQL})
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM aug GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# fingerprint dedup: normalize (lowercase, strip non-alnum) then hash —
+# catches case/punctuation-only duplicates
+# --------------------------------------------------------------------------
+
+def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _augmented(spark, sf)
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    return (aug.groupBy(F.md5(norm).alias("fp"))
+               .agg(F.min("doc_id").alias("keep_id"),
+                    F.count("*").alias("n_copies")))
+
+
+DEDUP_FINGERPRINT_SQL = f"""
+WITH aug AS ({_AUG_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM aug GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: shingle → 8 md5-minhashes → 4 bands → bucket
+# join → candidate pairs with estimated Jaccard (shared sigs / 8)
+# --------------------------------------------------------------------------
+
+def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _shingles(_augmented(spark, sf))
+    ks = spark.range(N_HASHES).select(F.col("id").cast("int").alias("k"))
+    sig = (sh.crossJoin(F.broadcast(ks))
+             .groupBy("doc_id", "k")
+             .agg(F.min(F.md5(F.concat_ws(":", F.col("k"), F.col("sh")))).alias("mh")))
+    bands = (sig.withColumn("b", (F.col("k") / 2).cast("int"))
+                .groupBy("doc_id", "b")
+                .agg(F.md5(F.array_join(F.expr(
+                    "transform(array_sort(collect_list(struct(k, mh))), s -> s.mh)"),
+                    "|")).alias("band")))
+    a, bb = bands.alias("a"), bands.alias("b2")
+    cand = (a.join(bb, (F.col("a.b") == F.col("b2.b"))
+                   & (F.col("a.band") == F.col("b2.band"))
+                   & (F.col("a.doc_id") < F.col("b2.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b2.doc_id").alias("doc_b"))
+             .distinct())
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+               .join(sb, (F.col("sb.doc_id") == F.col("doc_b"))
+                     & (F.col("sa.k") == F.col("sb.k"))
+                     & (F.col("sa.mh") == F.col("sb.mh")))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.round(F.count("*") / F.lit(float(N_HASHES)), 4)
+                     .alias("est_jaccard")))
+    return est
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+{_SHINGLE_SQL},
+sig AS (SELECT doc_id, CAST(k AS INT) AS k,
+               min(md5(CAST(k AS VARCHAR) || ':' || sh)) AS mh
+        FROM sh, UNNEST(range(0, {N_HASHES})) kk(k) GROUP BY doc_id, k),
+bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY k)) AS band
+          FROM (SELECT doc_id, k, k // 2 AS b, mh FROM sig) GROUP BY doc_id, b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM bands a JOIN bands b2
+           ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, round(count(*) / {float(N_HASHES)}, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b AND sa.k = sb.k AND sa.mh = sb.mh
+GROUP BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard on shared-shingle candidates (verify stage)
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _shingles(_augmented(spark, sf))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+               .agg(F.count("*").alias("shared")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+                 .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+                 .withColumn("jaccard", F.round(
+                     F.col("shared").cast("double")
+                     / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")), 4))
+                 .filter(F.col("jaccard") >= 0.5)
+                 .select("doc_a", "doc_b", "jaccard"))
+    return jac
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+{_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit signature from per-token md5 hex digits (weighted by
+# occurrence).  Near-dup docs differ in few bits.
+# --------------------------------------------------------------------------
+
+def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _augmented(spark, sf)
+    toks = (aug.select("doc_id",
+                       F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+               .withColumn("h", F.md5("tok")))
+    aggs = []
+    for i in range(16):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", i + 1, 1)) - 1
+        aggs.append(F.sum(F.when(digit % 2 == 1, 1).otherwise(-1)).alias(f"s{i}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(*[
+        F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(16)])
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    digit = ("(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN {digit.format(p=i + 1)} % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16))
+    bits = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16))
+    return f"""
+WITH aug AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, md5(tok) AS h
+         FROM aug, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) t(tok)),
+sums AS (SELECT doc_id,
+       {sums}
+       FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
+TEXT_SIMHASH_SQL = _simhash_sql()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_simhash": text_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
+    "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "text_simhash": TEXT_SIMHASH_SQL,
+}

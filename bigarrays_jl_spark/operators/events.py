@@ -1,0 +1,151 @@
+"""Event-stream operators (batch form) over the events table.
+
+These are the batch twins of the Structured Streaming operators in
+``bigarrays_jl_spark.streaming`` — same windowing semantics, expressed on
+a static DataFrame so the DuckDB oracle can verify them.  The streaming
+module runs the identical logical plans through readStream/writeStream
+(tested in tests/test_streaming.py; streaming execution itself is not
+SQL-oracle-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.sources.tables import load
+
+SESSION_GAP_MIN = 30
+
+
+# --------------------------------------------------------------------------
+# tumbling window aggregation (1 hour) — window() aligns to the epoch in
+# UTC on both engines
+# --------------------------------------------------------------------------
+
+def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("total_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "total_value"))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# sliding window (1 hour window, 30 min slide) — each event lands in 2
+# windows; the SQL oracle unions the two phase-shifted bucketings
+# --------------------------------------------------------------------------
+
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, count(*) AS n_events FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes')
+         + INTERVAL '30 minutes' AS window_start FROM events
+) GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: gaps-and-islands with a 30-minute inactivity gap —
+# the batch twin of session_window(ts, '30 minutes')
+# --------------------------------------------------------------------------
+
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    sess = (e.withColumn("new_s", new_session)
+             .withColumn("session_id", F.sum("new_s").over(
+                 w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    return (sess.groupBy("user_id")
+                .agg(F.max("session_id").cast("bigint").alias("n_sessions"),
+                     F.count("*").alias("n_events"),
+                     F.round(F.count("*") / F.max("session_id"), 4)
+                      .alias("events_per_session")))
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                 > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events,
+       round(CAST(count(*) AS DOUBLE) / max(session_id), 4) AS events_per_session
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# funnel: users whose first click precedes their first purchase
+# --------------------------------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    firsts = (e.filter(F.col("event_type").isin("click", "purchase"))
+               .groupBy("user_id")
+               .agg(F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+                     .alias("first_click"),
+                    F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                     .alias("first_purchase")))
+    return (firsts.filter(F.col("first_click").isNotNull()
+                          & F.col("first_purchase").isNotNull()
+                          & (F.col("first_click") < F.col("first_purchase")))
+                  .select("user_id", "first_click", "first_purchase"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id)
+SELECT user_id, first_click, first_purchase
+FROM f
+WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_click < first_purchase
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_sessionize": events_sessionize,
+    "events_funnel": events_funnel,
+}
+
+ORACLES = {
+    "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+}

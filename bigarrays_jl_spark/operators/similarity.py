@@ -1,0 +1,190 @@
+"""Similarity search over the embeddings table (SURVEY §2B).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB scale path (bucket join instead of cross join).
+All scoring stays in built-in higher-order functions (`zip_with` +
+`aggregate` fold) — JVM-side, no Python in the hot path.  Fold order is
+list order on both engines, so doubles match the DuckDB oracle exactly.
+
+Scale notes: the brute-force path broadcasts the (small) query side and
+scans the corpus once — O(corpus × queries) with no shuffle; per-query
+top-k via window on qid shuffles only (queries × corpus) score rows,
+which AQE coalesces.  The LSH path buckets both sides first, so the
+candidate join is O(bucket²) per bucket, and buckets are md5-uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.sources.tables import load
+
+N_QUERIES = 10       # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8         # slice-projection planes for the LSH variant
+COS_THRESHOLD = 0.3  # near-dup cosine threshold (corpus is near-random)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a):
+    return F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+_NORM2_SQL = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k per query vector
+# --------------------------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    corpus = e.select("vec_id", "embedding")
+    scored = (corpus.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("cosine", F.round(
+                  _dot(F.col("qe"), F.col("embedding"))
+                  / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("embedding")))),
+                  6)))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "vec_id", "cosine", "rank"))
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, vec_id,
+         round({_DOT_SQL.format(a='qe', b='embedding')}
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt({_NORM2_SQL.format(a='embedding')})), 6) AS cosine
+  FROM embeddings, q WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed near-neighbor pairs: 8 slice-projection sign bits → bucket
+# → in-bucket exact cosine — the scale path for pairwise similarity
+# --------------------------------------------------------------------------
+
+def _bucket_expr():
+    """8-bit bucket: sign of the sum of each 8-element slice of the
+    embedding (axis-aligned random projection; deterministic)."""
+    bits = []
+    for j in range(N_PLANES):
+        s = F.aggregate(F.slice("embedding", j * 8 + 1, 8), F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"))
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucket_sql(col="embedding"):
+    bits = " || ".join(
+        f"CASE WHEN list_sum(list_transform({col}[{j * 8 + 1}:{j * 8 + 8}], "
+        f"x -> CAST(x AS DOUBLE))) > 0 THEN '1' ELSE '0' END"
+        for j in range(N_PLANES))
+    return bits
+
+
+def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return (e.withColumn("bucket", _bucket_expr())
+             .groupBy("bucket")
+             .agg(F.count("*").alias("n_vectors"),
+                  F.min("vec_id").alias("min_vec_id")))
+
+
+SIM_LSH_BUCKETS_SQL = f"""
+SELECT ({_bucket_sql()}) AS bucket, count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").withColumn("bucket", _bucket_expr())
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                 "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                 "bucket")
+    return (a.join(b, ["bucket"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine", F.round(
+                 _dot(F.col("ea"), F.col("eb"))
+                 / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))), 6))
+             .filter(F.col("cosine") >= COS_THRESHOLD)
+             .select("vec_a", "vec_b", "cosine"))
+
+
+SIM_LSH_PAIRS_SQL = f"""
+WITH b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         round({_DOT_SQL.format(a='a.embedding', b='b2.embedding')}
+               / (sqrt({_NORM2_SQL.format(a='a.embedding')})
+                  * sqrt({_NORM2_SQL.format(a='b2.embedding')})), 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {COS_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-label centroid stats: groupBy over array columns with elementwise
+# aggregation (the "build the IVF coarse quantizer" step)
+# --------------------------------------------------------------------------
+
+def sim_label_centroid_norm(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    # elementwise mean via posexplode → groupBy (label, pos) → re-agg;
+    # at scale this is the standard two-level centroid reduction
+    expl = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    dims = (expl.groupBy("label", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m")))
+    return (dims.groupBy("label")
+                .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6)
+                      .alias("centroid_norm"),
+                     (F.count("*")).alias("dim")))
+
+
+SIM_LABEL_CENTROID_SQL = """
+WITH expl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+dims AS (SELECT label, pos, avg(v) AS m FROM expl GROUP BY label, pos)
+SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+       count(*) AS dim
+FROM dims GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_lsh_pairs": sim_lsh_pairs,
+    "sim_label_centroid_norm": sim_label_centroid_norm,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
+    "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
+    "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,
+}

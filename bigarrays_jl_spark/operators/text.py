@@ -1,0 +1,183 @@
+"""Text-analysis operators over the documents table (SURVEY §2B).
+
+Language-ID heuristics, quality scoring, token counting and document
+fingerprinting — all with pure built-in `pyspark.sql.functions`
+expressions (JVM-side, whole-stage-codegen'd; no Python UDF in any hot
+path) and a DuckDB oracle per query.
+
+Tokenization canon (shared with dedup.py): split trimmed lowercase text
+on ``\\s+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.sources.tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks(col="text"):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# per-language corpus stats
+# --------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    n_tok = F.size(_toks())
+    return (d.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                  F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+                  F.sum(n_tok).cast("bigint").alias("total_tokens")))
+
+
+TEXT_STATS_SQL = r"""
+SELECT lang, count(*) AS n_docs,
+       round(CAST(avg(n_chars) AS DOUBLE), 2) AS avg_chars,
+       round(CAST(avg(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE), 2)
+         AS avg_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# per-document quality scoring: token count, stopword ratio, mean token
+# length — the classic C4/RefinedWeb-style filters
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = _toks()
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(F.transform(t, F.length),
+                            F.lit(0), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.round(tok_chars.cast("double") / n_tok, 4).alias("avg_token_len"),
+        (n_tok >= 10).alias("passes_min_len"),
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents)
+SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+       round(CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t), 4)
+         AS stopword_ratio,
+       round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4)
+         AS avg_token_len,
+       len(t) >= 10 AS passes_min_len
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic: marker-token voting (declared heuristic — the
+# point is the operator shape; the labeled `lang` column rides along so
+# accuracy is inspectable)
+# --------------------------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = _toks()
+    n_en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of")))
+    guess = (F.when(n_en >= 3, "en").otherwise("other"))
+    return d.select("doc_id", "lang", n_en.alias("n_en_markers"),
+                    guess.alias("lang_guess"),
+                    (guess == F.col("lang")).alias("agree"))
+
+
+TEXT_LANGID_SQL = r"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ('the', 'a', 'of'))) AS n_en
+  FROM documents)
+SELECT doc_id, lang, CAST(n_en AS INT) AS n_en_markers,
+       CASE WHEN n_en >= 3 THEN 'en' ELSE 'other' END AS lang_guess,
+       (CASE WHEN n_en >= 3 THEN 'en' ELSE 'other' END) = lang AS agree
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting: full-text hash + min-hash over character
+# 8-grams (winnowing-style rolling fingerprint)
+# --------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    grams = F.expr(
+        "transform(sequence(1, length(norm) - 7), i -> substring(norm, i, 8))")
+    return (d.withColumn("norm", norm)
+             .filter(F.length("norm") >= 8)
+             .select("doc_id",
+                     F.md5("norm").alias("fp_full"),
+                     F.expr("array_min(transform(transform(sequence(1, length(norm) - 7), "
+                            "i -> substring(norm, i, 8)), g -> md5(g)))").alias("fp_min"))
+             )
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS fp_full,
+       (SELECT min(md5(substr(norm, CAST(i AS INT), 8)))
+        FROM UNNEST(range(1, length(norm) - 6)) u(i)) AS fp_min
+FROM n WHERE length(norm) >= 8
+"""
+
+
+# --------------------------------------------------------------------------
+# token counting per source (whitespace tokens + a BPE-ish subword
+# estimate: ceil(chars/4) — the standard "~4 chars per token" heuristic)
+# --------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    n_tok = F.size(_toks())
+    bpeish = F.ceil(F.col("n_chars") / 4)
+    return (d.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(n_tok).cast("bigint").alias("ws_tokens"),
+                  F.sum(bpeish).cast("bigint").alias("bpe_est_tokens")))
+
+
+TEXT_TOKEN_COUNT_SQL = r"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_count": text_token_count,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_token_count": TEXT_TOKEN_COUNT_SQL,
+}
