@@ -109,16 +109,19 @@ FROM aug GROUP BY 1
 # --------------------------------------------------------------------------
 
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # One wide aggregation computes all 8 minhashes per doc in a single
+    # shuffle (map-side partial min per hash) — no k-fold row explosion.
     sh = _shingles(_augmented(spark, sf))
-    ks = spark.range(N_HASHES).select(F.col("id").cast("int").alias("k"))
-    sig = (sh.crossJoin(F.broadcast(ks))
-             .groupBy("doc_id", "k")
-             .agg(F.min(F.md5(F.concat_ws(":", F.col("k"), F.col("sh")))).alias("mh")))
-    bands = (sig.withColumn("b", (F.col("k") / 2).cast("int"))
-                .groupBy("doc_id", "b")
-                .agg(F.md5(F.array_join(F.expr(
-                    "transform(array_sort(collect_list(struct(k, mh))), s -> s.mh)"),
-                    "|")).alias("band")))
+    sig = (sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("sh")))).alias(f"s{k}")
+        for k in range(N_HASHES)]))
+    sig.persist()  # reused by the band explode and the verify join
+    # band signature = md5 of its 2 member hashes; explode to (doc, band)
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.md5(F.concat_ws("|", f"s{2 * b}", f"s{2 * b + 1}")).alias("band"))
+        for b in range(N_BANDS)])).alias("e")).select(
+        "doc_id", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
     a, bb = bands.alias("a"), bands.alias("b2")
     cand = (a.join(bb, (F.col("a.b") == F.col("b2.b"))
                    & (F.col("a.band") == F.col("b2.band"))
@@ -126,15 +129,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b2.doc_id").alias("doc_b"))
              .distinct())
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    est = (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-               .join(sb, (F.col("sb.doc_id") == F.col("doc_b"))
-                     & (F.col("sa.k") == F.col("sb.k"))
-                     & (F.col("sa.mh") == F.col("sb.mh")))
-               .groupBy("doc_a", "doc_b")
-               .agg(F.round(F.count("*") / F.lit(float(N_HASHES)), 4)
-                     .alias("est_jaccard")))
-    return est
+    # verify: estimated Jaccard = fraction of matching signature slots
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    shared = sum((F.when(F.col(f"sa.s{k}") == F.col(f"sb.s{k}"), 1).otherwise(0))
+                 for k in range(N_HASHES))
+    return (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+                .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+                .select("doc_a", "doc_b",
+                        F.round(shared / F.lit(float(N_HASHES)), 4)
+                         .alias("est_jaccard")))
 
 
 DEDUP_MINHASH_SQL = f"""

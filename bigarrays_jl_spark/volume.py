@@ -172,13 +172,15 @@ class Volume:
 
     # -- epoch counter (overwrite ordering; single-writer per dataset) -------
 
-    def _next_epoch(self) -> int:
+    def _current_epoch(self) -> int:
         path = self.root + "/_epoch"
-        cur = -1
         if _fs_exists(self.spark, path):
-            cur = int(_fs_read_bytes(self.spark, path).decode().strip())
-        nxt = cur + 1
-        _fs_write_bytes(self.spark, path, str(nxt).encode())
+            return int(_fs_read_bytes(self.spark, path).decode().strip())
+        return -1
+
+    def _next_epoch(self) -> int:
+        nxt = self._current_epoch() + 1
+        _fs_write_bytes(self.spark, self.root + "/_epoch", str(nxt).encode())
         return nxt
 
     # -- chunk DataFrame ------------------------------------------------------
@@ -210,9 +212,16 @@ class Volume:
             & (F.col("cz") >= cz0) & (F.col("cz") < cz1)
         )
 
-    @staticmethod
-    def _latest(df: DataFrame) -> DataFrame:
-        """Latest-epoch-wins per chunk key (LSM semantics, see module doc)."""
+    def _latest(self, df: DataFrame) -> DataFrame:
+        """Latest-epoch-wins per chunk key (LSM semantics, see module doc).
+
+        Fast path: when the dataset has at most one write epoch there is
+        nothing to dedupe — skip the shuffle entirely (the common case
+        for write-once ingest; overwritten datasets pay the groupBy only
+        until ``compact()`` folds them back to epoch 0).
+        """
+        if self._current_epoch() <= 0:
+            return df
         return df.groupBy("cx", "cy", "cz", "key").agg(
             F.max_by("enc", "epoch").alias("enc"),
             F.max_by("payload", "epoch").alias("payload"),
@@ -270,7 +279,13 @@ class Volume:
         epoch = self._next_epoch()
         enc = sc.encoding
         pdf = pd.DataFrame(rows, columns=["cx", "cy", "cz", "key", "payload"])
+        # coalesce: a driver-array write carries few, fat rows — spinning a
+        # Python codec worker per shuffle partition costs more than the
+        # encode itself.  Distributed bulk ingest takes the DataFrame path
+        # (ingest_chunks) where partitioning comes from the source.
+        n_parts = max(1, min(len(rows), 16))
         df = (self.spark.createDataFrame(pdf, schema="cx int, cy int, cz int, key string, payload binary")
+              .coalesce(n_parts)
               .withColumn("enc", F.lit(enc))
               .withColumn("epoch", F.lit(epoch).cast("bigint"))
               .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
@@ -352,9 +367,10 @@ class Volume:
                     out["data"].append(_np.asfortranarray(block).tobytes(order="F"))
                 yield pd.DataFrame(out)
 
-        parts = latest.mapInPandas(
+        parts_pdf = latest.mapInPandas(
             decode_slice, schema="key string, bx0 int, by0 int, bz0 int, data binary"
-        ).collect()
+        ).toPandas()  # Arrow transfer — binary columns skip py4j row serde
+        parts = list(parts_pdf.itertuples(index=False))
 
         if not self.fill_missing and len(parts) < expected:
             raise MissingChunkError(
@@ -486,10 +502,13 @@ class Volume:
 
     def compact(self) -> None:
         """Fold overwrite history: keep only the latest epoch per key and
-        rewrite the mip directory sorted for row-group pruning."""
+        rewrite the mip directory sorted for row-group pruning.  Resets
+        the epoch counter so subsequent reads take the no-shuffle fast
+        path in ``_latest``."""
         self._rewrite_mip(self._latest(self.chunks_df())
                           .withColumn("epoch", F.lit(0).cast("bigint"))
                           .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
+        _fs_write_bytes(self.spark, self.root + "/_epoch", b"0")
 
     def _rewrite_mip(self, df: DataFrame) -> None:
         tmp = self._mip_dir() + ".tmp"
