@@ -1,0 +1,296 @@
+"""Advanced operator coverage (SURVEY §2B): as-of join, exact percentiles,
+unpivot, ntile, bucketed range join, row dedup, approximate aggregates,
+and the oracle-checked volume bridge query.
+
+The bucketed range join and the as-of join are the two patterns Spark
+lacks natively; both are built as compositions of built-in ops (the
+preferred strategy) with the bucketing trick keeping the join linear at
+scale instead of O(n²).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.sources.tables import load
+
+
+# --------------------------------------------------------------------------
+# q24 — as-of join: each purchase matched to the user's most recent prior
+# click.  Composition: union-tag + ordered window with last(ignorenulls) —
+# one shuffle on user_id, no per-group Python.
+# --------------------------------------------------------------------------
+
+def q24_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = e.withColumn(
+        "last_click", F.last(click_ts, ignorenulls=True).over(w))
+    gap = F.expr("(unix_micros(ts) - unix_micros(last_click)) div 1000000")
+    return (tagged.filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id",
+                    F.col("ts").alias("purchase_ts"),
+                    "last_click",
+                    F.when(F.col("last_click").isNotNull(), gap)
+                     .alias("gap_seconds")))
+
+
+Q24_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT user_id, event_id, ts AS purchase_ts, last_click,
+       CASE WHEN last_click IS NOT NULL
+            THEN (epoch_us(ts) - epoch_us(last_click)) // 1000000
+       END AS gap_seconds
+FROM t WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — exact percentiles (linear interpolation — Spark `percentile` and
+# DuckDB `quantile_cont` share the definition)
+# --------------------------------------------------------------------------
+
+def q25_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+                  F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+                  F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99"),
+                  F.count("*").alias("n")))
+
+
+Q25_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — unpivot (stack): wide metrics → long form
+# --------------------------------------------------------------------------
+
+def q26_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    long = l.select("l_returnflag", F.expr(
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (metric, v)"))
+    return (long.groupBy("l_returnflag", "metric")
+                .agg(F.round(F.sum("v"), 2).alias("total"),
+                     F.count("*").alias("n")))
+
+
+Q26_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+SELECT l_returnflag, metric, round(CAST(sum(v) AS DOUBLE), 2) AS total,
+       count(*) AS n
+FROM long GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — scalar math functions (exact-representable outputs: abs/ceil/
+# floor/mod/pow2; transcendentals rounded)
+# --------------------------------------------------------------------------
+
+def q27_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.round(F.pow(F.col("l_quantity"), 2), 2).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"))
+
+
+Q27_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_d,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+       round(pow(l_quantity, 2), 2) AS qty_sq,
+       round(ln(l_extendedprice + 1), 6) AS log_price,
+       round(sqrt(l_quantity), 6) AS sqrt_qty
+FROM lineitem WHERE l_orderkey <= 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — ntile quartiles (deterministic: unique tie-break in the ordering)
+# --------------------------------------------------------------------------
+
+def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (o.withColumn("quartile", F.ntile(4).over(w))
+             .groupBy("quartile")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+Q28_SQL = """
+WITH q AS (SELECT o_totalprice,
+                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+           FROM orders)
+SELECT quartile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM q GROUP BY quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — bucketed range join: pairs of events by the same user within 60
+# seconds.  Scale path: bucket epoch÷60 and join on (user, bucket) with
+# the left side exploded to {b, b+1} — linear in events, never O(n²);
+# the exact |Δt|≤60 filter runs post-join.
+# --------------------------------------------------------------------------
+
+def q29_bucketed_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = (load(spark, sf, "events")
+         .select("user_id", "event_id", F.col("ts").cast("long").alias("sec")))
+    a = (e.withColumn("b", F.explode(F.array(
+            (F.col("sec") / 60).cast("long"), (F.col("sec") / 60).cast("long") + 1)))
+         .select(F.col("user_id").alias("u"), F.col("event_id").alias("ea"),
+                 F.col("sec").alias("sa"), "b"))
+    b = e.select(F.col("user_id").alias("u"), F.col("event_id").alias("eb"),
+                 F.col("sec").alias("sb"),
+                 (F.col("sec") / 60).cast("long").alias("b"))
+    pairs = (a.join(b, ["u", "b"])
+              .filter((F.col("ea") < F.col("eb"))
+                      & (F.abs(F.col("sa") - F.col("sb")) <= 60)))
+    return (pairs.select("u", "ea", "eb").distinct()
+                 .groupBy("u").agg(F.count("*").alias("n_close_pairs")))
+
+
+Q29_SQL = """
+SELECT a.user_id AS u, count(*) AS n_close_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 60
+GROUP BY a.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — row-level dedup: keep the earliest event per (user, type, day)
+# --------------------------------------------------------------------------
+
+def q30_dedup_rows(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = W.partitionBy("user_id", "event_type", day).orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("user_id", "event_type", day.alias("day"), "event_id"))
+
+
+Q30_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, event_type, day, event_id FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — approximate aggregates (HLL + approx quantile).  Sketches are
+# engine-specific, so there is no cross-engine oracle: registered as a
+# rows-only check, with the exact counterparts in q13/q25 as the
+# accuracy reference.
+# --------------------------------------------------------------------------
+
+def q31_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                  F.countDistinct("l_partkey").alias("exact_parts"),
+                  F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50")))
+
+
+# --------------------------------------------------------------------------
+# volume bridge: the chunked-array engine answering a relational query.
+# The voxel pattern is closed-form ((x*31+y*7+z) % 256), so DuckDB can
+# oracle the full pipeline: ingest → chunk store → pruned cutout → voxel
+# view → aggregation.
+# --------------------------------------------------------------------------
+
+def volume_cutout_sum(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[16, 16, 16]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 64, 64]}]})
+    root = tempfile.mkdtemp(prefix="volq_") + "/vol"
+    vol = Volume.create(spark, root, info)
+    x, y, z = np.meshgrid(np.arange(64), np.arange(64), np.arange(64),
+                          indexing="ij")
+    arr = ((x * 31 + y * 7 + z) % 256).astype(np.uint8)
+    vol.write(arr, (0, 0, 0))
+    vox = vol.voxels(((8, 40), (16, 48), (0, 32)))
+    return (vox.groupBy("z")
+               .agg(F.sum("value").cast("bigint").alias("sum_v"),
+                    F.count("*").alias("n_voxels")))
+
+
+VOLUME_CUTOUT_SUM_SQL = """
+WITH v AS (
+  SELECT CAST(x.range AS BIGINT) AS x, CAST(y.range AS BIGINT) AS y,
+         CAST(z.range AS BIGINT) AS z
+  FROM range(8, 40) x, range(16, 48) y, range(0, 32) z)
+SELECT CAST(z AS INT) AS z,
+       CAST(sum((x * 31 + y * 7 + z) % 256) AS BIGINT) AS sum_v,
+       count(*) AS n_voxels
+FROM v GROUP BY z
+"""
+
+
+QUERIES = {
+    "q24_asof_join": q24_asof_join,
+    "q25_percentiles": q25_percentiles,
+    "q26_unpivot": q26_unpivot,
+    "q27_math_funcs": q27_math_funcs,
+    "q28_ntile": q28_ntile,
+    "q29_bucketed_range_join": q29_bucketed_range_join,
+    "q30_dedup_rows": q30_dedup_rows,
+    "q31_approx_aggs": q31_approx_aggs,
+    "volume_cutout_sum": volume_cutout_sum,
+}
+
+ORACLES = {
+    "q24_asof_join": Q24_SQL,
+    "q25_percentiles": Q25_SQL,
+    "q26_unpivot": Q26_SQL,
+    "q27_math_funcs": Q27_SQL,
+    "q28_ntile": Q28_SQL,
+    "q29_bucketed_range_join": Q29_SQL,
+    "q30_dedup_rows": Q30_SQL,
+    # q31_approx_aggs: sketches are engine-specific → rows-only check
+    "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
+}

@@ -1,0 +1,74 @@
+"""Physical-plan inspection helpers.
+
+The reference has no optimizer (SURVEY §3/§4) — its one physical trick is
+chunk pruning.  Here Catalyst owns planning, and these helpers make plan
+properties *assertable*: tests pin that filters reach the parquet scan,
+small dims broadcast, aggregates are partial (map-side), and top-k avoids
+a global sort.  This is the engine's guard-rail against plan regressions
+that would only surface at cluster scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string (same text as
+    df.explain("formatted"), but returned instead of printed)."""
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def simple_plan(df: DataFrame) -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema (post-column-pruning) of each scan."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in simple_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Two-phase (map-side partial + final) hash aggregation present."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the plan (each Exchange is a full data movement —
+    the number to minimize)."""
+    return len(re.findall(r"\bExchange\b", simple_plan(df)))
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    """Top-k via per-partition heap + driver merge instead of global sort."""
+    return "TakeOrderedAndProject" in simple_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count (wider spans = more fused operators)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -1,0 +1,115 @@
+"""Structured Streaming operators over the events stream (SURVEY §2B).
+
+The reference has no streaming surface (SURVEY §1.6 — no streams exist in
+it); this module is part of the driver-mandated extension inventory.
+Each operator consumes a streaming DataFrame (file source here; Kafka in
+production — same logical plan) and is the streaming twin of a batch
+operator in ``operators/events.py``, which supplies the oracle-checked
+semantics.  Tests drive them through a memory sink with
+``processAllAvailable`` and compare against the batch results.
+
+Watermarks bound state at scale: a 1000-executor deployment holds only
+(watermark horizon × key cardinality) state rows per operator, and late
+events beyond the horizon are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),          # TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (nanos → micros, same
+    truncation as the batch loader in sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts per event type with watermarked state —
+    streaming twin of events_tumbling."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def streaming_sliding(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour/30-minute counts — streaming twin of events_sliding."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+def streaming_session_window(events: DataFrame, gap: str = "30 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-based) per user — the built-in
+    streaming analog of the batch gaps-and-islands sessionization."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"), "n_events"))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event delivery: drop duplicate event_ids within the
+    watermark horizon (bounded state)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def streaming_running_count(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user cumulative event count via
+    applyInPandasWithState — the extension point for operators the
+    built-in aggregations can't express (update-mode output)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against a memory sink
+    (synchronous; for tests and smoke checks)."""
+    q = (sdf.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

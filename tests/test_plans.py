@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: pin the plan shapes that keep the
+engine viable at 100 TB (pushdown, broadcast, partial agg, heap top-k,
+chunk pruning at the scan)."""
+
+import numpy as np
+import pytest
+
+from bigarrays_jl_spark.infos import Info
+from bigarrays_jl_spark.operators.relational import (
+    q01_pricing_summary, q02_filter_project, q03_join_revenue, q04_star_dims,
+    q11_topk)
+from bigarrays_jl_spark.plans.explain import (
+    formatted_plan, has_broadcast_join, has_partial_aggregation,
+    num_exchanges, pushed_filters, read_schemas, uses_take_ordered)
+from bigarrays_jl_spark.volume import Volume
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    df = q02_filter_project(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "p_size" in pf and "p_type" in pf, f"filters not pushed: {pf}"
+    rs = read_schemas(df)[0]
+    # only the 4 needed source columns are read — not the whole table
+    assert "p_retailprice" in rs and "p_brand" not in rs
+
+
+def test_join_broadcasts_small_dim(spark, sf_dir):
+    assert has_broadcast_join(q03_join_revenue(spark, sf_dir))
+    assert has_broadcast_join(q04_star_dims(spark, sf_dir))
+
+
+def test_star_join_single_shuffle(spark, sf_dir):
+    # supplier⋈nation⋈region with both dims broadcast: the only exchange
+    # should be the final tiny aggregation (plus AQE reads)
+    df = q04_star_dims(spark, sf_dir)
+    assert num_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    assert has_partial_aggregation(q01_pricing_summary(spark, sf_dir))
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    assert uses_take_ordered(q11_topk(spark, sf_dir))
+
+
+def test_cutout_prunes_at_scan(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[16, 16, 16]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 64, 64]}]})
+    vol = Volume.create(spark, str(tmp_path / "p"), info)
+    vol.write(np.zeros((64, 64, 64), dtype=np.uint8), (0, 0, 0))
+    pruned = vol._pruned(((0, 16), (0, 16), (0, 16)))
+    pf = " ".join(pushed_filters(pruned))
+    # chunk-id range predicates reach the parquet scan → row-group pruning
+    assert "cx" in pf and "cy" in pf and "cz" in pf, pf

@@ -1,0 +1,77 @@
+"""Structured Streaming tests: each streaming operator must converge to
+its batch twin's result on the static events table (the oracle-checked
+semantics from operators/events.py)."""
+
+import pytest
+
+from bigarrays_jl_spark.operators.events import events_sliding, events_tumbling
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.streaming.windows import (
+    run_to_memory, stream_events, streaming_dedup, streaming_running_count,
+    streaming_session_window, streaming_sliding, streaming_tumbling)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream):
+    run_to_memory(streaming_tumbling(events_stream), "t_tumbling", "complete")
+    got = _rows(spark, "t_tumbling")
+    want = {tuple(r) for r in events_tumbling(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, events_stream):
+    run_to_memory(streaming_sliding(events_stream), "t_sliding", "complete")
+    got = _rows(spark, "t_sliding")
+    want = {tuple(r) for r in events_sliding(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_session_window(spark, sf_dir, events_stream):
+    run_to_memory(streaming_session_window(events_stream), "t_session", "complete")
+    rows = spark.sql("SELECT * FROM t_session").collect()
+    assert len(rows) > 0
+    # session invariants: start <= end, n_events >= 1, no overlapping
+    # sessions per user
+    per_user = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+        per_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # total events across sessions == table size
+    total = sum(r.n_events for r in rows)
+    assert total == load(spark, sf_dir, "events").count()
+
+
+def test_streaming_dedup(spark, sf_dir, events_stream):
+    run_to_memory(streaming_dedup(events_stream), "t_dedup")
+    n = spark.sql("SELECT count(*) c FROM t_dedup").collect()[0].c
+    distinct_ids = (load(spark, sf_dir, "events")
+                    .select("event_id").distinct().count())
+    assert n == distinct_ids
+
+
+def test_streaming_running_count_stateful(spark, sf_dir, events_stream):
+    run_to_memory(streaming_running_count(events_stream), "t_state", "update")
+    # final state per user == total events per user (single micro-batch:
+    # the last update per user is the total)
+    got = {r.user_id: r.n_events
+           for r in spark.sql(
+               "SELECT user_id, max(n_events) AS n_events FROM t_state "
+               "GROUP BY user_id").collect()}
+    want = {r.user_id: r.n
+            for r in load(spark, sf_dir, "events")
+            .groupBy("user_id").agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n").collect()}
+    assert got == want
