@@ -302,6 +302,92 @@ class Volume:
         (encoded.sortWithinPartitions("cz", "cy", "cx")
                 .write.mode("append").parquet(self._mip_dir()))
 
+    def ingest_chunks(self, df: DataFrame) -> None:
+        """Distributed bulk ingest from a chunk DataFrame — the 100 TB
+        write path (the driver-array ``write`` is the API-parity path).
+
+        ``df`` columns: ``cx,cy,cz int, key string, payload binary`` with
+        payloads as *raw* (unencoded) Fortran-order bytes of full
+        volume-clamped chunks.  Encoding runs in executors; partitioning
+        comes from the source, so nothing touches the driver.
+        """
+        epoch = self._next_epoch()
+        enc = self.scale.encoding
+        codec = codecs_mod.get_codec(enc)
+
+        def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in it:
+                b["payload"] = b["payload"].map(codec.encode)
+                yield b
+
+        out = (df.select("cx", "cy", "cz", "key",
+                         F.lit(enc).alias("enc"),
+                         F.lit(epoch).cast("bigint").alias("epoch"),
+                         "payload")
+                 .mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
+        (out.sortWithinPartitions("cz", "cy", "cx")
+            .write.mode("append").parquet(self._mip_dir()))
+
+    def ingest_voxels(self, df: DataFrame) -> None:
+        """Distributed ingest from a voxel DataFrame ``(x,y,z[,c],value)``
+        with global coordinates — the inverse of ``voxels()``.
+
+        Plan shape: chunk ids derive as JVM column expressions (floor
+        division, matching indexes.chunk_id), one shuffle groups voxels by
+        target chunk, and applyInPandas assembles + encodes each chunk.
+        Unspecified voxels within a touched chunk become zeros (the
+        volume's missing-data background); out-of-volume voxels are
+        dropped (W5 semantics).  Shuffle width = voxel rows of touched
+        chunks only.
+        """
+        info, sc = self.info, self.scale
+        nc = info.num_channels
+        if "c" not in df.columns:
+            df = df.withColumn("c", F.lit(0))
+        anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
+        vol = self.vol_box
+        inb = df.filter(
+            (F.col("x") >= vol[0][0]) & (F.col("x") < vol[0][1])
+            & (F.col("y") >= vol[1][0]) & (F.col("y") < vol[1][1])
+            & (F.col("z") >= vol[2][0]) & (F.col("z") < vol[2][1]))
+        keyed = inb.select(
+            F.floor((F.col("x") - anchor[0]) / sc.chunk_size[0]).cast("int").alias("cx"),
+            F.floor((F.col("y") - anchor[1]) / sc.chunk_size[1]).cast("int").alias("cy"),
+            F.floor((F.col("z") - anchor[2]) / sc.chunk_size[2]).cast("int").alias("cz"),
+            "x", "y", "z", "c", "value")
+
+        epoch = self._next_epoch()
+        enc = sc.encoding
+        dtype_str = info.data_type
+        chunk_size = sc.chunk_size
+
+        def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as _np
+            from bigarrays_jl_spark import codecs as _codecs
+            from bigarrays_jl_spark import indexes as _ix
+            dt = _np.dtype(dtype_str)
+            cid = (int(pdf.cx.iloc[0]), int(pdf.cy.iloc[0]), int(pdf.cz.iloc[0]))
+            raw = tuple(_ix.chunk_global_range(c, a, s)
+                        for c, a, s in zip(cid, anchor, chunk_size))
+            cbox = _ix.intersect_box(raw, vol)
+            shape = (*_ix.box_shape(cbox), nc)
+            buf = _np.zeros(shape, dtype=dt, order="F")
+            buf[pdf.x.values - cbox[0][0], pdf.y.values - cbox[1][0],
+                pdf.z.values - cbox[2][0], pdf.c.values] = \
+                pdf.value.values.astype(dt)
+            out = buf[..., 0] if nc == 1 else buf
+            codec = _codecs.get_codec(enc)
+            return pd.DataFrame({
+                "cx": [cid[0]], "cy": [cid[1]], "cz": [cid[2]],
+                "key": [_ix.chunk_key(cbox)], "enc": [enc],
+                "epoch": [epoch],
+                "payload": [codec.encode(_np.asfortranarray(out).tobytes(order="F"))]})
+
+        result = keyed.groupBy("cx", "cy", "cz").applyInPandas(
+            assemble, schema=CHUNK_SCHEMA)
+        (result.sortWithinPartitions("cz", "cy", "cx")
+               .write.mode("append").parquet(self._mip_dir()))
+
     # python-slice sugar: vol[x0:x1, y0:y1, z0:z1] = arr / arr = vol[...]
     def __setitem__(self, idx, arr: np.ndarray) -> None:
         box = ix.normalize_index(idx, self.vol_box)
