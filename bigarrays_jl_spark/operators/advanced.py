@@ -271,6 +271,98 @@ FROM v GROUP BY z
 """
 
 
+# --------------------------------------------------------------------------
+# q32 — left outer join with null-aware aggregation (customers keep a row
+# even with zero orders)
+# --------------------------------------------------------------------------
+
+def q32_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+             .groupBy("c_custkey", "c_mktsegment")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+                   .alias("total_spend")))
+
+
+Q32_SQL = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       round(CAST(coalesce(sum(o_totalprice), 0.0) AS DOUBLE), 2) AS total_spend
+FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — full outer join: parts catalog vs parts actually shipped
+# --------------------------------------------------------------------------
+
+def q33_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    shipped = (load(spark, sf, "lineitem")
+               .groupBy("l_partkey").agg(F.count("*").alias("n_shipped")))
+    return (p.join(shipped, p.p_partkey == shipped.l_partkey, "full_outer")
+             .select(F.coalesce("p_partkey", "l_partkey").alias("partkey"),
+                     F.col("p_type").alias("p_type"),
+                     F.coalesce("n_shipped", F.lit(0)).cast("bigint")
+                      .alias("n_shipped"),
+                     F.col("p_partkey").isNotNull().alias("in_catalog")))
+
+
+Q33_SQL = """
+SELECT coalesce(p_partkey, l_partkey) AS partkey, p_type,
+       CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped,
+       p_partkey IS NOT NULL AS in_catalog
+FROM part FULL OUTER JOIN
+     (SELECT l_partkey, count(*) AS n_shipped FROM lineitem GROUP BY l_partkey) s
+  ON p_partkey = l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — explicit cross join (dimension grid)
+# --------------------------------------------------------------------------
+
+def q34_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region").select("r_name")
+    s = load(spark, sf, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+Q34_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — whole-partition window statistics: each order vs its priority
+# class (avg/share) — the "compare to group aggregate without a join"
+# pattern
+# --------------------------------------------------------------------------
+
+def q35_window_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(w), 2)
+         .alias("delta_from_avg"),
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w) * 100, 6)
+         .alias("pct_of_class"))
+
+
+Q35_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority), 2)
+         AS delta_from_avg,
+       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_orderpriority) * 100, 6)
+         AS pct_of_class
+FROM orders
+"""
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -280,6 +372,10 @@ QUERIES = {
     "q29_bucketed_range_join": q29_bucketed_range_join,
     "q30_dedup_rows": q30_dedup_rows,
     "q31_approx_aggs": q31_approx_aggs,
+    "q32_left_outer": q32_left_outer,
+    "q33_full_outer": q33_full_outer,
+    "q34_cross_join": q34_cross_join,
+    "q35_window_partition_stats": q35_window_partition_stats,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -292,5 +388,9 @@ ORACLES = {
     "q29_bucketed_range_join": Q29_SQL,
     "q30_dedup_rows": Q30_SQL,
     # q31_approx_aggs: sketches are engine-specific → rows-only check
+    "q32_left_outer": Q32_SQL,
+    "q33_full_outer": Q33_SQL,
+    "q34_cross_join": Q34_SQL,
+    "q35_window_partition_stats": Q35_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }

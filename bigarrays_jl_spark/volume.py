@@ -131,6 +131,15 @@ class Volume:
         return vol
 
     @classmethod
+    def scratch(cls, spark: SparkSession, info: Info, **kw) -> "Volume":
+        """Scratch dataset in a fresh temp dir — the reference's
+        ``BigArray(info)`` constructor for tests/benchmarks
+        (src/type.jl:85-99)."""
+        import tempfile
+        return cls.create(spark, tempfile.mkdtemp(prefix="bigarrays_") + "/scratch",
+                          info, **kw)
+
+    @classmethod
     def open(cls, spark: SparkSession, root: str, mip: int = 0,
              fill_missing: bool = True) -> "Volume":
         """Open by URL — any scheme Spark's Hadoop FS supports, replacing
@@ -160,6 +169,10 @@ class Volume:
     @property
     def dtype(self) -> np.dtype:
         return self.info.dtype
+
+    @property
+    def ndim(self) -> int:
+        return self.info.ndim
 
     def __repr__(self) -> str:  # src/type.jl:118-130
         return (f"Volume({self.root!r}, mip={self.mip}, dtype={self.info.data_type}, "

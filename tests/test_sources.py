@@ -1,0 +1,80 @@
+"""Source/sink coverage: scheme-prefixed paths, multi-format round-trips
+(csv/json/orc beside the primary parquet), and the voxel view's
+unsigned-widening column types."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.infos import Info
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.volume import Volume
+
+
+def test_file_scheme_prefix(spark, tmp_path):
+    # the reference's protocol dispatch (src/type.jl:37-50): file:// URLs
+    # open the same dataset as bare paths
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 16]}]})
+    root = f"file://{tmp_path}/schemed"
+    vol = Volume.create(spark, root, info)
+    a = np.arange(16 * 16 * 16, dtype=np.uint8).reshape(16, 16, 16) % 251
+    vol.write(a, (0, 0, 0))
+    again = Volume.open(spark, root)
+    np.testing.assert_array_equal(again[0:16, 0:16, 0:16], a)
+
+
+def test_scratch_dataset(spark):
+    # src/type.jl:85-99 — temp-dir scratch volume
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [8, 8, 8]}]})
+    vol = Volume.scratch(spark, info)
+    assert vol.ndim == 3
+    vol.write(np.ones((8, 8, 8), dtype=np.uint8), (0, 0, 0))
+    assert (vol[0:8, 0:8, 0:8] == 1).all()
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    # the engine reads/writes every Spark-native format; parquet is the
+    # primary layout, csv/json/orc cover interchange
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / f"docs_{fmt}")
+    writer = d.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+        back = spark.read.option("header", True).csv(
+            out, schema="doc_id bigint, lang string, n_chars bigint")
+    elif fmt == "json":
+        writer.json(out)
+        back = spark.read.json(out, schema="doc_id bigint, lang string, n_chars bigint")
+    else:
+        writer.orc(out)
+        back = spark.read.orc(out)
+    want = {(r.doc_id, r.lang, r.n_chars) for r in d.collect()}
+    got = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+    assert got == want
+
+
+def test_uint64_voxel_view_decimal(spark):
+    # VOXEL_SQL_TYPE: uint64 → decimal(20,0) so values above 2^63 survive
+    info = Info.from_dict({
+        "num_channels": 1, "type": "segmentation", "data_type": "uint64",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[4, 4, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [4, 4, 4]}]})
+    vol = Volume.scratch(spark, info)
+    big = np.full((4, 4, 4), np.uint64(2**63) + np.uint64(12345), dtype=np.uint64)
+    vol.write(big, (0, 0, 0))
+    df = vol.voxels()
+    assert dict(df.dtypes)["value"] == "decimal(20,0)"
+    vals = {int(r.value) for r in df.collect()}
+    assert vals == {2**63 + 12345}
+    total = df.agg(F.sum("value").alias("s")).collect()[0].s
+    assert int(total) == (2**63 + 12345) * 64
