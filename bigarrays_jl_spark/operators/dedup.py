@@ -14,9 +14,11 @@ exist and the candidate machinery is actually exercised.
 
 Scale design (100 TB): the band join is the scale path — O(docs × bands)
 rows shuffle, never O(docs²); exact Jaccard runs only on band candidates.
-The shingle explode is the widest intermediate; at cluster scale it is
-hash-partitioned by shingle, and band signatures are 16-byte md5s, so the
-candidate join's build side stays compact.
+MinHash signatures are computed map-side with higher-order functions
+(no shingle explode or shuffle — min() absorbs duplicate shingles), so
+the first shuffle is the compact band join on 16-byte md5 signatures.
+Only the exact-Jaccard verifier (dedup_ngram_jaccard) explodes shingles;
+there it is hash-partitioned by shingle — the inverted-index pattern.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 N_HASHES = 8
 N_BANDS = 4          # 2 hashes per band
@@ -109,36 +111,52 @@ FROM aug GROUP BY 1
 # --------------------------------------------------------------------------
 
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    # One wide aggregation computes all 8 minhashes per doc in a single
-    # shuffle (map-side partial min per hash) — no k-fold row explosion.
-    sh = _shingles(_augmented(spark, sf))
-    sig = (sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("sh")))).alias(f"s{k}")
-        for k in range(N_HASHES)]))
-    sig.persist()  # reused by the band explode and the verify join
+    # Signatures are computed entirely map-side with higher-order
+    # functions — no shingle explode, no distinct, no groupBy.  min()
+    # over hashed shingles is insensitive to duplicate shingles, so the
+    # distinct-shingle-set semantics survive without ever materializing
+    # or shuffling the O(docs × tokens) shingle intermediate.  The full
+    # 8-slot signature rides along through the band explode (~128 B/row),
+    # so the estimated-Jaccard verify needs NO extra join against a
+    # signature table — the whole plan is two shuffles: the band
+    # self-join (whose two identical exchanges Spark reuses, so the scan
+    # and hashing run once) and the final pair-dedup aggregation.
+    aug = _augmented(spark, sf)
+    toks = fan_out(spark, aug.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3))
+    shingled = toks.withColumn("sh_arr", F.expr(
+        "transform(sequence(0, size(t) - 3), "
+        "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), "
+        "element_at(t, i+3)))"))
+    sig = shingled.select("doc_id", *[
+        F.array_min(F.expr(
+            f"transform(sh_arr, s -> md5(concat_ws(':', '{k}', s)))"))
+         .alias(f"s{k}")
+        for k in range(N_HASHES)])
     # band signature = md5 of its 2 member hashes; explode to (doc, band)
-    bands = sig.select("doc_id", F.explode(F.array(*[
+    bands = sig.select("doc_id", *[f"s{k}" for k in range(N_HASHES)],
+                       F.explode(F.array(*[
         F.struct(F.lit(b).alias("b"),
                  F.md5(F.concat_ws("|", f"s{2 * b}", f"s{2 * b + 1}")).alias("band"))
         for b in range(N_BANDS)])).alias("e")).select(
-        "doc_id", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+        "doc_id", *[f"s{k}" for k in range(N_HASHES)],
+        F.col("e.b").alias("b"), F.col("e.band").alias("band"))
     a, bb = bands.alias("a"), bands.alias("b2")
-    cand = (a.join(bb, (F.col("a.b") == F.col("b2.b"))
+    # estimated Jaccard = fraction of matching signature slots, computed
+    # inline from the carried signatures; max() collapses duplicate
+    # band collisions of the same pair (the value is identical in each)
+    shared = sum((F.when(F.col(f"a.s{k}") == F.col(f"b2.s{k}"), 1).otherwise(0))
+                 for k in range(N_HASHES))
+    return (a.join(bb, (F.col("a.b") == F.col("b2.b"))
                    & (F.col("a.band") == F.col("b2.band"))
                    & (F.col("a.doc_id") < F.col("b2.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b2.doc_id").alias("doc_b"))
-             .distinct())
-    # verify: estimated Jaccard = fraction of matching signature slots
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    shared = sum((F.when(F.col(f"sa.s{k}") == F.col(f"sb.s{k}"), 1).otherwise(0))
-                 for k in range(N_HASHES))
-    return (cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-                .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-                .select("doc_a", "doc_b",
-                        F.round(shared / F.lit(float(N_HASHES)), 4)
-                         .alias("est_jaccard")))
+                     F.col("b2.doc_id").alias("doc_b"),
+                     shared.alias("shared"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.round(F.max("shared") / F.lit(float(N_HASHES)), 4)
+                   .alias("est_jaccard")))
 
 
 DEDUP_MINHASH_SQL = f"""

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 
 def media_table(spark: SparkSession, sf: str) -> DataFrame:
@@ -79,13 +79,7 @@ FROM documents GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def mm_byte_features(spark: SparkSession, sf: str) -> DataFrame:
-    m = media_table(spark, sf).select("doc_id", "payload")
-    # A single-file source arrives as one partition; fan out so the UDF
-    # parallelizes.  (At warehouse scale the source is already split —
-    # the repartition is a no-op guard, not a standing shuffle.)
-    target = spark.sparkContext.defaultParallelism
-    if m.rdd.getNumPartitions() < max(2, target // 4):
-        m = m.repartition(target)
+    m = fan_out(spark, media_table(spark, sf).select("doc_id", "payload"))
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

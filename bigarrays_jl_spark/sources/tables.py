@@ -14,6 +14,23 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a near-single-partition source across the cluster.
+
+    The local testdata is single-row-group parquet, so a scan arrives as
+    ONE input split regardless of maxPartitionBytes and every map-side
+    stage runs single-threaded.  Callsites with CPU-heavy map work
+    (pandas UDFs, per-row hashing) opt in; plain scans/aggregations stay
+    shuffle-free — a blanket repartition in load() measurably loses at
+    sf0.1.  On a real cluster the source is thousands of splits and this
+    is a no-op guard, not a standing shuffle.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
