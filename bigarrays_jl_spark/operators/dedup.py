@@ -220,6 +220,41 @@ WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup: semantic duplicates via the embeddings
+# table (vec_id aligns with doc_id).  LSH sign-buckets prefilter the
+# pair space (same scale path as similarity.sim_lsh_pairs — O(bucket²)
+# per bucket, never O(n²)); survivors join back to documents for the
+# keep/dup decision and source metadata.
+# --------------------------------------------------------------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.operators.similarity import sim_lsh_pairs
+    pairs = sim_lsh_pairs(spark, sf)  # (vec_a, vec_b, cosine >= threshold)
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    da, db = docs.alias("da"), docs.alias("db")
+    # pair table is tiny after the cosine filter; the doc joins broadcast
+    return (pairs.join(F.broadcast(da), F.col("da.doc_id") == F.col("vec_a"))
+                 .join(F.broadcast(db), F.col("db.doc_id") == F.col("vec_b"))
+                 .select(F.col("vec_a").alias("keep_id"),
+                         F.col("vec_b").alias("dup_id"),
+                         "cosine",
+                         (F.col("da.source") == F.col("db.source"))
+                         .alias("same_source")))
+
+
+def _embedding_cosine_sql() -> str:
+    from bigarrays_jl_spark.operators.similarity import SIM_LSH_PAIRS_SQL
+    return f"""
+WITH pairs AS ({SIM_LSH_PAIRS_SQL})
+SELECT vec_a AS keep_id, vec_b AS dup_id, cosine,
+       (da.source = db.source) AS same_source
+FROM pairs
+JOIN documents da ON da.doc_id = vec_a
+JOIN documents db ON db.doc_id = vec_b
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash: 16-bit signature from per-token md5 hex digits (weighted by
 # occurrence).  Near-dup docs differ in few bits.
 # --------------------------------------------------------------------------
@@ -266,6 +301,7 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_simhash": text_simhash,
 }
 
@@ -274,5 +310,6 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": _embedding_cosine_sql(),
     "text_simhash": TEXT_SIMHASH_SQL,
 }

@@ -147,6 +147,82 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {COS_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
+# IVF top-k: the scale path for query-time ANN.  The label column plays
+# the coarse quantizer's cell assignment (at 100 TB the cells come from a
+# k-means fit, but the search machinery is identical): build per-cell
+# centroids, route each query to its nearest centroid (nprobe=1), and
+# scan ONLY that cell — a broadcast-pruned join instead of the
+# brute-force full-corpus scan in ann_cosine_topk.
+# --------------------------------------------------------------------------
+
+def _cosine(a, b):
+    return F.round(_dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))), 6)
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    # coarse quantizer: per-label elementwise-mean centroid (two-level
+    # reduction — the same plan shape a k-means E-step emits at scale)
+    expl = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    dims = (expl.groupBy("label", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m")))
+    cent = (dims.groupBy("label")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"]).alias("centroid")))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    # route: nearest centroid per query (centroid table is tiny → broadcast)
+    routed = (q.crossJoin(F.broadcast(cent))
+               .withColumn("score", _cosine(F.col("qe"), F.col("centroid")))
+               .withColumn("r", F.row_number().over(
+                   W.partitionBy("qid").orderBy(F.col("score").desc(), "label")))
+               .filter(F.col("r") == 1)
+               .select("qid", "qe", F.col("label").alias("probe")))
+    # search only the probed cell; the probe side is 10 rows → broadcast,
+    # so the corpus scan stays shuffle-free and label-pruned
+    scored = (e.join(F.broadcast(routed), e["label"] == routed["probe"])
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "probe", "vec_id", "cosine", "rank"))
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH expl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+dims AS (SELECT label, pos, avg(v) AS m FROM expl GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT qid, qe, probe FROM (
+    SELECT qid, qe, label AS probe,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round({_DOT_SQL.format(a='qe', b='centroid')}
+                   / (sqrt({_NORM2_SQL.format(a='qe')})
+                      * sqrt({_NORM2_SQL.format(a='centroid')})), 6) DESC,
+             label) AS r
+    FROM q, cent) WHERE r = 1),
+scored AS (
+  SELECT qid, probe, vec_id,
+         round({_DOT_SQL.format(a='qe', b='embedding')}
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt({_NORM2_SQL.format(a='embedding')})), 6) AS cosine
+  FROM embeddings e JOIN routed ON e.label = routed.probe
+  WHERE vec_id <> qid)
+SELECT qid, probe, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # per-label centroid stats: groupBy over array columns with elementwise
 # aggregation (the "build the IVF coarse quantizer" step)
 # --------------------------------------------------------------------------
@@ -177,6 +253,7 @@ FROM dims GROUP BY label
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -184,6 +261,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,

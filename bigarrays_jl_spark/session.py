@@ -9,6 +9,7 @@ exercised under the same planner behavior it would see on a real cluster.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -47,6 +48,12 @@ def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # managed tables (bucketed layouts, scratch marts) land in a
+        # scratch warehouse, never the source tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "bigarrays_jl_spark_warehouse")))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

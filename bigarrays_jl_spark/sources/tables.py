@@ -50,3 +50,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for SQL-first operators."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(spark: SparkSession, sf_dir: str, name: str, table: str,
+                   keys: list[str], n_buckets: int = 8) -> None:
+    """Materialize a testdata table as a bucketed+sorted managed table.
+
+    Bucketing pre-shuffles a table ONCE at write time: every later join
+    or aggregation on the bucket keys reads co-located, pre-sorted
+    buckets and skips its exchange entirely.  At 100 TB this converts
+    the recurring fact⋈fact shuffle (the single most expensive stage in
+    a warehouse) into a one-time layout cost — see
+    tests/test_plans.py::test_bucketed_join_no_shuffle for the plan
+    proof.  Managed-table location comes from spark.sql.warehouse.dir
+    (pinned to a scratch dir by session.get_spark).
+    """
+    (load(spark, sf_dir, name).write
+     .bucketBy(n_buckets, *keys).sortBy(*keys)
+     .mode("overwrite").format("parquet").saveAsTable(table))

@@ -105,6 +105,28 @@ def streaming_running_count(events: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch streaming state to the RocksDB provider (or back to the
+    default in-memory HDFS-backed one).
+
+    At 100 TB-scale key cardinality the default provider holds every
+    state row on the executor JVM heap; RocksDB spills state to local
+    disk with bounded memory and changelog checkpointing, which is the
+    production configuration for large stateful queries (high-cardinality
+    dedup horizons, million-user session windows).  The conf is captured
+    per-query at start, so set it before ``start()``.
+    """
+    if enabled:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion against a memory sink
     (synchronous; for tests and smoke checks)."""

@@ -4,6 +4,7 @@ chunk pruning at the scan)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.infos import Info
 from bigarrays_jl_spark.operators.relational import (
@@ -42,6 +43,34 @@ def test_aggregation_is_partial(spark, sf_dir):
 
 def test_topk_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(q11_topk(spark, sf_dir))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    # bucketed+sorted layout pre-pays the join shuffle at write time:
+    # the same orders⋈lineitem join needs 2 exchanges on plain parquet
+    # and 0 on bucketed tables (the 100 TB fact⋈fact strategy)
+    from bigarrays_jl_spark.sources.tables import load, write_bucketed
+    write_bucketed(spark, sf_dir, "orders", "b_orders", ["o_orderkey"])
+    write_bucketed(spark, sf_dir, "lineitem", "b_lineitem", ["l_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = (load(spark, sf_dir, "orders")
+                 .join(load(spark, sf_dir, "lineitem"),
+                       F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_orderkey").count())
+        bucketed = (spark.table("b_orders")
+                    .join(spark.table("b_lineitem"),
+                          F.col("o_orderkey") == F.col("l_orderkey"))
+                    .groupBy("o_orderkey").count())
+        assert num_exchanges(plain) == 2, formatted_plan(plain)
+        assert num_exchanges(bucketed) == 0, formatted_plan(bucketed)
+        # layout change must not change results
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_cutout_prunes_at_scan(spark, tmp_path):

@@ -8,7 +8,8 @@ from bigarrays_jl_spark.operators.events import events_sliding, events_tumbling
 from bigarrays_jl_spark.sources.tables import load
 from bigarrays_jl_spark.streaming.windows import (
     run_to_memory, stream_events, streaming_dedup, streaming_running_count,
-    streaming_session_window, streaming_sliding, streaming_tumbling)
+    streaming_session_window, streaming_sliding, streaming_tumbling,
+    use_rocksdb_state)
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +61,19 @@ def test_streaming_dedup(spark, sf_dir, events_stream):
     distinct_ids = (load(spark, sf_dir, "events")
                     .select("event_id").distinct().count())
     assert n == distinct_ids
+
+
+def test_streaming_tumbling_rocksdb_state(spark, sf_dir, events_stream):
+    # same query, RocksDB state store (the at-scale provider: disk-backed
+    # state, bounded executor memory) — results must be identical
+    use_rocksdb_state(spark)
+    try:
+        run_to_memory(streaming_tumbling(events_stream), "t_rocks", "complete")
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    got = _rows(spark, "t_rocks")
+    want = {tuple(r) for r in events_tumbling(spark, sf_dir).collect()}
+    assert got == want
 
 
 def test_streaming_running_count_stateful(spark, sf_dir, events_stream):
