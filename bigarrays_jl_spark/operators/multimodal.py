@@ -138,14 +138,106 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# "resize": deterministic thumbnail — keep the first 16 bytes of every
+# 64-byte block.  The real image-resize UDF has exactly this shape
+# (binary in → smaller binary out, Arrow-batched, 1:1 rows); only the
+# kernel inside the loop changes when an imaging library is present.
+# --------------------------------------------------------------------------
+
+THUMB_KEEP = 16
+THUMB_BLOCK = 64
+
+
+def mm_resize_thumb(spark: SparkSession, sf: str) -> DataFrame:
+    m = fan_out(spark, media_table(spark, sf).select("doc_id", "payload"))
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for b in it:
+            thumbs = b["payload"].map(
+                lambda p: b"".join(p[i:i + THUMB_KEEP]
+                                   for i in range(0, len(p), THUMB_BLOCK)))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "thumb_bytes": thumbs.map(len).astype("int64"),
+                "thumb_md5": thumbs.map(lambda t: hashlib.md5(t).hexdigest()),
+            })
+
+    return m.mapInPandas(
+        resize, schema="doc_id bigint, thumb_bytes bigint, thumb_md5 string")
+
+
+MM_RESIZE_THUMB_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         (SELECT string_agg(substr(text, CAST(i AS INT) + 1, {THUMB_KEEP}),
+                            '' ORDER BY i)
+          FROM UNNEST(range(0, octet_length(encode(text)), {THUMB_BLOCK})) u(i))
+         AS thumb
+  FROM documents)
+SELECT doc_id, CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_bytes,
+       md5(thumb) AS thumb_md5
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# "frame sample": slice the payload into fixed-size frames and keep every
+# 4th — the video-keyframe-extraction pipeline shape (binary in → MANY
+# rows out through mapInPandas, the 1:N batch contract).
+# --------------------------------------------------------------------------
+
+FRAME_SIZE = 32
+FRAME_STRIDE = 4
+
+
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    m = fan_out(spark, media_table(spark, sf).select("doc_id", "payload"))
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for b in it:
+            ids, idxs, digests = [], [], []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                n_frames = len(p) // FRAME_SIZE
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    digests.append(hashlib.md5(
+                        p[f * FRAME_SIZE:(f + 1) * FRAME_SIZE]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(digests, dtype="object"),
+            })
+
+    return m.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame_md5 string")
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       md5(substr(text, CAST(f * {FRAME_SIZE} AS INT) + 1, {FRAME_SIZE}))
+       AS frame_md5
+FROM documents,
+     UNNEST(range(0, octet_length(encode(text)) // {FRAME_SIZE},
+                  {FRAME_STRIDE})) u(f)
+"""
+
+
 QUERIES = {
     "mm_metadata": mm_metadata,
     "mm_byte_features": mm_byte_features,
     "mm_fingerprint": mm_fingerprint,
+    "mm_resize_thumb": mm_resize_thumb,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
     "mm_metadata": MM_METADATA_SQL,
     "mm_byte_features": MM_BYTE_FEATURES_SQL,
     "mm_fingerprint": MM_FINGERPRINT_SQL,
+    "mm_resize_thumb": MM_RESIZE_THUMB_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
 }
