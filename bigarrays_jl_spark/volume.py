@@ -196,6 +196,23 @@ class Volume:
         _fs_write_bytes(self.spark, self.root + "/_epoch", str(nxt).encode())
         return nxt
 
+    def _write_chunks(self, df: DataFrame, mip: int | None = None,
+                      mode: str = "append", path: str | None = None) -> None:
+        """Append/overwrite chunk rows, sorted by (cz,cy,cx) so Parquet
+        row-group stats prune tightly.
+
+        Parquet page compression is OFF for codec-compressed encodings:
+        the payload bytes are already gzip/zstd and page-level zstd
+        would recompress incompressible data (measured 6× slower
+        writes).  For ``raw`` the page codec IS the compression layer
+        (the documented raw-passthrough divergence, infos.py).
+        """
+        enc = self.info.scale(self.mip if mip is None else mip).encoding
+        (df.sortWithinPartitions("cz", "cy", "cx")
+           .write.mode(mode)
+           .option("compression", "zstd" if enc == "raw" else "uncompressed")
+           .parquet(path or self._mip_dir(mip)))
+
     # -- chunk DataFrame ------------------------------------------------------
 
     def chunks_df(self, mip: int | None = None) -> DataFrame:
@@ -292,16 +309,26 @@ class Volume:
         epoch = self._next_epoch()
         enc = sc.encoding
         pdf = pd.DataFrame(rows, columns=["cx", "cy", "cz", "key", "payload"])
-        # coalesce: a driver-array write carries few, fat rows — spinning a
-        # Python codec worker per shuffle partition costs more than the
-        # encode itself.  Distributed bulk ingest takes the DataFrame path
-        # (ingest_chunks) where partitioning comes from the source.
+        # A driver-array write carries few, FAT rows; at the default
+        # Arrow batch size (10k rows) the whole write lands in ONE batch
+        # → one partition → single-threaded encode+write, and one giant
+        # Arrow batch also serializes slower than several small ones.
+        # Split the Arrow conversion so the DataFrame arrives pre-split
+        # across codec workers with no shuffle.  (Distributed bulk
+        # ingest takes ingest_chunks, where partitioning comes from the
+        # source.)
         n_parts = max(1, min(len(rows), 16))
-        df = (self.spark.createDataFrame(pdf, schema="cx int, cy int, cz int, key string, payload binary")
-              .coalesce(n_parts)
-              .withColumn("enc", F.lit(enc))
-              .withColumn("epoch", F.lit(epoch).cast("bigint"))
-              .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = self.spark.conf.get(batch_key)
+        self.spark.conf.set(batch_key, str(-(-len(rows) // n_parts)))
+        try:
+            df = self.spark.createDataFrame(
+                pdf, schema="cx int, cy int, cz int, key string, payload binary")
+        finally:
+            self.spark.conf.set(batch_key, old_batch)
+        df = (df.withColumn("enc", F.lit(enc))
+                .withColumn("epoch", F.lit(epoch).cast("bigint"))
+                .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
 
         codec = codecs_mod.get_codec(enc)
 
@@ -310,10 +337,7 @@ class Volume:
                 b["payload"] = b["payload"].map(codec.encode)
                 yield b
 
-        encoded = df.mapInPandas(encode_batches, schema=CHUNK_SCHEMA)
-        # Sort by (cz,cy,cx) so Parquet row-group stats prune tightly.
-        (encoded.sortWithinPartitions("cz", "cy", "cx")
-                .write.mode("append").parquet(self._mip_dir()))
+        self._write_chunks(df.mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
 
     def ingest_chunks(self, df: DataFrame) -> None:
         """Distributed bulk ingest from a chunk DataFrame — the 100 TB
@@ -338,8 +362,7 @@ class Volume:
                          F.lit(epoch).cast("bigint").alias("epoch"),
                          "payload")
                  .mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
-        (out.sortWithinPartitions("cz", "cy", "cx")
-            .write.mode("append").parquet(self._mip_dir()))
+        self._write_chunks(out)
 
     def ingest_voxels(self, df: DataFrame) -> None:
         """Distributed ingest from a voxel DataFrame ``(x,y,z[,c],value)``
@@ -398,8 +421,7 @@ class Volume:
 
         result = keyed.groupBy("cx", "cy", "cz").applyInPandas(
             assemble, schema=CHUNK_SCHEMA)
-        (result.sortWithinPartitions("cz", "cy", "cx")
-               .write.mode("append").parquet(self._mip_dir()))
+        self._write_chunks(result)
 
     # python-slice sugar: vol[x0:x1, y0:y1, z0:z1] = arr / arr = vol[...]
     def __setitem__(self, idx, arr: np.ndarray) -> None:
@@ -611,8 +633,7 @@ class Volume:
 
     def _rewrite_mip(self, df: DataFrame) -> None:
         tmp = self._mip_dir() + ".tmp"
-        (df.sortWithinPartitions("cz", "cy", "cx")
-           .write.mode("overwrite").parquet(tmp))
+        self._write_chunks(df, mode="overwrite", path=tmp)
         final = self._mip_dir()
         if _is_local(final):
             import shutil
@@ -741,8 +762,7 @@ class Volume:
 
         result = blocks.groupBy("tcx", "tcy", "tcz").applyInPandas(
             assemble, schema=CHUNK_SCHEMA)
-        (result.sortWithinPartitions("cz", "cy", "cx")
-               .write.mode("append").parquet(self._mip_dir(m + 1)))
+        self._write_chunks(result, mip=m + 1)
 
     def mip_volume(self, mip: int) -> "Volume":
         return Volume(self.spark, self.root, self.info, mip=mip,
