@@ -20,9 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary", "q03_join_revenue", "q07_window_rank",
     "q09_rollup", "q13_distinct_agg", "q22_range_join",
-    "dedup_exact", "dedup_minhash_pairs", "text_quality",
-    "ann_cosine_topk", "sim_lsh_pairs", "events_sessionize",
-    "mm_byte_features",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
+    "text_quality", "ann_cosine_topk", "ann_ivf_topk", "sim_lsh_pairs",
+    "events_sessionize", "mm_byte_features", "mm_frame_sample",
 ]
 
 
