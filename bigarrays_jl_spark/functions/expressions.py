@@ -1,0 +1,52 @@
+"""Shared JVM-side expression builders (SURVEY §2B scalar surface).
+
+The single home for column-expression helpers reused across operator
+modules, so every operator that tokenizes, shingles, or scores vectors
+does it with byte-identical semantics (and therefore one shared DuckDB
+oracle encoding).  Everything here is built-in `pyspark.sql.functions`
+composition — whole-stage-codegen'd, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- tokenization canon ------------------------------------------------------
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of trimmed, lowercased text — the tokenization
+    canon shared by the text-analysis and dedup operators."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingle_array(tok_col: str, n: int = 3) -> Column:
+    """All n-word shingles of a token-array column (map-side, no
+    explode); empty when the document has fewer than ``n`` tokens."""
+    parts = ", ".join(f"element_at({tok_col}, i+{j + 1})" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))")
+
+
+# -- vector math over array columns -----------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns as a left-to-right fold — the
+    fold order matches DuckDB's list_sum, so doubles compare bit-exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm2(a: Column) -> Column:
+    """Squared L2 norm of an array column (same fold-order guarantee)."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded for cross-engine float parity."""
+    return F.round(dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b))), digits)

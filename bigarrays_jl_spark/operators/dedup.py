@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.functions import shingle_array, tokens
 from bigarrays_jl_spark.sources.tables import fan_out, load
 
 N_HASHES = 8
@@ -50,13 +51,9 @@ _AUG_SQL = """
 def _shingles(aug: DataFrame) -> DataFrame:
     """Distinct 3-word shingles per doc; docs under 3 tokens drop out
     (mirrors the SQL side where range(1, len-1) is empty)."""
-    toks = aug.select("doc_id",
-                      F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    toks = aug.select("doc_id", tokens().alias("t"))
     return (toks.filter(F.size("t") >= 3)
-            .select("doc_id", F.explode(F.expr(
-                "transform(sequence(0, size(t) - 3), "
-                "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), "
-                "element_at(t, i+3)))")).alias("sh"))
+            .select("doc_id", F.explode(shingle_array("t")).alias("sh"))
             .distinct())
 
 _SHINGLE_SQL = r"""
@@ -122,13 +119,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # self-join (whose two identical exchanges Spark reuses, so the scan
     # and hashing run once) and the final pair-dedup aggregation.
     aug = _augmented(spark, sf)
-    toks = fan_out(spark, aug.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
-        .filter(F.size("t") >= 3))
-    shingled = toks.withColumn("sh_arr", F.expr(
-        "transform(sequence(0, size(t) - 3), "
-        "i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), "
-        "element_at(t, i+3)))"))
+    toks = fan_out(spark, aug.select("doc_id", tokens().alias("t"))
+                   .filter(F.size("t") >= 3))
+    shingled = toks.withColumn("sh_arr", shingle_array("t"))
     sig = shingled.select("doc_id", *[
         F.array_min(F.expr(
             f"transform(sh_arr, s -> md5(concat_ws(':', '{k}', s)))"))
@@ -261,8 +254,7 @@ JOIN documents db ON db.doc_id = vec_b
 
 def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
     aug = _augmented(spark, sf)
-    toks = (aug.select("doc_id",
-                       F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+    toks = (aug.select("doc_id", F.explode(tokens()).alias("tok"))
                .withColumn("h", F.md5("tok")))
     aggs = []
     for i in range(16):

@@ -18,22 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.functions import cosine as _cosine_fn
+from bigarrays_jl_spark.functions import dot as _dot
+from bigarrays_jl_spark.functions import norm2 as _norm2
 from bigarrays_jl_spark.sources.tables import load
 
 N_QUERIES = 10       # vec_id < 10 are the query vectors
 TOP_K = 5
 N_PLANES = 8         # slice-projection planes for the LSH variant
 COS_THRESHOLD = 0.3  # near-dup cosine threshold (corpus is near-random)
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                       F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm2(a):
-    return F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 _DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
@@ -155,8 +148,7 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {COS_THRESHOLD}
 # brute-force full-corpus scan in ann_cosine_topk.
 # --------------------------------------------------------------------------
 
-def _cosine(a, b):
-    return F.round(_dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))), 6)
+_cosine = _cosine_fn
 
 
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:

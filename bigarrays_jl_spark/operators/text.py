@@ -14,14 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.functions import tokens as _toks
 from bigarrays_jl_spark.sources.tables import load
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-
-def _toks(col="text"):
-    return F.split(F.trim(F.lower(col)), r"\s+")
 
 
 # --------------------------------------------------------------------------
