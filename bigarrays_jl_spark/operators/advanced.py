@@ -363,6 +363,38 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# q36 — salted two-phase aggregation: the skew pattern.  event_type has
+# ~5 values; at 100 TB a straight groupBy(event_type) funnels the whole
+# table into 5 reducers.  Salting fans each hot key across 16 partial
+# groups (map-side combine still applies), then a second, tiny
+# aggregation folds the partials.  Decomposing avg into sum/count makes
+# the two-phase fold exact.
+# --------------------------------------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    partial = (e.withColumn("salt", F.pmod(F.hash("event_id"),
+                                           F.lit(SALT_BUCKETS)))
+                .groupBy("event_type", "salt")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("s")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("n").cast("bigint").alias("n_events"),
+                 F.round(F.sum("s"), 2).alias("total_value"),
+                 F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value")))
+
+
+Q36_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+       round(CAST(sum(value) AS DOUBLE) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -376,6 +408,7 @@ QUERIES = {
     "q33_full_outer": q33_full_outer,
     "q34_cross_join": q34_cross_join,
     "q35_window_partition_stats": q35_window_partition_stats,
+    "q36_salted_agg": q36_salted_agg,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -392,5 +425,6 @@ ORACLES = {
     "q33_full_outer": Q33_SQL,
     "q34_cross_join": Q34_SQL,
     "q35_window_partition_stats": Q35_SQL,
+    "q36_salted_agg": Q36_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }

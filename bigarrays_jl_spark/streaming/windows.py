@@ -80,6 +80,35 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each view matched to the same user's
+    clicks within ``horizon`` after it — the attribution/funnel join.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, so Spark can expire buffered state: per executor the state is
+    (watermark + horizon) × per-user event rate, independent of total
+    stream length — the property that makes this run forever at scale.
+    """
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    return (views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")))
+        .select(F.col("v_user").alias("user_id"), "view_id", "click_id",
+                "v_ts", "c_ts"))
+
+
 def streaming_running_count(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user cumulative event count via
     applyInPandasWithState — the extension point for operators the

@@ -7,9 +7,9 @@ import pytest
 from bigarrays_jl_spark.operators.events import events_sliding, events_tumbling
 from bigarrays_jl_spark.sources.tables import load
 from bigarrays_jl_spark.streaming.windows import (
-    run_to_memory, stream_events, streaming_dedup, streaming_running_count,
-    streaming_session_window, streaming_sliding, streaming_tumbling,
-    use_rocksdb_state)
+    run_to_memory, stream_events, streaming_dedup, streaming_interval_join,
+    streaming_running_count, streaming_session_window, streaming_sliding,
+    streaming_tumbling, use_rocksdb_state)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +61,28 @@ def test_streaming_dedup(spark, sf_dir, events_stream):
     distinct_ids = (load(spark, sf_dir, "events")
                     .select("event_id").distinct().count())
     assert n == distinct_ids
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, events_stream):
+    run_to_memory(streaming_interval_join(events_stream), "t_ssjoin")
+    got = _rows(spark, "t_ssjoin")
+    # batch twin: identical join on the static table
+    from pyspark.sql import functions as F
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    want = {tuple(r) for r in views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 minutes")))
+        .select(F.col("v_user").alias("user_id"), "view_id", "click_id",
+                "v_ts", "c_ts").collect()}
+    assert got == want and len(got) > 0
 
 
 def test_streaming_tumbling_rocksdb_state(spark, sf_dir, events_stream):
