@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) — the reference's own strategy is
+randomized round-trip testing against an in-memory oracle
+(test/BinDicts.jl, SURVEY §5); these generalize its hand-picked cases to
+the whole input space: negative coordinates, odd offsets, ragged edges.
+
+Pure lattice/key properties run hundreds of examples; the Spark
+round-trip runs a handful (each example is a full write+cutout job).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import bigarrays_jl_spark.indexes as ix
+
+coord = st.integers(min_value=-10_000, max_value=10_000)
+extent = st.integers(min_value=1, max_value=500)
+cs = st.integers(min_value=1, max_value=64)
+
+
+@st.composite
+def boxes(draw):
+    los = [draw(coord) for _ in range(3)]
+    return tuple((lo, lo + draw(extent)) for lo in los)
+
+
+# -- key string round-trip (C7/C8: 0-based/1-based discipline, negatives) --
+
+@given(boxes())
+def test_chunk_key_roundtrip(box):
+    assert ix.parse_chunk_key(ix.chunk_key(box)) == box
+
+
+@given(boxes())
+def test_chunk_key_gz_suffix(box):
+    assert ix.parse_chunk_key(ix.chunk_key(box) + ".gz") == box
+
+
+# -- chunk-id lattice properties (C2/C3/C6, fld for negatives) -------------
+
+@given(coord, coord, cs)
+def test_chunk_id_contains_coordinate(g, off, c):
+    a = ix.lattice_anchor((off,), (c,))[0]
+    cid = ix.chunk_id(g, a, c)
+    lo, hi = ix.chunk_global_range(cid, a, c)
+    assert lo <= g < hi
+    assert (lo - a) % c == 0 and hi - lo == c
+
+
+# -- chunk slicing tiles the request exactly (C1/C4/C5/P4/P5) --------------
+
+small_coord = st.integers(min_value=-100, max_value=100)
+small_extent = st.integers(min_value=1, max_value=48)
+
+
+@st.composite
+def small_boxes(draw):
+    los = [draw(small_coord) for _ in range(3)]
+    return tuple((lo, lo + draw(small_extent)) for lo in los)
+
+
+@given(small_boxes(), st.lists(small_coord, min_size=3, max_size=3),
+       st.lists(small_extent, min_size=3, max_size=3),
+       st.lists(st.integers(1, 16), min_size=3, max_size=3))
+@settings(max_examples=150, deadline=None)
+def test_iter_chunk_slices_tiles_clamped_request(req, off, size, chunk):
+    clamped = ix.intersect_box(req, ix.volume_box(off, size))
+    covered = np.zeros(ix.box_shape(req), dtype=np.int32)
+    for s in ix.iter_chunk_slices(req, off, size, chunk):
+        # every yielded piece lies inside both the request and the volume
+        for (lo, hi), (rlo, rhi) in zip(s.cutout_box, req):
+            assert rlo <= lo < hi <= rhi
+        sl = tuple(slice(lo - rlo, hi - rlo)
+                   for (lo, hi), (rlo, _) in zip(s.cutout_box, req))
+        covered[sl] += 1
+        # in_chunk/in_buffer shapes agree with the global piece
+        for (c0, c1), (b0, b1), (lo, hi) in zip(s.in_chunk, s.in_buffer,
+                                                s.cutout_box):
+            assert c1 - c0 == b1 - b0 == hi - lo
+    if ix.box_is_empty(clamped):
+        assert covered.sum() == 0
+    else:
+        inside = tuple(slice(lo - rlo, hi - rlo)
+                       for (lo, hi), (rlo, _) in zip(clamped, req))
+        mask = np.zeros_like(covered)
+        mask[inside] = 1
+        # exactly-once cover of the in-volume part, nothing outside
+        assert (covered == mask).all()
+
+
+# -- randomized Spark round-trip (the reference's e2e oracle pattern) ------
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_volume_roundtrip_random_geometry(spark, tmp_path_factory, data):
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    c = data.draw(st.sampled_from([4, 8, 16]))
+    vol_shape = [data.draw(st.integers(1, 3)) * c for _ in range(3)]
+    offset = [data.draw(st.integers(-3, 3)) * c +
+              data.draw(st.integers(-2, 2)) for _ in range(3)]
+    dtype = data.draw(st.sampled_from(["uint8", "uint16", "float32"]))
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": dtype,
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[c, c, c]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": offset, "size": vol_shape}]})
+    root = str(tmp_path_factory.mktemp("prop")) + "/vol"
+    vol = Volume.create(spark, root, info)
+    if dtype == "float32":
+        arr = rng.random(size=tuple(vol_shape), dtype=np.float32)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max, size=tuple(vol_shape),
+                           dtype=dtype)
+    vol.write(arr, tuple(offset))
+    # full-volume cutout equals the written array
+    box = tuple((o, o + s) for o, s in zip(offset, vol_shape))
+    out, origin = vol.cutout(box)
+    assert origin == tuple(offset)
+    assert (out == arr).all()
+    # a random interior sub-box matches the numpy slice oracle
+    x0 = [data.draw(st.integers(0, s - 1)) for s in vol_shape]
+    x1 = [data.draw(st.integers(lo + 1, s)) for lo, s in zip(x0, vol_shape)]
+    sub_box = tuple((o + a, o + b) for o, a, b in zip(offset, x0, x1))
+    got, _ = vol.cutout(sub_box)
+    want = arr[tuple(slice(a, b) for a, b in zip(x0, x1))]
+    assert (got == want).all()
