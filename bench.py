@@ -69,8 +69,13 @@ def main() -> None:
     from bigarrays_jl_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM + parquet footers + python UDF workers once (executor
+    # python workers are long-lived on a real cluster; their one-time
+    # interpreter spinup isn't query cost)
+    warm_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm_df.count()
+    warm_df.limit(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .mapInPandas(lambda it: it, schema=warm_df.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

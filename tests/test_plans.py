@@ -45,6 +45,20 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(q11_topk(spark, sf_dir))
 
 
+def test_ivf_search_is_broadcast_pruned(spark, sf_dir):
+    # the IVF probe side (10 routed queries) must broadcast into the
+    # corpus scan — no full-corpus shuffle at search time
+    from bigarrays_jl_spark.operators.similarity import ann_ivf_topk
+    df = ann_ivf_topk(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    # both aggregation levels must have map-side partial aggregation
+    from bigarrays_jl_spark.operators.advanced import q36_salted_agg
+    assert has_partial_aggregation(q36_salted_agg(spark, sf_dir))
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     # bucketed+sorted layout pre-pays the join shuffle at write time:
     # the same orders⋈lineitem join needs 2 exchanges on plain parquet
