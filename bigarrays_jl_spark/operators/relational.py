@@ -27,6 +27,23 @@ def _r2(c):  # round-to-2 canonical double
     return F.round(c.cast("double"), 2)
 
 
+def _dsum2(c):
+    """Order-independent money sum: per-row cast to decimal(18,6) (the
+    double→decimal rounding is deterministic and engine-identical), then
+    EXACT decimal accumulation — immune to the fold-order half-cent
+    flips a double sum hits at scale — rounded to 2 and returned as
+    double for the output schema.  SQL twin:
+    CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)."""
+    return F.round(F.sum(c.cast("decimal(18,6)")), 2).cast("double")
+
+
+def _davg2(c):
+    """Order-independent mean: exact decimal sum → double, one IEEE
+    division by the count, round 2.  SQL twin:
+    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 2)."""
+    return F.round(F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), 2)
+
+
 # --------------------------------------------------------------------------
 # q01 — TPC-H Q1 pricing summary: the canonical wide aggregation.
 # Scale: single hash-agg shuffle on 2 low-cardinality keys; partial
@@ -38,26 +55,26 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (l.groupBy("l_returnflag", "l_linestatus").agg(
-        _r2(F.sum("l_quantity")).alias("sum_qty"),
-        _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-        _r2(F.sum(disc_price)).alias("sum_disc_price"),
-        _r2(F.sum(charge)).alias("sum_charge"),
-        _r2(F.avg("l_quantity")).alias("avg_qty"),
-        _r2(F.avg("l_extendedprice")).alias("avg_price"),
-        _r2(F.avg("l_discount")).alias("avg_disc"),
+        _dsum2(F.col("l_quantity")).alias("sum_qty"),
+        _dsum2(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum2(disc_price).alias("sum_disc_price"),
+        _dsum2(charge).alias("sum_charge"),
+        _davg2(F.col("l_quantity")).alias("avg_qty"),
+        _davg2(F.col("l_extendedprice")).alias("avg_price"),
+        _davg2(F.col("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order")))
 
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(l_quantity) AS DOUBLE), 2)                                  AS sum_qty,
-       round(CAST(sum(l_extendedprice) AS DOUBLE), 2)                             AS sum_base_price,
-       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)          AS sum_disc_price,
-       round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
-       round(CAST(avg(l_quantity) AS DOUBLE), 2)                                  AS avg_qty,
-       round(CAST(avg(l_extendedprice) AS DOUBLE), 2)                             AS avg_price,
-       round(CAST(avg(l_discount) AS DOUBLE), 2)                                  AS avg_disc,
-       count(*)                                                                   AS count_order
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 2)      AS avg_disc,
+       count(*)                                                              AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
@@ -96,14 +113,14 @@ def q03_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return (l.join(o, l.l_orderkey == o.o_orderkey)
              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
              .groupBy("c_custkey", "c_name")
-             .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .agg(_dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                   .alias("revenue"),
                   F.count("*").alias("n_items")))
 
 
 Q03_SQL = """
 SELECT c_custkey, c_name,
-       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -125,12 +142,12 @@ def q04_star_dims(spark: SparkSession, sf: str) -> DataFrame:
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
              .groupBy("r_name")
              .agg(F.count("*").alias("n_suppliers"),
-                  _r2(F.sum("s_acctbal")).alias("total_bal")))
+                  _dsum2(F.col("s_acctbal")).alias("total_bal")))
 
 
 Q04_SQL = """
 SELECT r_name, count(*) AS n_suppliers,
-       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS total_bal
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -148,12 +165,12 @@ def q05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
              .groupBy("c_mktsegment")
              .agg(F.count("*").alias("n_customers"),
-                  _r2(F.avg("c_acctbal")).alias("avg_bal")))
+                  _davg2(F.col("c_acctbal")).alias("avg_bal")))
 
 
 Q05_SQL = """
 SELECT c_mktsegment, count(*) AS n_customers,
-       round(CAST(avg(c_acctbal) AS DOUBLE), 2) AS avg_bal
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(c_acctbal), 2) AS avg_bal
 FROM customer WHERE EXISTS (
   SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_mktsegment
@@ -240,12 +257,12 @@ def q09_rollup(spark: SparkSession, sf: str) -> DataFrame:
                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (joined.rollup("r_name", "n_name")
             .agg(F.count("*").alias("n_customers"),
-                 _r2(F.sum("c_acctbal")).alias("total_bal")))
+                 _dsum2(F.col("c_acctbal")).alias("total_bal")))
 
 
 Q09_SQL = """
 SELECT r_name, n_name, count(*) AS n_customers,
-       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
@@ -260,12 +277,12 @@ def q10_cube(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n_orders"),
-                  _r2(F.sum("o_totalprice")).alias("total_price")))
+                  _dsum2(F.col("o_totalprice")).alias("total_price")))
 
 
 Q10_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -365,7 +382,7 @@ def q15_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     return (o.groupBy(F.year("o_orderdate").alias("o_year"),
                       F.quarter("o_orderdate").alias("o_quarter"))
              .agg(F.count("*").alias("n_orders"),
-                  _r2(F.sum("o_totalprice")).alias("total_price"),
+                  _dsum2(F.col("o_totalprice")).alias("total_price"),
                   F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_month")))
 
 
@@ -373,7 +390,7 @@ Q15_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(quarter(o_orderdate) AS INT) AS o_quarter,
        count(*) AS n_orders,
-       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
        CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS first_month
 FROM orders GROUP BY 1, 2
 """
@@ -496,17 +513,20 @@ def q21_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    # "+ 0.0" collapses IEEE -0.0 to +0.0 (engines disagree on the sign
+    # of a negative value rounded to zero); identity for everything else
     return e.select("vec_id", "label",
                     F.size("embedding").alias("dim"),
                     F.round(norm, 4).alias("l2_norm"),
-                    F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e_first"))
+                    (F.round(F.element_at("embedding", 1).cast("double"), 4)
+                     + F.lit(0.0)).alias("e_first"))
 
 
 Q21_SQL = """
 SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
        round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-       round(CAST(embedding[1] AS DOUBLE), 4) AS e_first
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e_first
 FROM embeddings
 """
 
@@ -526,12 +546,12 @@ def q22_range_join(spark: SparkSession, sf: str) -> DataFrame:
     return (l.join(o, cond)
              .groupBy("o_orderpriority")
              .agg(F.count("*").alias("n_fast_items"),
-                  _r2(F.sum("l_extendedprice")).alias("fast_revenue")))
+                  _dsum2(F.col("l_extendedprice")).alias("fast_revenue")))
 
 
 Q22_SQL = """
 SELECT o_orderpriority, count(*) AS n_fast_items,
-       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS fast_revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS fast_revenue
 FROM lineitem JOIN orders
   ON l_orderkey = o_orderkey
  AND l_shipdate >= o_orderdate
