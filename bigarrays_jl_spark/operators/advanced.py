@@ -364,6 +364,40 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# q37 — map-typed columns: build a per-status priority→count map
+# (map_from_entries), then query it with map_keys / element_at / an
+# aggregate fold over map_values.  The oracle computes the same numbers
+# relationally — verifying the map round-trip end-to-end.
+# --------------------------------------------------------------------------
+
+def q37_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+               .agg(F.count("*").alias("cnt")))
+    m = (counts.groupBy("o_orderstatus")
+         .agg(F.map_from_entries(
+             F.array_sort(F.collect_list(F.struct("o_orderpriority", "cnt"))))
+             .alias("prio_map")))
+    return m.select(
+        "o_orderstatus",
+        F.size(F.map_keys("prio_map")).alias("n_priorities"),
+        F.coalesce(F.element_at("prio_map", "1-URGENT"), F.lit(0))
+         .cast("bigint").alias("urgent_cnt"),
+        F.aggregate(F.map_values("prio_map"), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("total_orders"))
+
+
+Q37_SQL = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_orderpriority) AS INT) AS n_priorities,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS urgent_cnt,
+       CAST(count(*) AS BIGINT) AS total_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # q36 — salted two-phase aggregation: the skew pattern.  event_type has
 # ~5 values; at 100 TB a straight groupBy(event_type) funnels the whole
 # table into 5 reducers.  Salting fans each hot key across 16 partial
@@ -409,6 +443,7 @@ QUERIES = {
     "q34_cross_join": q34_cross_join,
     "q35_window_partition_stats": q35_window_partition_stats,
     "q36_salted_agg": q36_salted_agg,
+    "q37_map_funcs": q37_map_funcs,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -426,5 +461,6 @@ ORACLES = {
     "q34_cross_join": Q34_SQL,
     "q35_window_partition_stats": Q35_SQL,
     "q36_salted_agg": Q36_SQL,
+    "q37_map_funcs": Q37_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }
