@@ -176,24 +176,26 @@ GROUP BY doc_a, doc_b
 # --------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _shingles(_augmented(spark, sf))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Set sizes ride along via a window count — no separate size table,
+    # so the corpus is scanned once instead of thrice and the exact
+    # Jaccard falls out of the inverted-index self-join directly.  Both
+    # join sides are the identical subplan hash-partitioned by shingle,
+    # so Spark reuses one exchange for the two of them.
+    from pyspark.sql import Window as W
+    sh = (_shingles(_augmented(spark, sf))
+          .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id"))))
     a, b = sh.alias("a"), sh.alias("b")
-    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-               .groupBy(F.col("a.doc_id").alias("doc_a"),
-                        F.col("b.doc_id").alias("doc_b"))
-               .agg(F.count("*").alias("shared")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-                 .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-                 .withColumn("jaccard", F.round(
-                     F.col("shared").cast("double")
-                     / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")), 4))
-                 .filter(F.col("jaccard") >= 0.5)
-                 .select("doc_a", "doc_b", "jaccard"))
-    return jac
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"),
+                      F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+             .agg(F.count("*").alias("shared"))
+             .withColumn("jaccard", F.round(
+                 F.col("shared").cast("double")
+                 / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+             .filter(F.col("jaccard") >= 0.5)
+             .select("doc_a", "doc_b", "jaccard"))
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
