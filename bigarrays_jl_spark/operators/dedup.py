@@ -34,11 +34,20 @@ N_BANDS = 4          # 2 hashes per band
 
 
 def _augmented(spark: SparkSession, sf: str) -> DataFrame:
+    # One corpus scan: each row explodes into itself plus (for every
+    # 10th doc) its mutant, instead of a UNION of two scans.  The SQL
+    # oracle keeps the equivalent UNION ALL form — the driver compares
+    # result sets, and halving scans matters when "documents" is the
+    # 100 TB table.
     d = load(spark, sf, "documents").select("doc_id", "text")
-    mutants = (d.filter(F.col("doc_id") % 10 == 0)
-                .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                        F.expr("substring(text, instr(text, ' ') + 1)").alias("text")))
-    return d.unionByName(mutants)
+    self_row = F.struct(F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"))
+    mutant = F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.expr("substring(text, instr(text, ' ') + 1)")
+                       .alias("text"))
+    rows = F.when(F.col("doc_id") % 10 == 0, F.array(self_row, mutant)) \
+            .otherwise(F.array(self_row))
+    return d.select(F.explode(rows).alias("r")).select("r.doc_id", "r.text")
 
 _AUG_SQL = """
   SELECT doc_id, text FROM documents
