@@ -89,14 +89,10 @@ def _fs_read_bytes(spark: SparkSession, path: str) -> bytes:
     fs = jpath.getFileSystem(conf)
     stream = fs.open(jpath)
     try:
-        chunks = []
-        buf = bytearray(1 << 20)
-        while True:
-            n = stream.read(buf)
-            if n <= 0:
-                break
-            chunks.append(bytes(buf[:n]))
-        return b"".join(chunks)
+        # a JVM-side drain that RETURNS byte[] — py4j converts returned
+        # byte[] to Python bytes, whereas passing a Python bytearray to
+        # InputStream.read(byte[]) fills only the JVM-side copy
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
 

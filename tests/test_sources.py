@@ -27,6 +27,28 @@ def test_file_scheme_prefix(spark, tmp_path):
     np.testing.assert_array_equal(again[0:16, 0:16, 0:16], a)
 
 
+def test_non_file_scheme_dispatch(spark, tmp_path):
+    # s3a://gs:// can't be exercised without live buckets (the reference
+    # skips its cloud tests in CI too — test/runtests.jl:5-6), but the
+    # dispatch path itself can: register an extra Hadoop FS scheme and
+    # run the whole create→write→open→cutout cycle through it, proving
+    # nothing in the engine assumes local paths.
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 16]}]})
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.viewfs.mounttable.testcluster.link./data",
+              f"file://{tmp_path}")
+    root = "viewfs://testcluster/data/cloudish"
+    vol = Volume.create(spark, root, info)
+    a = (np.arange(16 * 16 * 16, dtype=np.uint8).reshape(16, 16, 16) * 7) % 251
+    vol.write(a, (0, 0, 0))
+    again = Volume.open(spark, root)
+    np.testing.assert_array_equal(again[0:16, 0:16, 0:16], a)
+
+
 def test_scratch_dataset(spark):
     # src/type.jl:85-99 — temp-dir scratch volume
     info = Info.from_dict({
