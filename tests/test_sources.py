@@ -47,6 +47,12 @@ def test_non_file_scheme_dispatch(spark, tmp_path):
     vol.write(a, (0, 0, 0))
     again = Volume.open(spark, root)
     np.testing.assert_array_equal(again[0:16, 0:16, 0:16], a)
+    # overwrite + compact runs the Hadoop-FS delete/rename rewrite branch
+    b = np.zeros((8, 8, 8), dtype=np.uint8) + 9
+    again.write(b, (0, 0, 0))
+    again.compact()
+    merged = a.copy(); merged[0:8, 0:8, 0:8] = 9
+    np.testing.assert_array_equal(again[0:16, 0:16, 0:16], merged)
 
 
 def test_scratch_dataset(spark):
