@@ -207,3 +207,22 @@ def test_downsample_mean(spark, tmp_path):
     expect = ((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
                + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_downsample_segmentation_strides(spark, tmp_path):
+    # label volumes must not average (blends label ids); the striding
+    # rule keeps voxel [0::2, 0::2, :] — neuroglancer's segmentation
+    # default
+    info = Info.from_dict({
+        "num_channels": 1, "type": "segmentation", "data_type": "uint32",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "segmips"), info)
+    a = np.random.default_rng(7).integers(
+        0, 2**31, size=(32, 32, 8), dtype=np.uint32)
+    vol.write(a, (0, 0, 0))
+    vol.downsample()
+    v2 = Volume.open(spark, vol.root, mip=1)
+    out, _ = v2.cutout(((0, 16), (0, 16), (0, 8)))
+    np.testing.assert_array_equal(out, a[0::2, 0::2, :])
