@@ -35,6 +35,36 @@ def test_f1_roundtrip():
     assert again == info
 
 
+REFERENCE_INFO = "/root/reference/asset/info"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_INFO),
+                    reason="reference checkout not present")
+def test_reference_asset_info_roundtrip():
+    # the reference's own fixture: a real 10-mip production uint32
+    # segmentation layer (test/Infos.jl parses this same file)
+    with open(REFERENCE_INFO) as f:
+        raw = f.read()
+    info = Info.from_json(raw)
+    assert info.layer_type == "segmentation"
+    assert info.data_type == "uint32"
+    assert info.num_channels == 1
+    assert len(info.scales) == 10
+    s0 = info.scale(0)
+    assert s0.key == "5_5_45"
+    assert s0.chunk_size == (64, 64, 56)
+    assert s0.volume_size == (69888, 34048, 1792)
+    assert s0.voxel_offset == (14720, 12032, 16400)
+    assert s0.encoding == "raw"
+    assert info.scale(9).key == "2560_2560_45"
+    # full JSON round-trip preserves every scale
+    again = Info.from_json(info.to_json())
+    assert again == info
+    # mip metadata generation from the real layer matches the stored
+    # next level's key (x,y resolution doubles, z unchanged)
+    assert s0.next_mip().key == info.scale(1).key
+
+
 def test_dtype_map_complete():
     # src/Infos.jl:6-14 — full supported set
     assert set(DATATYPE_MAP) == {
