@@ -760,6 +760,14 @@ class Volume:
             assemble, schema=CHUNK_SCHEMA)
         self._write_chunks(result, mip=m + 1)
 
+    def build_pyramid(self, num_mip: int) -> None:
+        """Materialize the full mip pyramid: extend metadata to
+        ``num_mip`` levels (the reference's Info(numMip=k),
+        src/Infos.jl:220-229 — metadata only there) and run the
+        distributed downsample for each level's pixels."""
+        for m in range(num_mip - 1):
+            self.downsample(from_mip=m)
+
     def mip_volume(self, mip: int) -> "Volume":
         return Volume(self.spark, self.root, self.info, mip=mip,
                       fill_missing=self.fill_missing)

@@ -85,6 +85,30 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, events_stream):
     assert got == want and len(got) > 0
 
 
+def test_streaming_file_sink_with_checkpoint(spark, sf_dir, events_stream, tmp_path):
+    # the production readStream → transform → writeStream shape: parquet
+    # sink + checkpointLocation (exactly-once via the commit log)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = (streaming_dedup(events_stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    n = spark.read.parquet(out).count()
+    want = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n == want
+    # restarting against the same checkpoint reprocesses nothing
+    q2 = (streaming_dedup(stream_events(spark, sf_dir)).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start())
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == want
+
+
 def test_streaming_tumbling_rocksdb_state(spark, sf_dir, events_stream):
     # same query, RocksDB state store (the at-scale provider: disk-backed
     # state, bounded executor memory) — results must be identical

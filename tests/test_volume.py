@@ -209,6 +209,28 @@ def test_downsample_mean(spark, tmp_path):
     np.testing.assert_array_equal(out, expect)
 
 
+def test_build_pyramid_three_levels(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "pyr"), info)
+    a = rand_u8((32, 32, 8))
+    vol.write(a, (0, 0, 0))
+    vol.build_pyramid(3)
+    re = Volume.open(spark, vol.root)
+    assert len(re.info.scales) == 3
+    assert re.info.scale(2).volume_size == (8, 8, 8)
+    m2, _ = Volume.open(spark, vol.root, mip=2).cutout(((0, 8), (0, 8), (0, 8)))
+    # two rounds of 2×2×1 mean
+    l1 = ((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+           + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    l2 = ((l1[0::2, 0::2].astype(np.float64) + l1[1::2, 0::2]
+           + l1[0::2, 1::2] + l1[1::2, 1::2]) / 4.0).astype(np.uint8)
+    np.testing.assert_array_equal(m2, l2)
+
+
 def test_downsample_segmentation_strides(spark, tmp_path):
     # label volumes must not average (blends label ids); the striding
     # rule keeps voxel [0::2, 0::2, :] — neuroglancer's segmentation
