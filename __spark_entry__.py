@@ -8,9 +8,24 @@ row-count + schema + order-insensitive value hash.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Executor python workers must be able to import bigarrays_jl_spark
+# (pandas-UDF closures deserialize against it).  Export the repo root on
+# PYTHONPATH at import time — before the harness builds its
+# SparkSession — so local-mode workers inherit it.  (On a cluster this
+# is a --py-files zip instead.)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+_existing = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _existing.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + (os.pathsep + _existing if _existing else ""))
 
 
 def entry(spark: SparkSession) -> DataFrame:

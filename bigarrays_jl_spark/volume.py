@@ -41,9 +41,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from bigarrays_jl_spark import codecs as codecs_mod
 from bigarrays_jl_spark import indexes as ix
 from bigarrays_jl_spark.infos import Info, InfoScale
+
+# Executor pandas-UDF closures re-import this package on python workers;
+# a harness that builds its own SparkSession may not have put the repo
+# on the workers' PYTHONPATH, so every closure prepends this (pickled
+# by value) before importing.  On a cluster, --py-files replaces it.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHUNK_SCHEMA = "cx int, cy int, cz int, key string, enc string, epoch bigint, payload binary"
 
@@ -326,9 +331,14 @@ class Volume:
                 .withColumn("epoch", F.lit(epoch).cast("bigint"))
                 .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
 
-        codec = codecs_mod.get_codec(enc)
+        _root = _REPO_ROOT
 
         def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
+            from bigarrays_jl_spark import codecs as _codecs
+            codec = _codecs.get_codec(enc)
             for b in it:
                 b["payload"] = b["payload"].map(codec.encode)
                 yield b
@@ -346,9 +356,14 @@ class Volume:
         """
         epoch = self._next_epoch()
         enc = self.scale.encoding
-        codec = codecs_mod.get_codec(enc)
+        _root = _REPO_ROOT
 
         def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
+            from bigarrays_jl_spark import codecs as _codecs
+            codec = _codecs.get_codec(enc)
             for b in it:
                 b["payload"] = b["payload"].map(codec.encode)
                 yield b
@@ -392,8 +407,12 @@ class Volume:
         enc = sc.encoding
         dtype_str = info.data_type
         chunk_size = sc.chunk_size
+        _root = _REPO_ROOT
 
         def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
@@ -455,8 +474,12 @@ class Volume:
 
         latest = self._latest(self._pruned(request))
         dtype_str, req = info.data_type, request
+        _root = _REPO_ROOT
 
         def decode_slice(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
@@ -522,8 +545,12 @@ class Volume:
         dtype_str = info.data_type
         vtype = info.voxel_sql_type
         latest = self._latest(self._pruned(req))
+        _root = _REPO_ROOT
 
         def explode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
@@ -675,8 +702,12 @@ class Volume:
         dst_chunk = dst_sc.chunk_size
         src_off = src_sc.voxel_offset
         dst_off = dst_sc.voxel_offset
+        _root = _REPO_ROOT
 
         def to_target(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
@@ -728,6 +759,9 @@ class Volume:
         epoch = self._next_epoch()
 
         def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
