@@ -161,8 +161,12 @@ FROM q GROUP BY quartile
 # --------------------------------------------------------------------------
 # q29 — bucketed range join: pairs of events by the same user within 60
 # seconds.  Scale path: bucket epoch÷60 and join on (user, bucket) with
-# the left side exploded to {b, b+1} — linear in events, never O(n²);
-# the exact |Δt|≤60 filter runs post-join.
+# the earlier side exploded to {b, b+1} — linear in events, never O(n²);
+# the exact Δt≤60 filter runs post-join.  Orientation is by TIME
+# (earlier event on the exploded side), which makes the two-bucket
+# cover complete by construction: the later event's bucket is always
+# b or b+1.  An id-based orientation would silently drop pairs whose
+# smaller id has the later timestamp.
 # --------------------------------------------------------------------------
 
 def q29_bucketed_range_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -175,10 +179,12 @@ def q29_bucketed_range_join(spark: SparkSession, sf: str) -> DataFrame:
     b = e.select(F.col("user_id").alias("u"), F.col("event_id").alias("eb"),
                  F.col("sec").alias("sb"),
                  (F.col("sec") / 60).cast("long").alias("b"))
+    earlier = ((F.col("sa") < F.col("sb"))
+               | ((F.col("sa") == F.col("sb")) & (F.col("ea") < F.col("eb"))))
     pairs = (a.join(b, ["u", "b"])
-              .filter((F.col("ea") < F.col("eb"))
-                      & (F.abs(F.col("sa") - F.col("sb")) <= 60)))
-    return (pairs.select("u", "ea", "eb").distinct()
+              .filter(earlier & (F.col("sb") - F.col("sa") <= 60)))
+    return (pairs.select("u", F.least("ea", "eb").alias("e1"),
+                         F.greatest("ea", "eb").alias("e2")).distinct()
                  .groupBy("u").agg(F.count("*").alias("n_close_pairs")))
 
 
