@@ -85,18 +85,25 @@ class InfoScale:
 
     def next_mip(self) -> "InfoScale":
         """Derive the next pyramid level: 2× downsample in x,y only — z,
-        chunk size and encoding unchanged (src/Infos.jl:162-178)."""
+        chunk size and encoding unchanged (src/Infos.jl:162-178).
+
+        Size/offset halving truncates toward zero, matching the
+        reference's ``map(div, ..., (2,2,1))`` (Julia ``div`` truncates),
+        and matching ``Volume.downsample``, which drops odd trailing
+        rows/columns rather than padding a ceil voxel.  The mip key
+        rounds each resolution to the nearest integer (half-even), as
+        the reference's ``round(Int, x)`` does."""
         res = (self.resolution[0] * 2, self.resolution[1] * 2, self.resolution[2])
-        key = "_".join(str(int(r)) if float(r).is_integer() else str(r) for r in res)
-        half = lambda v: (v + 1) // 2 if v >= 0 else -((-v) // 2)  # noqa: E731
+        key = "_".join(str(round(r)) for r in res)
+        half = lambda v: v // 2 if v >= 0 else -((-v) // 2)  # noqa: E731
         return InfoScale(
             key=key,
             chunk_size=self.chunk_size,
             encoding=self.encoding,
             resolution=res,
             volume_size=(
-                (self.volume_size[0] + 1) // 2,
-                (self.volume_size[1] + 1) // 2,
+                self.volume_size[0] // 2,
+                self.volume_size[1] // 2,
                 self.volume_size[2],
             ),
             voxel_offset=(

@@ -188,11 +188,14 @@ def q29_bucketed_range_join(spark: SparkSession, sf: str) -> DataFrame:
                  .groupBy("u").agg(F.count("*").alias("n_close_pairs")))
 
 
+# epoch_us // 1000000 floors like Spark's cast(ts as long); DuckDB's
+# epoch() would *round* fractional seconds and can disagree on pairs
+# whose true gap straddles the 60 s boundary
 Q29_SQL = """
 SELECT a.user_id AS u, count(*) AS n_close_pairs
 FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
- AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 60
+ AND abs((epoch_us(a.ts) // 1000000) - (epoch_us(b.ts) // 1000000)) <= 60
 GROUP BY a.user_id
 """
 

@@ -118,8 +118,6 @@ FROM q
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
-    grams = F.expr(
-        "transform(sequence(1, length(norm) - 7), i -> substring(norm, i, 8))")
     return (d.withColumn("norm", norm)
              .filter(F.length("norm") >= 8)
              .select("doc_id",

@@ -733,8 +733,11 @@ class Volume:
                         a = arr[:ex, :ey].astype(_np.float64)
                         red = ((a[0::2, 0::2] + a[1::2, 0::2]
                                 + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0)
-                        red = red.astype(dt) if not dtype_str.startswith("float") \
-                            else red.astype(dt)
+                        # integer layers: round the 2x2 mean (half-even)
+                        # instead of truncating toward zero, which would
+                        # bias downsampled intensities low
+                        red = red.astype(dt) if dtype_str.startswith("float") \
+                            else _np.rint(red).astype(dt)
                     # global coords at target mip: src global / 2 (x,y), z same;
                     # mip m+1 offset halving follows src/Infos.jl:169-178
                     gx0 = (cbox[0][0] - src_off[0]) // 2 + dst_off[0]

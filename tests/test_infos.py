@@ -91,6 +91,25 @@ def test_next_mip_semantics():
     assert n.voxel_offset == (7360, 6016, 16400)
 
 
+def test_next_mip_odd_geometry_floors():
+    # Julia div truncates: odd sizes/offsets floor toward zero
+    # (src/Infos.jl:169-178) — consistent with downsample() dropping odd
+    # trailing rows instead of padding a ceil voxel.  Fractional
+    # resolutions round half-even to int in the key (round(Int, x)).
+    s = InfoScale(key="3_3_40", chunk_size=(8, 8, 4), encoding="gzip",
+                  resolution=(3, 3, 40), volume_size=(65, 63, 10),
+                  voxel_offset=(3, -3, 5))
+    n = s.next_mip()
+    assert n.volume_size == (32, 31, 10)
+    assert n.voxel_offset == (1, -1, 5)
+    assert n.resolution == (6, 6, 40)
+    assert n.key == "6_6_40"
+    # half-even rounding in the key for fractional resolutions
+    s2 = InfoScale(key="x", chunk_size=(8, 8, 4), resolution=(2.25, 2.25, 40),
+                   volume_size=(4, 4, 4))
+    assert s2.next_mip().key == "4_4_40"  # round(4.5) == 4 (half-even)
+
+
 def test_with_mips():
     info = Info.from_json(F1_JSON)
     info10 = info.with_mips(10)

@@ -204,8 +204,8 @@ def test_downsample_mean(spark, tmp_path):
     v2 = Volume.open(spark, vol.root, mip=1)
     assert v2.scale.volume_size == (16, 16, 8)
     out, _ = v2.cutout(((0, 16), (0, 16), (0, 8)))
-    expect = ((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
-               + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    expect = np.rint((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+                      + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
     np.testing.assert_array_equal(out, expect)
 
 
@@ -223,11 +223,11 @@ def test_build_pyramid_three_levels(spark, tmp_path):
     assert len(re.info.scales) == 3
     assert re.info.scale(2).volume_size == (8, 8, 8)
     m2, _ = Volume.open(spark, vol.root, mip=2).cutout(((0, 8), (0, 8), (0, 8)))
-    # two rounds of 2×2×1 mean
-    l1 = ((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
-           + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
-    l2 = ((l1[0::2, 0::2].astype(np.float64) + l1[1::2, 0::2]
-           + l1[0::2, 1::2] + l1[1::2, 1::2]) / 4.0).astype(np.uint8)
+    # two rounds of 2×2×1 mean (rounded half-even per level, like the engine)
+    l1 = np.rint((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+                  + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    l2 = np.rint((l1[0::2, 0::2].astype(np.float64) + l1[1::2, 0::2]
+                  + l1[0::2, 1::2] + l1[1::2, 1::2]) / 4.0).astype(np.uint8)
     np.testing.assert_array_equal(m2, l2)
 
 
