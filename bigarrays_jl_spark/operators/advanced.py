@@ -136,16 +136,63 @@ FROM lineitem WHERE l_orderkey <= 100
 
 # --------------------------------------------------------------------------
 # q28 — ntile quartiles (deterministic: unique tie-break in the ordering)
+#
+# Scale shape: a bare `ntile(4) OVER (ORDER BY ...)` funnels the whole
+# table through ONE task (Exchange SinglePartition) — correct at sf0.1,
+# dead at 100 TB.  Instead we compute the exact global rank with the
+# classic distributed-rank pattern and apply the standard ntile formula:
+#   1. approx range boundaries (percentile_approx, one tiny driver list)
+#      assign each row a range bucket — ties share a bucket, so bucket
+#      order is a total pre-order of the sort key;
+#   2. per-bucket row counts (a few dozen rows to the driver) become
+#      cumulative offsets, broadcast back as a literal map;
+#   3. rank = offset[bucket] + row_number within the bucket — the only
+#      window is per-bucket, each bounded at ~n/buckets rows.
+# Bucket count tracks spark.sql.shuffle.partitions, so the plan scales
+# with the cluster instead of a fixed-width funnel.
 # --------------------------------------------------------------------------
 
+N_TILES = 4
+
+
 def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders")
-    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (o.withColumn("quartile", F.ntile(4).over(w))
-             .groupBy("quartile")
-             .agg(F.count("*").alias("n_orders"),
-                  F.round(F.min("o_totalprice"), 2).alias("lo"),
-                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 4)
+
+    # 1. approximate range boundaries over the sort key (ties stay together)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    raw = o.select(F.percentile_approx("o_totalprice", probs).alias("b")).first()["b"]
+    bounds = sorted(set(float(x) for x in raw))
+    barr = F.array(*[F.lit(x) for x in bounds])
+    bucket = F.size(F.filter(barr, lambda b: F.col("o_totalprice") > b))
+    bucketed = o.withColumn("bkt", bucket)
+
+    # 2. exact per-bucket counts -> cumulative offsets (tiny; broadcast
+    #    back as a literal map, no join)
+    counts = {r["bkt"]: r["cnt"] for r in
+              bucketed.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()}
+    total, offsets, acc = 0, {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    total = acc
+    off_map = F.create_map(*[F.lit(v) for b in sorted(offsets)
+                             for v in (b, offsets[b])])
+
+    # 3. per-bucket rank + offset = exact global rank; then the standard
+    #    ntile split: first (total % 4) tiles get one extra row
+    q, r = divmod(total, N_TILES)
+    w = W.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    rank = (F.row_number().over(w) + F.element_at(off_map, F.col("bkt")))
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(F.lit(q) == 0, F.floor((rank - 1) / F.lit(q + 1))) \
+            .when(rank <= big, F.floor((rank - 1) / F.lit(q + 1))) \
+            .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))))
+    return (bucketed.withColumn("quartile", (tile + 1).cast("int"))
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
 
 
 Q28_SQL = """
@@ -346,29 +393,49 @@ FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
 
 
 # --------------------------------------------------------------------------
-# q35 — whole-partition window statistics: each order vs its priority
-# class (avg/share) — the "compare to group aggregate without a join"
-# pattern
+# q35 — whole-partition statistics: each order vs its priority class
+# (avg/share) — the "compare to group aggregate" pattern.
+#
+# Scale shape: `OVER (PARTITION BY o_orderpriority)` pushes the whole
+# fact table through ~5 reducers — the exact skew q36 exists to avoid.
+# Instead: salted two-phase aggregation of (count, sum) per class (the
+# q36 pattern), then a broadcast join back onto the rows — identical
+# result, no window, no low-cardinality shuffle.  Sums are exact
+# DECIMAL(18,2) so the two-phase fold is order-insensitive and the
+# derived avg is bit-identical on both engines.
 # --------------------------------------------------------------------------
 
 def q35_window_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
-    w = W.partitionBy("o_orderpriority")
-    return o.select(
-        "o_orderkey", "o_orderpriority",
-        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(w), 2)
-         .alias("delta_from_avg"),
-        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w) * 100, 6)
-         .alias("pct_of_class"))
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    partial = (o.withColumn("salt", F.pmod(F.hash("o_orderkey"),
+                                           F.lit(SALT_BUCKETS)))
+                .groupBy("o_orderpriority", "salt")
+                .agg(F.count("*").alias("n"), F.sum(dec).alias("s")))
+    stats = (partial.groupBy("o_orderpriority")
+             .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+             .select("o_orderpriority",
+                     (F.col("s").cast("double") / F.col("n")).alias("cls_avg"),
+                     F.col("s").cast("double").alias("cls_sum")))
+    return (o.join(F.broadcast(stats), "o_orderpriority")
+             .select("o_orderkey", "o_orderpriority",
+                     F.round(F.col("o_totalprice") - F.col("cls_avg"), 2)
+                      .alias("delta_from_avg"),
+                     F.round(F.col("o_totalprice") / F.col("cls_sum") * 100, 6)
+                      .alias("pct_of_class")))
 
 
+# exact decimal class sums, then one double division — both engines see
+# the identical double inputs, so round() agrees everywhere
 Q35_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS k, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM orders GROUP BY 1)
 SELECT o_orderkey, o_orderpriority,
-       round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority), 2)
-         AS delta_from_avg,
-       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_orderpriority) * 100, 6)
-         AS pct_of_class
-FROM orders
+       round(o_totalprice - s / n, 2) AS delta_from_avg,
+       round(o_totalprice / s * 100, 6) AS pct_of_class
+FROM orders JOIN s ON o_orderpriority = k
 """
 
 

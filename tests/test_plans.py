@@ -12,7 +12,8 @@ from bigarrays_jl_spark.operators.relational import (
     q11_topk)
 from bigarrays_jl_spark.plans.explain import (
     formatted_plan, has_broadcast_join, has_partial_aggregation,
-    num_exchanges, pushed_filters, read_schemas, uses_take_ordered)
+    num_exchanges, pushed_filters, read_schemas, simple_plan,
+    uses_take_ordered)
 from bigarrays_jl_spark.volume import Volume
 
 
@@ -57,6 +58,27 @@ def test_salted_agg_two_phase(spark, sf_dir):
     # both aggregation levels must have map-side partial aggregation
     from bigarrays_jl_spark.operators.advanced import q36_salted_agg
     assert has_partial_aggregation(q36_salted_agg(spark, sf_dir))
+
+
+def test_ntile_avoids_global_window(spark, sf_dir):
+    # the classic ntile-over-everything plan funnels the table through
+    # one task (Exchange SinglePartition); the distributed-rank rewrite
+    # must keep every exchange hash/range-partitioned
+    from bigarrays_jl_spark.operators.advanced import q28_ntile
+    plan = simple_plan(q28_ntile(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_partition_stats_salted_no_window(spark, sf_dir):
+    # the per-class stats must come from a salted two-phase agg joined
+    # back broadcast — NOT a window partitioned by the ~5-value class
+    # key (whole-table funnel through 5 reducers)
+    from bigarrays_jl_spark.operators.advanced import q35_window_partition_stats
+    df = q35_window_partition_stats(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert has_broadcast_join(df)
 
 
 def test_bucketed_join_no_shuffle(spark, sf_dir):
