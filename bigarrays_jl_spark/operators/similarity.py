@@ -9,11 +9,15 @@ list order on both engines, so doubles match the DuckDB oracle exactly.
 Scale notes: the brute-force path broadcasts the (small) query side and
 scans the corpus once — O(corpus × queries) with no shuffle; per-query
 top-k via window on qid shuffles only (queries × corpus) score rows,
-which AQE coalesces.  The LSH path buckets both sides first, so the
-candidate join is O(bucket²) per bucket, and buckets are md5-uniform.
+which AQE coalesces.  The LSH path is a multi-band OR-construction with
+2**BAND_BITS buckets per band — bucket count is parametric in the corpus
+size (grow BAND_BITS with log2 n), so in-bucket pair cost stays
+O(occupancy²) per bucket instead of decaying toward O(n²/constant).
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -21,12 +25,59 @@ from pyspark.sql import functions as F
 from bigarrays_jl_spark.functions import cosine as _cosine_fn
 from bigarrays_jl_spark.functions import dot as _dot
 from bigarrays_jl_spark.functions import norm2 as _norm2
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 N_QUERIES = 10       # vec_id < 10 are the query vectors
 TOP_K = 5
-N_PLANES = 8         # slice-projection planes for the LSH variant
 COS_THRESHOLD = 0.3  # near-dup cosine threshold (corpus is near-random)
+
+# -- parametric LSH geometry -------------------------------------------------
+# Multi-band OR-construction (same shape as dedup_minhash_pairs): a pair
+# is a candidate when ANY band's BAND_BITS-bit signature matches.  The
+# bucket space is 2**BAND_BITS *per band* — parametric, not a fixed
+# 256-bucket ceiling: at corpus size n, set BAND_BITS ≈ log2(n) - log2
+# (target bucket occupancy) so the in-bucket pair join stays
+# O(n × occupancy × bands), never O(n²/constant).  Recall for genuinely
+# near pairs comes from the OR across bands: p_pair = 1-(1-p^BAND_BITS)^
+# N_BANDS with p = 1 - θ/π per hyperplane.
+N_BANDS = 4
+BAND_BITS = 12                      # 4096 buckets per band
+N_PLANES = N_BANDS * BAND_BITS
+# Deterministic signed projections: plane j weights dimension i by
+# ±1 from the parity of popcount(i & MASKS[j]) — a seeded binary linear
+# code, balanced and engine-portable (bit_count + & exist in both Spark
+# and DuckDB, so the oracle reproduces the planes exactly).
+MASKS = [random.Random(20260813 + j).getrandbits(63) for j in range(N_PLANES)]
+_MASKS_SQL = ", ".join(str(m) for m in MASKS)
+
+# one nested higher-order expression (not N_PLANES unrolled folds) keeps
+# codegen narrow; evaluation stays JVM-side
+_BITS_SPARK = f"""
+transform(sequence(0, {N_PLANES - 1}), j ->
+  CASE WHEN aggregate(
+      zip_with(embedding, sequence(0, size(embedding) - 1),
+        (v, i) -> CAST(v AS DOUBLE) * (1.0D - 2.0D *
+            CAST(bit_count(i & element_at(array({_MASKS_SQL}), j + 1)) % 2 AS DOUBLE))),
+      CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0D
+  THEN '1' ELSE '0' END)
+"""
+
+_BITS_DUCK = f"""
+list_transform(range(0, {N_PLANES}), j ->
+  CASE WHEN list_sum(list_transform(range(0, len(embedding)), i ->
+      CAST(embedding[i + 1] AS DOUBLE) * (1.0 - 2.0 *
+          CAST(bit_count(i & ([{_MASKS_SQL}])[j + 1]) % 2 AS DOUBLE))))
+    > 0 THEN '1' ELSE '0' END)
+"""
+
+
+def _band_key(b: int):
+    """Spark column: band ``b``'s BAND_BITS-bit bucket signature."""
+    return F.array_join(F.slice("bits", b * BAND_BITS + 1, BAND_BITS), "")
+
+
+def _band_key_sql(b: int) -> str:
+    return f"array_to_string(bits[{b * BAND_BITS + 1}:{(b + 1) * BAND_BITS}], '')"
 
 
 _DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
@@ -74,68 +125,81 @@ WHERE rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed near-neighbor pairs: 8 slice-projection sign bits → bucket
-# → in-bucket exact cosine — the scale path for pairwise similarity
+# LSH-bucketed near-neighbor pairs: N_PLANES signed-projection bits →
+# N_BANDS bucket signatures → band-bucket self-join → in-bucket exact
+# cosine — the scale path for pairwise similarity
 # --------------------------------------------------------------------------
 
-def _bucket_expr():
-    """8-bit bucket: sign of the sum of each 8-element slice of the
-    embedding (axis-aligned random projection; deterministic)."""
-    bits = []
-    for j in range(N_PLANES):
-        s = F.aggregate(F.slice("embedding", j * 8 + 1, 8), F.lit(0.0),
-                        lambda acc, x: acc + x.cast("double"))
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
-def _bucket_sql(col="embedding"):
-    bits = " || ".join(
-        f"CASE WHEN list_sum(list_transform({col}[{j * 8 + 1}:{j * 8 + 8}], "
-        f"x -> CAST(x AS DOUBLE))) > 0 THEN '1' ELSE '0' END"
-        for j in range(N_PLANES))
-    return bits
-
-
 def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return (e.withColumn("bucket", _bucket_expr())
+    """Band-0 bucket histogram — the occupancy diagnostic that sizes
+    BAND_BITS for a given corpus (target: occupancy stays O(1))."""
+    e = (fan_out(spark, load(spark, sf, "embeddings"))
+         .withColumn("bits", F.expr(_BITS_SPARK)))
+    return (e.select(_band_key(0).alias("bucket"), "vec_id")
              .groupBy("bucket")
              .agg(F.count("*").alias("n_vectors"),
                   F.min("vec_id").alias("min_vec_id")))
 
 
 SIM_LSH_BUCKETS_SQL = f"""
-SELECT ({_bucket_sql()}) AS bucket, count(*) AS n_vectors,
+WITH b AS (SELECT vec_id, ({_BITS_DUCK}) AS bits FROM embeddings)
+SELECT {_band_key_sql(0)} AS bucket, count(*) AS n_vectors,
        min(vec_id) AS min_vec_id
-FROM embeddings GROUP BY 1
+FROM b GROUP BY 1
 """
 
 
 def sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings").withColumn("bucket", _bucket_expr())
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                 "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                 "bucket")
-    return (a.join(b, ["bucket"])
+    # Each vector explodes to N_BANDS (band, bkey) rows — embeddings ride
+    # along (256 B/row, the minhash carry pattern) so the verify step
+    # needs no extra join against the corpus.  The join key is
+    # (band, bkey): in-bucket cost is O(occupancy²) per bucket with
+    # 2**BAND_BITS buckets per band, and groupBy(vec_a, vec_b) collapses
+    # pairs that collide in several bands before the exact-cosine verify.
+    e = (fan_out(spark, load(spark, sf, "embeddings"))
+         .withColumn("bits", F.expr(_BITS_SPARK)))
+    keys = (e.select("vec_id", "embedding", F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_key(b).alias("bkey"))
+                for b in range(N_BANDS)])).alias("bk"))
+             .select("vec_id", "embedding",
+                     F.col("bk.band").alias("band"),
+                     F.col("bk.bkey").alias("bkey")))
+    a = keys.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"), "band", "bkey")
+    b = keys.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"), "band", "bkey")
+    cand = (a.join(b, ["band", "bkey"])
              .filter(F.col("vec_a") < F.col("vec_b"))
-             .withColumn("cosine", F.round(
-                 _dot(F.col("ea"), F.col("eb"))
-                 / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))), 6))
-             .filter(F.col("cosine") >= COS_THRESHOLD)
-             .select("vec_a", "vec_b", "cosine"))
+             .groupBy("vec_a", "vec_b")
+             .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb")))
+    return (cand.withColumn("cosine", F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))), 6))
+            .filter(F.col("cosine") >= COS_THRESHOLD)
+            .select("vec_a", "vec_b", "cosine"))
 
+
+_KEYS_UNION_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, embedding, {b} AS band, {_band_key_sql(b)} AS bkey FROM b"
+    for b in range(N_BANDS))
 
 SIM_LSH_PAIRS_SQL = f"""
-WITH b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         round({_DOT_SQL.format(a='a.embedding', b='b2.embedding')}
-               / (sqrt({_NORM2_SQL.format(a='a.embedding')})
-                  * sqrt({_NORM2_SQL.format(a='b2.embedding')})), 6) AS cosine
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {COS_THRESHOLD}
+WITH b AS (SELECT vec_id, embedding, ({_BITS_DUCK}) AS bits FROM embeddings),
+keys AS (
+{_KEYS_UNION_SQL}
+),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         FROM keys a JOIN keys b2
+           ON a.band = b2.band AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id),
+scored AS (
+  SELECT vec_a, vec_b,
+         round({_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+               / (sqrt({_NORM2_SQL.format(a='ea.embedding')})
+                  * sqrt({_NORM2_SQL.format(a='eb.embedding')})), 6) AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COS_THRESHOLD}
 """
 
 
