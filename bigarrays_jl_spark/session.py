@@ -35,9 +35,32 @@ def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -
     existing = os.environ.get("PYTHONPATH", "")
     if repo_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = repo_root + (os.pathsep + existing if existing else "")
+    # Cloud-connector resilience (reference parity, W4): the reference
+    # hand-rolls upload retry — 4 attempts with exponential backoff
+    # (src/modes/multithreads.jl:8-31) — and fans uploads across an
+    # 8-worker pool (src/modes/include.jl:1-2).  Here the Hadoop S3A/GCS
+    # connectors own that behavior, but only if the knobs are pinned;
+    # site defaults differ per distro.  Connection/thread pools scale
+    # with local cores instead of the reference's fixed 8.  The magic
+    # committer flag makes S3A output commits O(1) renames — enabling it
+    # is a no-op for file:// and takes effect when the s3a committer
+    # binding (spark-hadoop-cloud) is on the cluster classpath.
+    pool = str(max(int(cpus) * 2, 64))
+    cloud_conf = {
+        "spark.hadoop.fs.s3a.attempts.maximum": "4",
+        "spark.hadoop.fs.s3a.retry.limit": "4",
+        "spark.hadoop.fs.s3a.retry.interval": "500ms",
+        "spark.hadoop.fs.s3a.connection.maximum": pool,
+        "spark.hadoop.fs.s3a.threads.max": pool,
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.hadoop.fs.gs.http.max.retry": "4",
+        "spark.hadoop.fs.gs.outputstream.upload.max.active.requests": pool,
+    }
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config(map=cloud_conf)
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -106,3 +106,18 @@ def test_uint64_voxel_view_decimal(spark):
     assert vals == {2**63 + 12345}
     total = df.agg(F.sum("value").alias("s")).collect()[0].s
     assert int(total) == (2**63 + 12345) * 64
+
+
+def test_cloud_connector_conf_pinned(spark):
+    # W4: the reference retries uploads 4x with backoff
+    # (src/modes/multithreads.jl:8-31) and runs an 8-way upload pool
+    # (src/modes/include.jl:1-2); the session must pin the Hadoop
+    # connector equivalents rather than trust site defaults
+    hconf = spark._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.attempts.maximum") == "4"
+    assert hconf.get("fs.s3a.retry.limit") == "4"
+    assert int(hconf.get("fs.s3a.connection.maximum")) >= 64
+    assert int(hconf.get("fs.s3a.threads.max")) >= 64
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+    assert hconf.get("fs.s3a.committer.magic.enabled") == "true"
+    assert hconf.get("fs.gs.http.max.retry") == "4"
