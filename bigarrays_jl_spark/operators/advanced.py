@@ -505,6 +505,55 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q38 — salted skew JOIN: the broadcast-ineligible-skew counterpart of
+# q36's salted aggregation.  event_type has ~5 values, so a plain
+# shuffle join funnels the whole fact table through 5 reducers — and
+# AQE's skew split cannot help a *hash* partitioning where one key IS
+# one partition's entire contents on both sides of the same exchange.
+# Salting: fact rows draw salt = hash(event_id) % S; the dim replicates
+# S ways; joining on (key, salt) spreads every hot key across S
+# partitions.  The shuffle_hash hint stands in for "dim too large to
+# broadcast" (with a genuinely tiny dim Spark would broadcast and the
+# demo would be vacuous).  Weighted sums accumulate in exact decimals
+# (the _dsum2 rule) so the salted fold order cannot flip a rounding.
+# --------------------------------------------------------------------------
+
+EVENT_WEIGHTS = [("click", "1.50"), ("view", "0.25"), ("purchase", "10.00"),
+                 ("signup", "5.00"), ("error", "0.00")]
+
+
+def q38_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    dim = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{t}', CAST({w} AS DECIMAL(4,2)))"
+                    for t, w in EVENT_WEIGHTS)
+        + " AS dim(event_type, weight)")
+    fact = e.withColumn("salt", F.pmod(F.hash("event_id"),
+                                       F.lit(SALT_BUCKETS)))
+    dim_r = (dim.withColumn("salt", F.explode(F.array(
+                 *[F.lit(i) for i in range(SALT_BUCKETS)])))
+                .hint("shuffle_hash"))
+    j = fact.join(dim_r, ["event_type", "salt"])
+    return (j.groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum(F.col("value").cast("decimal(18,6)")
+                                * F.col("weight")), 2)
+                   .cast("double").alias("weighted_value")))
+
+
+Q38_SQL = f"""
+WITH dim(event_type, weight) AS (VALUES {", ".join(
+    f"('{t}', CAST({w} AS DECIMAL(4,2)))" for t, w in EVENT_WEIGHTS)})
+SELECT e.event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6)) * weight), 2) AS DOUBLE)
+         AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -520,6 +569,7 @@ QUERIES = {
     "q35_window_partition_stats": q35_window_partition_stats,
     "q36_salted_agg": q36_salted_agg,
     "q37_map_funcs": q37_map_funcs,
+    "q38_salted_join": q38_salted_join,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -538,5 +588,6 @@ ORACLES = {
     "q35_window_partition_stats": Q35_SQL,
     "q36_salted_agg": Q36_SQL,
     "q37_map_funcs": Q37_SQL,
+    "q38_salted_join": Q38_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }

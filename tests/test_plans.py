@@ -81,6 +81,18 @@ def test_partition_stats_salted_no_window(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    # the salted join must execute as a shuffled hash join on
+    # (key, salt) — not a broadcast (which would make the salt demo
+    # vacuous) and not a single-partition funnel
+    from bigarrays_jl_spark.operators.advanced import q38_salted_join
+    df = q38_salted_join(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert not has_broadcast_join(df)
+    assert "SinglePartition" not in plan, plan
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     # bucketed+sorted layout pre-pays the join shuffle at write time:
     # the same orders⋈lineitem join needs 2 exchanges on plain parquet
