@@ -271,6 +271,14 @@ class Volume:
           payload is a full volume-clamped chunk;
         - payload byte order is Fortran (column-major), matching the
           neuroglancer raw layout (src/modes/sequential.jl:13-15).
+
+        .. warning:: single-writer contract — overwrite ordering rides a
+           monotonically increasing epoch counter stored beside the
+           dataset, and bumping it is a read-modify-write with no lock
+           (matching the reference, whose writers also assume exclusive
+           ownership of a dataset).  Run exactly one writer process per
+           dataset; concurrent writers may interleave epochs and
+           resurrect overwritten chunks.
         """
         info, sc = self.info, self.scale
         if arr.dtype != info.dtype:

@@ -32,22 +32,16 @@ def test_gzip_sniff_passthrough(payload):
     assert c.decode(not_gzip) == not_gzip
 
 
-def test_zstd_gated():
-    try:
-        import zstandard  # noqa: F401
-        has = True
-    except ImportError:
-        has = False
-    if has:
-        c = codecs.get_codec("zstd")
-        data = b"hello" * 100
-        enc = c.encode(data)
-        assert enc[:4] == codecs.ZSTD_MAGIC
-        assert c.decode(enc) == data
-        assert c.decode(b"\x00" + data) == b"\x00" + data
-    else:
-        with pytest.raises(NotImplementedError):
-            codecs.get_codec("zstd")
+def test_zstd_roundtrip_and_sniff():
+    # always available: 'zstandard' if installed, else the pyarrow
+    # bundled backend (pyarrow is a hard dependency of the engine)
+    c = codecs.get_codec("zstd")
+    data = b"hello" * 100
+    enc = c.encode(data)
+    assert enc[:4] == codecs.ZSTD_MAGIC
+    assert c.decode(enc) == data
+    assert c.decode(b"\x00" + data) == b"\x00" + data
+    assert "zstd" in codecs.available_encodings()
 
 
 def test_jpeg_parity_stub(payload):

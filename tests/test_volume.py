@@ -119,11 +119,15 @@ def test_mip2_offset_anchored_lattice(spark, vol):
     np.testing.assert_array_equal(v2[-97:103, -297:-97, -3:7], b)
 
 
-def test_codec_sweep_raw(spark, tmp_path):
-    # codec variants (test/BinDicts.jl:99-120); zstd/blosc env-gated
+@pytest.mark.parametrize("encoding", ["raw", "zstd"])
+def test_codec_sweep(spark, tmp_path, encoding):
+    # codec variants (test/BinDicts.jl:99-120); gzip is the default
+    # exercised everywhere else; zstd rides the pyarrow backend when the
+    # zstandard package is absent; blosc stays env-gated (no fallback)
     f1 = json.loads(json.dumps(F1))
-    f1["scales"][0]["encoding"] = "raw"
-    vol = Volume.create(spark, str(tmp_path / "raw_ds"), Info.from_dict(f1))
+    f1["scales"][0]["encoding"] = encoding
+    vol = Volume.create(spark, str(tmp_path / f"{encoding}_ds"),
+                        Info.from_dict(f1))
     a = rand_u8((200, 200, 10))
     vol[0:200, 0:200, 0:10] = a
     np.testing.assert_array_equal(vol[0:200, 0:200, 0:10], a)
