@@ -81,6 +81,19 @@ def test_partition_stats_salted_no_window(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_lsh_pairs_keyed_join_no_cartesian(spark, sf_dir):
+    # the pair candidate generation must be an equi-join on the
+    # (band, bucket-signature) key — never a cartesian/BNL pair blowup.
+    # (Which keyed strategy wins is size-dependent: broadcast at test
+    # scale, shuffle join at corpus scale — both are fine; a cartesian
+    # product is not.)
+    from bigarrays_jl_spark.operators.similarity import sim_lsh_pairs
+    plan = simple_plan(sim_lsh_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
+
+
 def test_salted_join_spreads_hot_keys(spark, sf_dir):
     # the salted join must execute as a shuffled hash join on
     # (key, salt) — not a broadcast (which would make the salt demo
