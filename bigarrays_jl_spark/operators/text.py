@@ -161,10 +161,93 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# pipeline_clean_corpus — the full LLM training-data prep pipeline as ONE
+# declarative plan: quality gate → language gate → exact-dup removal
+# (normalized fingerprint, keep lowest doc_id) → per-source token budget.
+#
+# Scale shape: a single corpus scan computes every per-doc feature
+# map-side (built-in expressions, no Python); the only wide shuffle is
+# the fingerprint aggregation (hash-partitioned, map-side partial), then
+# a tiny per-source rollup.  Nothing widens: each stage only narrows the
+# row set, so the expensive dedup shuffle sees post-gate survivors only.
+#
+# The corpus is augmented with an exact copy of every 7th doc (id + 2M,
+# same source) so the dedup stage is non-vacuous — same convention as
+# dedup.py's near-dup mutants, mirrored in the oracle.
+# --------------------------------------------------------------------------
+
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    self_row = F.struct("doc_id", "source", "text")
+    copy_row = F.struct((F.col("doc_id") + 2000000).alias("doc_id"),
+                        "source", "text")
+    aug = (d.select(F.explode(F.when(F.col("doc_id") % 7 == 0,
+                                     F.array(self_row, copy_row))
+                               .otherwise(F.array(self_row))).alias("r"))
+            .select("r.doc_id", "r.source", "r.text"))
+    t = _toks()
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of")))
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    feats = aug.select("doc_id", "source",
+                       F.length("text").alias("n_chars"),
+                       n_tok.alias("n_tokens"), n_stop.alias("n_stop"),
+                       n_en.alias("n_en"), F.md5(norm).alias("fp"))
+    gated = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
+        & (F.col("n_en") >= 3))
+    kept = (gated.groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.min_by("source", "doc_id").alias("source"),
+                 F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+                 F.min_by("n_chars", "doc_id").alias("n_chars")))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs_kept"),
+                 F.sum("n_tokens").cast("bigint").alias("ws_tokens"),
+                 F.sum(F.ceil(F.col("n_chars") / 4)).cast("bigint")
+                  .alias("bpe_est_tokens")))
+
+
+PIPELINE_CLEAN_CORPUS_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 7 = 0),
+feats AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         len(list_filter(t, x -> x IN ('the', 'a', 'of'))) AS n_en,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
+  FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM aug)),
+gated AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= 10
+    AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+    AND n_en >= 3),
+kept AS (
+  SELECT fp, min(doc_id) AS keep_id,
+         min_by(source, doc_id) AS source,
+         min_by(n_tokens, doc_id) AS n_tokens,
+         min_by(n_chars, doc_id) AS n_chars
+  FROM gated GROUP BY fp)
+SELECT source, count(*) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens
+FROM kept GROUP BY source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
 }
@@ -175,4 +258,5 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
 }
