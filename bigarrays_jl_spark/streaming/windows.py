@@ -80,6 +80,45 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+DOCS_RAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the continuous-
+    ingest shape of a training-data pipeline (object-store drops or
+    Kafka in production; same logical plan)."""
+    return (spark.readStream.schema(DOCS_RAW_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def streaming_corpus_dedup(docs: DataFrame,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Ingest-time corpus dedup: drop documents whose normalized
+    fingerprint was already admitted within the watermark horizon — the
+    streaming twin of ``pipeline_clean_corpus``'s dedup stage (same
+    fingerprint canon as ``dedup_fingerprint``).
+
+    Documents carry no event time, so arrival time drives the watermark;
+    state is bounded at (horizon × distinct fingerprints seen within
+    it), and a re-crawled duplicate arriving after the horizon is
+    re-admitted — the standard windowed-dedup trade at ingest scale.
+    """
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")))
+    return (docs
+            .withColumn("fp", fp)
+            .withColumn("arrival", F.current_timestamp())
+            .withWatermark("arrival", watermark)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .select("doc_id", "source", "fp"))
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

@@ -135,3 +135,19 @@ def test_streaming_running_count_stateful(spark, sf_dir, events_stream):
             .groupBy("user_id").agg({"*": "count"})
             .withColumnRenamed("count(1)", "n").collect()}
     assert got == want
+
+
+def test_streaming_corpus_dedup_matches_batch(spark, sf_dir):
+    # ingest-time fingerprint dedup must admit exactly one doc per
+    # normalized fingerprint — the batch twin is a distinct count over
+    # the same md5(normalized text) canon
+    from pyspark.sql import functions as F
+    from bigarrays_jl_spark.streaming.windows import (
+        stream_documents, streaming_corpus_dedup)
+    run_to_memory(streaming_corpus_dedup(stream_documents(spark, sf_dir)),
+                  "t_corpus_dedup")
+    n = spark.sql("SELECT count(*) c FROM t_corpus_dedup").collect()[0].c
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")))
+    want = (load(spark, sf_dir, "documents")
+            .select(fp.alias("fp")).distinct().count())
+    assert n == want
