@@ -155,23 +155,33 @@ FROM lineitem WHERE l_orderkey <= 100
 N_TILES = 4
 
 
-def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 4)
+def distributed_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
+                      value: str, tiebreak: str) -> DataFrame:
+    """``df`` plus a ``tile`` column (1..n_tiles) — exact ntile over
+    (value, tiebreak) with no global window.
 
-    # 1. approximate range boundaries over the sort key (ties stay together)
+    1. approximate range boundaries over the sort key assign each row a
+       range bucket (ties share a bucket, so bucket order is a total
+       pre-order of the sort key);
+    2. exact per-bucket counts (≤ #buckets rows to the driver) become
+       cumulative offsets, broadcast back as a literal map;
+    3. rank = offset[bucket] + row_number within the bucket — the only
+       window is per-bucket, bounded at ~n/buckets rows — and the
+       standard ntile split (first n % n_tiles tiles get an extra row)
+       maps rank to tile.
+    """
+    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                    n_tiles)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    raw = o.select(F.percentile_approx("o_totalprice", probs).alias("b")).first()["b"]
+    raw = df.select(F.percentile_approx(value, probs).alias("b")).first()["b"]
     bounds = sorted(set(float(x) for x in raw))
     barr = F.array(*[F.lit(x) for x in bounds])
-    bucket = F.size(F.filter(barr, lambda b: F.col("o_totalprice") > b))
-    bucketed = o.withColumn("bkt", bucket)
+    bucket = F.size(F.filter(barr, lambda b: F.col(value) > b))
+    bucketed = df.withColumn("__bkt", bucket)
 
-    # 2. exact per-bucket counts -> cumulative offsets (tiny; broadcast
-    #    back as a literal map, no join)
-    counts = {r["bkt"]: r["cnt"] for r in
-              bucketed.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()}
-    total, offsets, acc = 0, {}, 0
+    counts = {r["__bkt"]: r["cnt"] for r in
+              bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
@@ -179,16 +189,20 @@ def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
     off_map = F.create_map(*[F.lit(v) for b in sorted(offsets)
                              for v in (b, offsets[b])])
 
-    # 3. per-bucket rank + offset = exact global rank; then the standard
-    #    ntile split: first (total % 4) tiles get one extra row
-    q, r = divmod(total, N_TILES)
-    w = W.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
-    rank = (F.row_number().over(w) + F.element_at(off_map, F.col("bkt")))
+    q, r = divmod(total, n_tiles)
+    w = W.partitionBy("__bkt").orderBy(value, tiebreak)
+    rank = (F.row_number().over(w) + F.element_at(off_map, F.col("__bkt")))
     big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
     tile = F.when(F.lit(q) == 0, F.floor((rank - 1) / F.lit(q + 1))) \
             .when(rank <= big, F.floor((rank - 1) / F.lit(q + 1))) \
             .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))))
-    return (bucketed.withColumn("quartile", (tile + 1).cast("int"))
+    return bucketed.withColumn("tile", (tile + 1).cast("int")).drop("__bkt")
+
+
+def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    tiled = distributed_ntile(spark, o, N_TILES, "o_totalprice", "o_orderkey")
+    return (tiled.withColumnRenamed("tile", "quartile")
             .groupBy("quartile")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -127,3 +127,25 @@ def test_volume_roundtrip_random_geometry(spark, tmp_path_factory, data):
     got, _ = vol.cutout(sub_box)
     want = arr[tuple(slice(a, b) for a, b in zip(x0, x1))]
     assert (got == want).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=50),
+       st.integers(2, 6))
+def test_distributed_ntile_matches_builtin(spark, values, n_tiles):
+    # the scale-safe distributed rank + split formula must agree with
+    # Spark's own ntile window on any input, including heavy ties and
+    # n < n_tiles (integer values cast to double force tie handling
+    # through the range-bucket path)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.advanced import distributed_ntile
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id int, v double")
+    got = {(r.id, r.tile) for r in
+           distributed_ntile(spark, df, n_tiles, "v", "id").collect()}
+    w = W.orderBy("v", "id")
+    want = {(r.id, r.tile) for r in
+            df.withColumn("tile", F.ntile(n_tiles).over(w)).collect()}
+    assert got == want
