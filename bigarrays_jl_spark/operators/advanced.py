@@ -568,6 +568,39 @@ GROUP BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q39 — RANGE-frame window: trailing 10-minute per-user event stats.
+# Complements q08's ROWS frame: RANGE frames bound by the ORDER value
+# (peers included), not row position.  Ordering is integer epoch
+# seconds (floored identically on both engines); the frame sum
+# accumulates in exact decimals so frame evaluation order can't drift.
+# Scale shape: window partitioned by high-cardinality user_id — state
+# per task is one user's trailing horizon, never a global funnel.
+# --------------------------------------------------------------------------
+
+def q39_range_frame_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    sec = F.col("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy(sec).rangeBetween(-600, 0)
+    return e.select(
+        "user_id", "event_id",
+        F.count("*").over(w).alias("n_trailing_10m"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+         .cast("double").alias("value_trailing_10m"))
+
+
+Q39_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_trailing_10m,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+         AS value_trailing_10m
+FROM (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec
+      FROM events WHERE user_id < 30)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -584,6 +617,7 @@ QUERIES = {
     "q36_salted_agg": q36_salted_agg,
     "q37_map_funcs": q37_map_funcs,
     "q38_salted_join": q38_salted_join,
+    "q39_range_frame_window": q39_range_frame_window,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -603,5 +637,6 @@ ORACLES = {
     "q36_salted_agg": Q36_SQL,
     "q37_map_funcs": Q37_SQL,
     "q38_salted_join": Q38_SQL,
+    "q39_range_frame_window": Q39_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }
