@@ -215,7 +215,9 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COS_THRESHOLD}
 _cosine = _cosine_fn
 
 
-def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _ivf_routed(spark: SparkSession, sf: str, nprobe: int):
+    """(corpus, routed) where routed holds each query's ``nprobe``
+    nearest coarse cells — the shared IVF search front-end."""
     e = load(spark, sf, "embeddings")
     # coarse quantizer: per-label elementwise-mean centroid (two-level
     # reduction — the same plan shape a k-means E-step emits at scale)
@@ -228,13 +230,18 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                     lambda s: s["m"]).alias("centroid")))
     q = (e.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
-    # route: nearest centroid per query (centroid table is tiny → broadcast)
+    # route: nearest centroid(s) per query (centroid table is tiny → broadcast)
     routed = (q.crossJoin(F.broadcast(cent))
                .withColumn("score", _cosine(F.col("qe"), F.col("centroid")))
                .withColumn("r", F.row_number().over(
                    W.partitionBy("qid").orderBy(F.col("score").desc(), "label")))
-               .filter(F.col("r") == 1)
+               .filter(F.col("r") <= nprobe)
                .select("qid", "qe", F.col("label").alias("probe")))
+    return e, routed
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e, routed = _ivf_routed(spark, sf, nprobe=1)
     # search only the probed cell; the probe side is 10 rows → broadcast,
     # so the corpus scan stays shuffle-free and label-pruned
     scored = (e.join(F.broadcast(routed), e["label"] == routed["probe"])
@@ -244,6 +251,22 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= TOP_K)
                   .select("qid", "probe", "vec_id", "cosine", "rank"))
+
+
+def ann_ivf_nprobe2_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """nprobe=2 IVF: scan each query's TWO nearest cells — the standard
+    recall/cost knob (recall lost to quantization at cell boundaries is
+    recovered linearly in nprobe while the scan stays nprobe/nlist of
+    the corpus).  A vector lives in exactly one cell, so it scores at
+    most once per query and no dedup step is needed."""
+    e, routed = _ivf_routed(spark, sf, nprobe=2)
+    scored = (e.join(F.broadcast(routed), e["label"] == routed["probe"])
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "vec_id", "cosine", "rank"))
 
 
 ANN_IVF_TOPK_SQL = f"""
@@ -271,6 +294,38 @@ scored AS (
   FROM embeddings e JOIN routed ON e.label = routed.probe
   WHERE vec_id <> qid)
 SELECT qid, probe, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVF_NPROBE2_SQL = f"""
+WITH expl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+dims AS (SELECT label, pos, avg(v) AS m FROM expl GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT qid, qe, probe FROM (
+    SELECT qid, qe, label AS probe,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round({_DOT_SQL.format(a='qe', b='centroid')}
+                   / (sqrt({_NORM2_SQL.format(a='qe')})
+                      * sqrt({_NORM2_SQL.format(a='centroid')})), 6) DESC,
+             label) AS r
+    FROM q, cent) WHERE r <= 2),
+scored AS (
+  SELECT qid, vec_id,
+         round({_DOT_SQL.format(a='qe', b='embedding')}
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt({_NORM2_SQL.format(a='embedding')})), 6) AS cosine
+  FROM embeddings e JOIN routed ON e.label = routed.probe
+  WHERE vec_id <> qid)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY qid
             ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
@@ -310,6 +365,7 @@ FROM dims GROUP BY label
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_nprobe2_topk": ann_ivf_nprobe2_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -318,6 +374,7 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "ann_ivf_nprobe2_topk": ANN_IVF_NPROBE2_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,
