@@ -336,12 +336,80 @@ SELECT doc_id, {bits} AS simhash FROM sums
 TEXT_SIMHASH_SQL = _simhash_sql()
 
 
+# --------------------------------------------------------------------------
+# dedup_components — connected components over the verified near-dup
+# pairs: the step that turns pairwise matches into dedup groups (one
+# canonical doc per component).  Spark-first iterative algorithm:
+# min-label propagation over the undirected edge set, one hash join +
+# aggregation per round, localCheckpoint each round to truncate lineage
+# (the standard iterative-DataFrame pattern).  Rounds needed = component
+# diameter — near-dup clusters are tiny, and the loop exits on the first
+# round with no label change (one scalar to the driver per round).
+# The DuckDB oracle computes the same fixpoint with a recursive CTE.
+# Singleton docs (no near-dup pair) are out of scope on both sides.
+# --------------------------------------------------------------------------
+
+MAX_CC_ROUNDS = 15
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                      F.col("doc_a").alias("doc_b")))
+             .toDF("src", "dst").localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(MAX_CC_ROUNDS):
+        prop = (edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label"))
+        new = (labels.select("node", "label").union(prop)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").alias("component_id"),
+                    "component_size"))
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE aug AS ({_AUG_SQL}),
+{_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lab) AS component_id FROM reach GROUP BY node),
+csize AS (SELECT component_id, count(*) AS component_size
+          FROM comp GROUP BY component_id)
+SELECT node AS doc_id, comp.component_id, component_size
+FROM comp JOIN csize ON comp.component_id = csize.component_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_components": dedup_components,
     "text_simhash": text_simhash,
 }
 
@@ -351,5 +419,6 @@ ORACLES = {
     "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": _embedding_cosine_sql(),
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "text_simhash": TEXT_SIMHASH_SQL,
 }
