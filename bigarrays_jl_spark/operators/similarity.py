@@ -334,6 +334,96 @@ WHERE rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# ann_kmeans_cells — the actual k-means FIT for the IVF coarse
+# quantizer (ann_ivf_topk consumes a cell assignment; this produces
+# one).  Deterministic Lloyd's: seeded init (vectors 0..K-1), cosine
+# assignment with rounded scores + cell tie-break, centroid update via
+# exact DECIMAL(18,9) component sums → one double division — so every
+# iteration is bit-reproducible regardless of partitioning, and the
+# DuckDB oracle (the same iterations unrolled as CTEs) matches exactly.
+# Scale shape per iteration: centroids broadcast (K × dim doubles),
+# assignment is one corpus scan, the update is the two-level posexplode
+# reduction (shuffle width = K × dim, not vectors).
+# --------------------------------------------------------------------------
+
+K_CELLS = 8
+KM_ITERS = 3
+
+
+def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    return (e.crossJoin(F.broadcast(cent))
+            .withColumn("score", _cosine(F.col("embedding"), F.col("centroid")))
+            .withColumn("r", F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("score").desc(), "cell")))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", "cell", "score"))
+
+
+def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    cent = (e.filter(F.col("vec_id") < K_CELLS)
+            .select(F.col("vec_id").alias("cell"),
+                    F.transform("embedding", lambda x: x.cast("double"))
+                     .alias("centroid")))
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(e, cent)
+        expl = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        dims = (expl.groupBy("cell", "pos")
+                .agg((F.sum(F.col("v").cast("double").cast("decimal(18,9)"))
+                       .cast("double") / F.count("*")).alias("m")))
+        cent = (dims.groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"]).alias("centroid")))
+    final = _km_assign(e, cent)
+    return (final.groupBy("cell")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.sum(F.col("score").cast("decimal(10,6)"))
+                          .cast("double") / F.count("*"), 6)
+                  .alias("avg_cosine")))
+
+
+def _kmeans_sql() -> str:
+    score = (f"round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}"
+             f" / (sqrt({_NORM2_SQL.format(a='e.embedding')})"
+             f" * sqrt({_NORM2_SQL.format(a='c.centroid')})), 6)")
+
+    def assign(name: str, cent: str) -> str:
+        return (f"{name} AS (\n"
+                f"  SELECT vec_id, embedding, cell, score FROM (\n"
+                f"    SELECT e.vec_id, e.embedding, c.cell, {score} AS score,\n"
+                f"           row_number() OVER (PARTITION BY e.vec_id\n"
+                f"               ORDER BY {score} DESC, c.cell) AS r\n"
+                f"    FROM embeddings e, {cent} c) WHERE r = 1)")
+
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cell, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
+        f"FROM embeddings WHERE vec_id < {K_CELLS})"]
+    for t in range(1, KM_ITERS + 1):
+        parts.append(assign(f"a{t}", f"cent{t - 1}"))
+        parts.append(
+            f"d{t} AS (\n"
+            f"  SELECT cell, i - 1 AS pos,\n"
+            f"         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)"
+            f" AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m\n"
+            f"  FROM a{t}, UNNEST(range(1, len(embedding) + 1)) u(i)\n"
+            f"  GROUP BY cell, pos)")
+        parts.append(f"cent{t} AS (SELECT cell, list(m ORDER BY pos)"
+                     f" AS centroid FROM d{t} GROUP BY cell)")
+    parts.append(assign("final", f"cent{KM_ITERS}"))
+    body = ",\n".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT cell, count(*) AS n_vectors,\n"
+            f"       round(CAST(sum(CAST(score AS DECIMAL(10,6))) AS DOUBLE)"
+            f" / count(*), 6) AS avg_cosine\n"
+            f"FROM final GROUP BY cell")
+
+
+ANN_KMEANS_CELLS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------------------------------------
 # per-label centroid stats: groupBy over array columns with elementwise
 # aggregation (the "build the IVF coarse quantizer" step)
 # --------------------------------------------------------------------------
@@ -366,6 +456,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2_topk": ann_ivf_nprobe2_topk,
+    "ann_kmeans_cells": ann_kmeans_cells,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -375,6 +466,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_ivf_nprobe2_topk": ANN_IVF_NPROBE2_SQL,
+    "ann_kmeans_cells": ANN_KMEANS_CELLS_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,
