@@ -359,7 +359,10 @@ def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
             .select("vec_id", "embedding", "cell", "score"))
 
 
-def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+def _kmeans_fit(spark: SparkSession, sf: str):
+    """(final assignment, final centroids) after KM_ITERS Lloyd's
+    rounds — shared by the cell-stats query and the composed IVF
+    search."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     cent = (e.filter(F.col("vec_id") < K_CELLS)
             .select(F.col("vec_id").alias("cell"),
@@ -375,7 +378,11 @@ def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
                 .agg(F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s["m"]).alias("centroid")))
-    final = _km_assign(e, cent)
+    return _km_assign(e, cent), cent
+
+
+def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    final, _ = _kmeans_fit(spark, sf)
     return (final.groupBy("cell")
             .agg(F.count("*").alias("n_vectors"),
                  F.round(F.sum(F.col("score").cast("decimal(10,6)"))
@@ -383,7 +390,34 @@ def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
                   .alias("avg_cosine")))
 
 
-def _kmeans_sql() -> str:
+def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The quantizer fit and the search composed end-to-end: route each
+    query to its nearest fitted k-means centroid and scan only that
+    cell's members — what ann_ivf_topk does with the ready-made label
+    column, now over cells this engine itself fitted."""
+    final, cent = _kmeans_fit(spark, sf)
+    q = (final.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    routed = (q.crossJoin(F.broadcast(cent))
+              .withColumn("s", _cosine(F.col("qe"), F.col("centroid")))
+              .withColumn("r", F.row_number().over(
+                  W.partitionBy("qid").orderBy(F.col("s").desc(), "cell")))
+              .filter(F.col("r") == 1)
+              .select("qid", "qe", F.col("cell").alias("probe")))
+    scored = (final.join(F.broadcast(routed), final["cell"] == routed["probe"])
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", F.col("probe").alias("cell"),
+                          "vec_id", "cosine", "rank"))
+
+
+def _kmeans_ctes() -> str:
+    """CTE chain ``cent0, a1, d1, cent1, …, final`` — the unrolled
+    Lloyd's iterations, shared by the cell-stats and composed-IVF
+    oracles."""
     score = (f"round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}"
              f" / (sqrt({_NORM2_SQL.format(a='e.embedding')})"
              f" * sqrt({_NORM2_SQL.format(a='c.centroid')})), 6)")
@@ -412,15 +446,43 @@ def _kmeans_sql() -> str:
         parts.append(f"cent{t} AS (SELECT cell, list(m ORDER BY pos)"
                      f" AS centroid FROM d{t} GROUP BY cell)")
     parts.append(assign("final", f"cent{KM_ITERS}"))
-    body = ",\n".join(parts)
-    return (f"WITH {body}\n"
-            f"SELECT cell, count(*) AS n_vectors,\n"
-            f"       round(CAST(sum(CAST(score AS DECIMAL(10,6))) AS DOUBLE)"
-            f" / count(*), 6) AS avg_cosine\n"
-            f"FROM final GROUP BY cell")
+    return ",\n".join(parts)
 
 
-ANN_KMEANS_CELLS_SQL = _kmeans_sql()
+ANN_KMEANS_CELLS_SQL = (
+    f"WITH {_kmeans_ctes()}\n"
+    f"SELECT cell, count(*) AS n_vectors,\n"
+    f"       round(CAST(sum(CAST(score AS DECIMAL(10,6))) AS DOUBLE)"
+    f" / count(*), 6) AS avg_cosine\n"
+    f"FROM final GROUP BY cell")
+
+
+ANN_IVF_KMEANS_SQL = f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT vec_id AS qid, embedding AS qe FROM final
+      WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT qid, qe, probe FROM (
+    SELECT qid, qe, c.cell AS probe,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round({_DOT_SQL.format(a='qe', b='c.centroid')}
+                   / (sqrt({_NORM2_SQL.format(a='qe')})
+                      * sqrt({_NORM2_SQL.format(a='c.centroid')})), 6) DESC,
+             c.cell) AS r
+    FROM q, cent{KM_ITERS} c) WHERE r = 1),
+scored AS (
+  SELECT qid, probe AS cell, f.vec_id,
+         round({_DOT_SQL.format(a='qe', b='f.embedding')}
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt({_NORM2_SQL.format(a='f.embedding')})), 6) AS cosine
+  FROM final f JOIN routed ON f.cell = routed.probe
+  WHERE f.vec_id <> qid)
+SELECT qid, cell, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -457,6 +519,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2_topk": ann_ivf_nprobe2_topk,
     "ann_kmeans_cells": ann_kmeans_cells,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -467,6 +530,7 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_ivf_nprobe2_topk": ANN_IVF_NPROBE2_SQL,
     "ann_kmeans_cells": ANN_KMEANS_CELLS_SQL,
+    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,
