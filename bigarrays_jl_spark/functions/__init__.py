@@ -1,6 +1,7 @@
 """Shared expression builders — see expressions.py."""
 
 from bigarrays_jl_spark.functions.expressions import (  # noqa: F401
-    cosine, dot, norm2, shingle_array, tokens)
+    cosine, dot, fingerprint, norm2, norm_text, shingle_array, tokens)
 
-__all__ = ["cosine", "dot", "norm2", "shingle_array", "tokens"]
+__all__ = ["cosine", "dot", "fingerprint", "norm2", "norm_text",
+           "shingle_array", "tokens"]

@@ -30,6 +30,22 @@ def shingle_array(tok_col: str, n: int = 3) -> Column:
         f"i -> concat_ws(' ', {parts}))")
 
 
+# -- fingerprint canon -------------------------------------------------------
+
+def norm_text(col: str | Column = "text") -> Column:
+    """Normalized text: lowercase, strip everything but [a-z0-9 ], trim.
+    SQL twin: trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """md5 of the normalized text — THE dedup fingerprint canon shared
+    by dedup_fingerprint, text_fingerprint, pipeline_clean_corpus and
+    streaming_corpus_dedup.  Every site must use this helper (not an
+    inline copy) so cross-operator dedup equivalence cannot drift."""
+    return F.md5(norm_text(col))
+
+
 # -- vector math over array columns -----------------------------------------
 
 def dot(a: Column, b: Column) -> Column:

@@ -174,6 +174,8 @@ def distributed_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
                     n_tiles)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     raw = df.select(F.percentile_approx(value, probs).alias("b")).first()["b"]
+    if raw is None:  # empty input: no boundaries, no rows to tile
+        return df.withColumn("tile", F.lit(None).cast("int"))
     bounds = sorted(set(float(x) for x in raw))
     barr = F.array(*[F.lit(x) for x in bounds])
     bucket = F.size(F.filter(barr, lambda b: F.col(value) > b))
@@ -193,8 +195,8 @@ def distributed_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     w = W.partitionBy("__bkt").orderBy(value, tiebreak)
     rank = (F.row_number().over(w) + F.element_at(off_map, F.col("__bkt")))
     big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
-    tile = F.when(F.lit(q) == 0, F.floor((rank - 1) / F.lit(q + 1))) \
-            .when(rank <= big, F.floor((rank - 1) / F.lit(q + 1))) \
+    # when q == 0, big == total so the first branch covers every rank
+    tile = F.when(rank <= big, F.floor((rank - 1) / F.lit(q + 1))) \
             .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))))
     return bucketed.withColumn("tile", (tile + 1).cast("int")).drop("__bkt")
 
@@ -249,14 +251,18 @@ def q29_bucketed_range_join(spark: SparkSession, sf: str) -> DataFrame:
                  .groupBy("u").agg(F.count("*").alias("n_close_pairs")))
 
 
-# epoch_us // 1000000 floors like Spark's cast(ts as long); DuckDB's
-# epoch() would *round* fractional seconds and can disagree on pairs
-# whose true gap straddles the 60 s boundary
+# floor(epoch_us/1e6) floors like Spark's cast(ts as long) for ALL
+# timestamps: DuckDB's epoch() *rounds* fractional seconds and its `//`
+# truncates toward zero (wrong pre-1970).  The double division is exact
+# enough: |epoch_us| < 2^53 so the quotient's nearest-double error is
+# below half an ulp (~2.4e-7 s at 2025 epochs), smaller than the 1e-6 s
+# granularity separating a true quotient from the next integer.
 Q29_SQL = """
 SELECT a.user_id AS u, count(*) AS n_close_pairs
 FROM events a JOIN events b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
- AND abs((epoch_us(a.ts) // 1000000) - (epoch_us(b.ts) // 1000000)) <= 60
+ AND abs(CAST(floor(epoch_us(a.ts) / 1000000) AS BIGINT)
+         - CAST(floor(epoch_us(b.ts) / 1000000) AS BIGINT)) <= 60
 GROUP BY a.user_id
 """
 
@@ -594,7 +600,8 @@ SELECT user_id, event_id,
        count(*) OVER w AS n_trailing_10m,
        CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
          AS value_trailing_10m
-FROM (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec
+FROM (SELECT user_id, event_id, value,
+             CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
       FROM events WHERE user_id < 30)
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)

@@ -130,9 +130,9 @@ FROM aug GROUP BY md5(text)
 # --------------------------------------------------------------------------
 
 def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import fingerprint
     aug = _augmented(spark, sf)
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
-    return (aug.groupBy(F.md5(norm).alias("fp"))
+    return (aug.groupBy(fingerprint().alias("fp"))
                .agg(F.min("doc_id").alias("keep_id"),
                     F.count("*").alias("n_copies")))
 
@@ -359,6 +359,7 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
              .toDF("src", "dst").localCheckpoint())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
+    changed = None
     for _ in range(MAX_CC_ROUNDS):
         prop = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "label"))
@@ -370,6 +371,13 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # never return silently-wrong groups: a component with diameter
+        # beyond the round budget means labels haven't reached fixpoint
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ROUNDS} "
+            f"rounds ({changed} labels still changing); raise MAX_CC_ROUNDS "
+            f"for graphs with longer near-dup chains")
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (labels.join(sizes, "label")
             .select(F.col("node").alias("doc_id"),

@@ -82,17 +82,19 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("events_per_session")))
 
 
-# (epoch_us(ts) // 1000000) floors each timestamp to whole seconds the
-# same way Spark's cast(ts as long) does; DuckDB's epoch() *rounds*
-# fractional seconds and could flip a gap that lands on the boundary
+# floor(epoch_us/1e6) floors each timestamp to whole seconds the same
+# way Spark's cast(ts as long) does for ALL timestamps; DuckDB's epoch()
+# *rounds* fractional seconds and `//` truncates toward zero (diverges
+# pre-1970).  See Q29_SQL in advanced.py for the exactness argument.
 EVENTS_SESSIONIZE_SQL = f"""
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
-              OR (epoch_us(ts) // 1000000)
-                 - (epoch_us(lag(ts) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id)) // 1000000)
+              OR CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                 - CAST(floor(epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                              / 1000000) AS BIGINT)
                  > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_s
   FROM events),

@@ -43,31 +43,57 @@ COS_THRESHOLD = 0.3  # near-dup cosine threshold (corpus is near-random)
 N_BANDS = 4
 BAND_BITS = 12                      # 4096 buckets per band
 N_PLANES = N_BANDS * BAND_BITS
-# Deterministic signed projections: plane j weights dimension i by
-# ±1 from the parity of popcount(i & MASKS[j]) — a seeded binary linear
-# code, balanced and engine-portable (bit_count + & exist in both Spark
-# and DuckDB, so the oracle reproduces the planes exactly).
-MASKS = [random.Random(20260813 + j).getrandbits(63) for j in range(N_PLANES)]
-_MASKS_SQL = ", ".join(str(m) for m in MASKS)
+# Deterministic signed projections: plane j is the sign of
+# dot(embedding, SIGNS[j]) with SIGNS a seeded i.i.d. ±1 matrix — the
+# textbook sign-LSH family — embedded as plan-time literals so both
+# engines evaluate the exact same planes.  (An earlier popcount-parity
+# construction keyed the sign off the 6-bit dimension INDEX, so only 64
+# distinct plane functions existed regardless of N_PLANES — a silent cap
+# far below the advertised bucket space.)  SIGN_DIM covers the testdata
+# dimensionality; longer embeddings project on their first SIGN_DIM
+# coordinates, shorter ones use the dims they have — identically on
+# both engines, since both forms iterate min(dim, SIGN_DIM) indices.
+SIGN_DIM = 64
+_rng = random.Random(20260813)
+SIGNS = [[1.0 if _rng.random() < 0.5 else -1.0 for _ in range(SIGN_DIM)]
+         for _ in range(N_PLANES)]
+
+
+def _signs_sql(open_b: str, close_b: str, suffix: str = "") -> str:
+    row = lambda r: open_b + ", ".join(  # noqa: E731
+        f"{v:.1f}{suffix}" for v in r) + close_b
+    return open_b + ", ".join(row(r) for r in SIGNS) + close_b
+
 
 # one nested higher-order expression (not N_PLANES unrolled folds) keeps
 # codegen narrow; evaluation stays JVM-side
 _BITS_SPARK = f"""
 transform(sequence(0, {N_PLANES - 1}), j ->
   CASE WHEN aggregate(
-      zip_with(embedding, sequence(0, size(embedding) - 1),
-        (v, i) -> CAST(v AS DOUBLE) * (1.0D - 2.0D *
-            CAST(bit_count(i & element_at(array({_MASKS_SQL}), j + 1)) % 2 AS DOUBLE))),
+      transform(sequence(1, least(size(embedding), {SIGN_DIM})),
+        i -> CAST(element_at(embedding, i) AS DOUBLE)
+             * element_at(element_at({_signs_sql("array(", ")", "D")}, j + 1), i)),
       CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0D
   THEN '1' ELSE '0' END)
 """
 
-_BITS_DUCK = f"""
-list_transform(range(0, {N_PLANES}), j ->
-  CASE WHEN list_sum(list_transform(range(0, len(embedding)), i ->
-      CAST(embedding[i + 1] AS DOUBLE) * (1.0 - 2.0 *
-          CAST(bit_count(i & ([{_MASKS_SQL}])[j + 1]) % 2 AS DOUBLE))))
-    > 0 THEN '1' ELSE '0' END)
+# DuckDB side: the sign matrix materializes ONCE as a VALUES CTE (a
+# literal list inside a lambda would be re-constructed per element —
+# measured at seconds per row), and the bit vector is a string built by
+# an ordered string_agg over the per-plane cross join.
+_SIGNS_CTE = "signs(j, s) AS (VALUES " + ", ".join(
+    f"({j}, [" + ", ".join(f"{v:.1f}" for v in row) + "])"
+    for j, row in enumerate(SIGNS)) + ")"
+
+_BITS_CTE = f"""
+b AS (
+  SELECT vec_id, embedding,
+         string_agg(CASE WHEN list_sum(list_transform(
+             range(1, least(len(embedding), {SIGN_DIM}) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * s[i])) > 0
+           THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+  FROM embeddings, signs
+  GROUP BY vec_id, embedding)
 """
 
 
@@ -77,7 +103,7 @@ def _band_key(b: int):
 
 
 def _band_key_sql(b: int) -> str:
-    return f"array_to_string(bits[{b * BAND_BITS + 1}:{(b + 1) * BAND_BITS}], '')"
+    return f"substr(bits, {b * BAND_BITS + 1}, {BAND_BITS})"
 
 
 _DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
@@ -142,7 +168,8 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SIM_LSH_BUCKETS_SQL = f"""
-WITH b AS (SELECT vec_id, ({_BITS_DUCK}) AS bits FROM embeddings)
+WITH {_SIGNS_CTE},
+{_BITS_CTE}
 SELECT {_band_key_sql(0)} AS bucket, count(*) AS n_vectors,
        min(vec_id) AS min_vec_id
 FROM b GROUP BY 1
@@ -184,7 +211,8 @@ _KEYS_UNION_SQL = "\n  UNION ALL\n".join(
     for b in range(N_BANDS))
 
 SIM_LSH_PAIRS_SQL = f"""
-WITH b AS (SELECT vec_id, embedding, ({_BITS_DUCK}) AS bits FROM embeddings),
+WITH {_SIGNS_CTE},
+{_BITS_CTE},
 keys AS (
 {_KEYS_UNION_SQL}
 ),

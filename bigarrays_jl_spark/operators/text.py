@@ -116,9 +116,9 @@ FROM q
 # --------------------------------------------------------------------------
 
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import norm_text
     d = load(spark, sf, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
-    return (d.withColumn("norm", norm)
+    return (d.withColumn("norm", norm_text())
              .filter(F.length("norm") >= 8)
              .select("doc_id",
                      F.md5("norm").alias("fp_full"),
@@ -190,11 +190,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     n_tok = F.size(t)
     n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     n_en = F.size(F.filter(t, lambda x: x.isin("the", "a", "of")))
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    from bigarrays_jl_spark.functions import fingerprint
     feats = aug.select("doc_id", "source",
                        F.length("text").alias("n_chars"),
                        n_tok.alias("n_tokens"), n_stop.alias("n_stop"),
-                       n_en.alias("n_en"), F.md5(norm).alias("fp"))
+                       n_en.alias("n_en"), fingerprint().alias("fp"))
     gated = feats.filter(
         (F.col("n_tokens") >= 10)
         & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)

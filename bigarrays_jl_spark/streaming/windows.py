@@ -110,9 +110,9 @@ def streaming_corpus_dedup(docs: DataFrame,
     it), and a re-crawled duplicate arriving after the horizon is
     re-admitted — the standard windowed-dedup trade at ingest scale.
     """
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")))
+    from bigarrays_jl_spark.functions import fingerprint
     return (docs
-            .withColumn("fp", fp)
+            .withColumn("fp", fingerprint())
             .withColumn("arrival", F.current_timestamp())
             .withWatermark("arrival", watermark)
             .dropDuplicatesWithinWatermark(["fp"])
