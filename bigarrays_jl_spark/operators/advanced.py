@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
 from bigarrays_jl_spark.sources.tables import load
 
 
@@ -160,45 +161,23 @@ def distributed_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     """``df`` plus a ``tile`` column (1..n_tiles) — exact ntile over
     (value, tiebreak) with no global window.
 
-    1. approximate range boundaries over the sort key assign each row a
-       range bucket (ties share a bucket, so bucket order is a total
-       pre-order of the sort key);
-    2. exact per-bucket counts (≤ #buckets rows to the driver) become
-       cumulative offsets, broadcast back as a literal map;
-    3. rank = offset[bucket] + row_number within the bucket — the only
-       window is per-bucket, bounded at ~n/buckets rows — and the
-       standard ntile split (first n % n_tiles tiles get an extra row)
-       maps rank to tile.
+    rank = distributed_prefix_sum with a constant weight of 1 (the
+    two-phase range-bucket pattern, operators/ordering.py); the
+    standard ntile split (first n % n_tiles tiles get an extra row)
+    then maps rank to tile.
     """
-    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-                    n_tiles)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    raw = df.select(F.percentile_approx(value, probs).alias("b")).first()["b"]
-    if raw is None:  # empty input: no boundaries, no rows to tile
-        return df.withColumn("tile", F.lit(None).cast("int"))
-    bounds = sorted(set(float(x) for x in raw))
-    barr = F.array(*[F.lit(x) for x in bounds])
-    bucket = F.size(F.filter(barr, lambda b: F.col(value) > b))
-    bucketed = df.withColumn("__bkt", bucket)
-
-    counts = {r["__bkt"]: r["cnt"] for r in
-              bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    total = acc
-    off_map = F.create_map(*[F.lit(v) for b in sorted(offsets)
-                             for v in (b, offsets[b])])
-
+    ranked, total = distributed_prefix_sum(
+        spark, df, F.lit(1), value, tiebreak, out="__rank")
+    if total == 0:  # empty input: no rows to tile
+        return ranked.withColumn("tile", F.lit(None).cast("int")) \
+                     .drop("__rank")
     q, r = divmod(total, n_tiles)
-    w = W.partitionBy("__bkt").orderBy(value, tiebreak)
-    rank = (F.row_number().over(w) + F.element_at(off_map, F.col("__bkt")))
+    rank = F.col("__rank")
     big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
     # when q == 0, big == total so the first branch covers every rank
     tile = F.when(rank <= big, F.floor((rank - 1) / F.lit(q + 1))) \
             .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))))
-    return bucketed.withColumn("tile", (tile + 1).cast("int")).drop("__bkt")
+    return ranked.withColumn("tile", (tile + 1).cast("int")).drop("__rank")
 
 
 def q28_ntile(spark: SparkSession, sf: str) -> DataFrame:
