@@ -23,11 +23,17 @@ def tokens(col: str | Column = "text") -> Column:
 
 def shingle_array(tok_col: str, n: int = 3) -> Column:
     """All n-word shingles of a token-array column (map-side, no
-    explode); empty when the document has fewer than ``n`` tokens."""
+    explode); empty when the document has fewer than ``n`` tokens.
+
+    The short-document guard is load-bearing: without it,
+    ``sequence(0, size - n)`` DESCENDS for size < n (Spark defaults to
+    step -1 when start > stop) and ``element_at(col, 0)`` throws."""
     parts = ", ".join(f"element_at({tok_col}, i+{j + 1})" for j in range(n))
     return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
         f"transform(sequence(0, size({tok_col}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))")
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END")
 
 
 # -- fingerprint canon -------------------------------------------------------

@@ -7,9 +7,11 @@ bench.py iterate the same registry so coverage stays in one place.
 from __future__ import annotations
 
 from bigarrays_jl_spark.operators import (advanced, dedup, events, multimodal,
-                                          relational, similarity, text)
+                                          pipeline, relational, similarity,
+                                          text)
 
-_MODULES = (relational, advanced, dedup, text, similarity, events, multimodal)
+_MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
+            pipeline)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

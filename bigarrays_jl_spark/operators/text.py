@@ -243,6 +243,41 @@ FROM kept GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# text_doc_freq — the corpus term table (document frequency, collection
+# term frequency, idf): the inverted-index statistics behind TF-IDF
+# ranking and stopword discovery.
+#
+# Scale shape: one explode + one groupBy(term) with map-side partial
+# aggregation; the corpus row count rides in as a broadcast 1-row
+# cross join so no second scan or driver-side constant is needed.
+# Term cardinality (vocabulary), not corpus size, bounds the shuffle.
+# --------------------------------------------------------------------------
+
+def text_doc_freq(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    n_docs = d.select(F.count("*").cast("double").alias("n"))
+    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    per_term = (toks.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("doc_freq"),
+                     F.count("*").alias("term_freq")))
+    return (per_term.crossJoin(F.broadcast(n_docs))
+            .select("term", "doc_freq", "term_freq",
+                    F.round(F.log(F.col("n") / F.col("doc_freq")), 6)
+                     .alias("idf")))
+
+
+TEXT_DOC_FREQ_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq,
+       round(ln(n.n / count(DISTINCT doc_id)), 6) AS idf
+FROM tok, n GROUP BY term, n.n
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -250,6 +285,7 @@ QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "text_doc_freq": text_doc_freq,
 }
 
 ORACLES = {
@@ -258,5 +294,6 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "text_doc_freq": TEXT_DOC_FREQ_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
 }

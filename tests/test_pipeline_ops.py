@@ -1,0 +1,89 @@
+"""Pipeline-operator semantics: decontamination, sequence packing,
+global ids, deterministic sampling, mixture upsampling — plus the
+shingle short-document guard these build on."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.functions.expressions import shingle_array, tokens
+from bigarrays_jl_spark.operators.pipeline import (
+    MIX_WEIGHTS, PACK_BUDGET, pipeline_decontaminate, pipeline_global_ids,
+    pipeline_pack_sequences, sample_stratified, sample_weighted_mix)
+
+
+def test_shingle_array_short_doc_is_empty(spark):
+    # regression: sequence(0, size-n) DESCENDS for short docs and
+    # element_at(col, 0) throws — the guard must yield [] instead
+    df = spark.createDataFrame([("a b",), ("a b c d e",)], ["text"])
+    rows = (df.withColumn("t", tokens())
+              .select(shingle_array("t", 4).alias("s"))
+              .collect())
+    assert sorted(r["s"] for r in rows) == [[], ["a b c d", "b c d e"]]
+
+
+def test_decontaminate_flags_only_train_docs(spark, sf_dir):
+    flagged = pipeline_decontaminate(spark, sf_dir).collect()
+    assert flagged, "calibrated fixture must produce contamination hits"
+    for r in flagged:
+        assert r["doc_id"] % 10 != 0  # eval docs never flag themselves
+        assert r["n_shared_ngrams"] >= 1
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    n_tokens = d.select(F.sum(F.size(tokens())).alias("s")).first()["s"]
+    bins = pipeline_pack_sequences(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    assert sum(r["bin_tokens"] for r in bins) == n_tokens
+    # bins tile the token stream: ids are exactly 0..max with no holes
+    ids = sorted(r["bin_id"] for r in bins)
+    assert ids == list(range(len(ids)))
+    # every bin start is budget-aligned, so a bin's docs can't span more
+    # than (bin_tokens // PACK_BUDGET + 1) budget windows
+    by_id = {r["bin_id"]: r for r in bins}
+    for i in ids[:-1]:  # non-terminal bins reach the next boundary
+        assert by_id[i]["last_doc"] < by_id[i + 1]["first_doc"]
+
+
+def test_global_ids_match_builtin_row_number(spark, sf_dir):
+    # the distributed two-phase rank must equal the single-partition
+    # window answer exactly (which is fine to compute at test scale)
+    got = {r["doc_id"]: r["global_id"]
+           for r in pipeline_global_ids(spark, sf_dir).collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r["doc_id"]: r["rn"] for r in
+            d.select("doc_id", F.row_number().over(
+                W.orderBy("n_chars", "doc_id")).alias("rn")).collect()}
+    assert got == want
+
+
+def test_stratified_sample_is_deterministic_and_skewed(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in sample_stratified(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in sample_stratified(spark, sf_dir).collect())
+    assert a == b  # hash-based: rerun-stable, no RNG
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            sample_stratified(spark, sf_dir)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # the head language is downsampled well below the tail's keep rate
+    assert kept["en"] / totals["en"] < kept["de"] / totals["de"]
+
+
+def test_weighted_mix_replicates_per_source(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = {r["source"]: r["n"] for r in
+               d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    expected = sum(MIX_WEIGHTS.get(s, 1) * n for s, n in per_src.items())
+    mixed = sample_weighted_mix(spark, sf_dir)
+    assert mixed.count() == expected
+    copies = {r["source"]: r["c"] for r in
+              mixed.groupBy("source").agg(
+                  F.countDistinct("copy").alias("c")).collect()}
+    assert copies["src0"] == MIX_WEIGHTS["src0"]
+    assert copies["src5"] == 1
+    # mix_id is unique across all replicas
+    assert mixed.select("mix_id").distinct().count() == expected

@@ -146,3 +146,23 @@ def test_cutout_prunes_at_scan(spark, tmp_path):
     pf = " ".join(pushed_filters(pruned))
     # chunk-id range predicates reach the parquet scan → row-group pruning
     assert "cx" in pf and "cy" in pf and "cz" in pf, pf
+
+
+def test_global_order_ops_no_single_partition(spark, sf_dir):
+    # the prefix-sum-backed operators must never plan the whole-table
+    # Exchange SinglePartition that a bare ORDER BY window produces
+    from bigarrays_jl_spark.operators.pipeline import (
+        pipeline_global_ids, pipeline_pack_sequences)
+    for op in (pipeline_global_ids, pipeline_pack_sequences):
+        plan = simple_plan(op(spark, sf_dir))
+        assert "SinglePartition" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    # the eval split's shingle set must broadcast into the train-side
+    # scan — one corpus pass, no corpus-sized shingle shuffle join
+    from bigarrays_jl_spark.operators.pipeline import pipeline_decontaminate
+    df = pipeline_decontaminate(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
