@@ -411,8 +411,47 @@ FROM comp JOIN csize ON comp.component_id = csize.component_id
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_incremental — the production ingest pattern: dedupe a NEW batch
+# (doc_id % 5 == 4 stands in for today's crawl) against the existing
+# corpus WITHOUT re-deduping the corpus itself.  Batch fingerprints
+# anti-join the corpus fingerprint set, then the batch self-dedupes
+# (keep lowest doc_id per fingerprint).
+#
+# Scale shape: the corpus side reduces to DISTINCT 16-byte fingerprints
+# before the join — at 100 TB that's the fingerprint index, not the
+# corpus; the anti-join shuffles on the fingerprint hash (or broadcasts
+# the batch when today's crawl is the small side).  Nothing rescans or
+# rewrites previously-deduped data.
+# --------------------------------------------------------------------------
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import fingerprint
+    d = load(spark, sf, "documents").select(
+        "doc_id", fingerprint().alias("fp"))
+    corpus = d.filter(F.col("doc_id") % 5 != 4).select("fp").distinct()
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    fresh = batch.join(corpus, "fp", "left_anti")
+    return (fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+                 .select("doc_id", "fp"))
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
+  FROM documents),
+batch AS (SELECT * FROM f WHERE doc_id % 5 = 4)
+SELECT min(doc_id) AS doc_id, fp
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 5 <> 4 AND c.fp = b.fp)
+GROUP BY fp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -423,6 +462,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

@@ -244,6 +244,40 @@ FROM kept GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# text_repetition — Gopher-style within-document repetition: the share
+# of the document claimed by its single most frequent token.  High
+# ratios flag boilerplate/spam for the quality gate.
+#
+# Scale shape: groupBy (doc_id, term) does all counting in the map-side
+# partial agg (a document's tokens live in one input row, hence one
+# partition), so the shuffle carries one compact row per distinct
+# (doc, term) — bounded by per-doc vocabulary, not document length;
+# then a per-doc max/sum rollup.
+# --------------------------------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    per = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_tok"),
+                 F.max("c").alias("top_freq"),
+                 F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio")))
+
+
+TEXT_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+per AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(max(c) AS BIGINT) AS top_freq,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # text_doc_freq — the corpus term table (document frequency, collection
 # term frequency, idf): the inverted-index statistics behind TF-IDF
 # ranking and stopword discovery.
@@ -286,6 +320,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_doc_freq": text_doc_freq,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
@@ -295,5 +330,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_doc_freq": TEXT_DOC_FREQ_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
 }

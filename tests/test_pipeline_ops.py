@@ -87,3 +87,30 @@ def test_weighted_mix_replicates_per_source(spark, sf_dir):
     assert copies["src5"] == 1
     # mix_id is unique across all replicas
     assert mixed.select("mix_id").distinct().count() == expected
+
+
+def test_incremental_dedup_excludes_corpus_fingerprints(spark, sf_dir):
+    from bigarrays_jl_spark.functions import fingerprint
+    from bigarrays_jl_spark.operators.dedup import dedup_incremental
+    from bigarrays_jl_spark.sources.tables import load
+    out = dedup_incremental(spark, sf_dir).collect()
+    assert out
+    corpus_fp = {r["fp"] for r in
+                 load(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") % 5 != 4)
+                 .select(fingerprint().alias("fp")).distinct().collect()}
+    fps = [r["fp"] for r in out]
+    assert len(fps) == len(set(fps))  # batch self-deduped
+    for r in out:
+        assert r["doc_id"] % 5 == 4  # survivors come from the batch only
+        assert r["fp"] not in corpus_fp
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    from bigarrays_jl_spark.operators.text import text_repetition
+    rows = text_repetition(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == d.count()
+    for r in rows:
+        assert 0 < r["top_freq"] <= r["n_tok"]
+        assert 0 < r["rep_ratio"] <= 1
