@@ -587,6 +587,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 """
 
 
+# --------------------------------------------------------------------------
+# q40 — correlated scalar subquery (TPC-H Q17 shape): revenue from
+# "small-quantity" lineitems, where small means below half the average
+# quantity FOR THAT PART.  Written SQL-first so Catalyst's decorrelation
+# does the rewrite: the per-row correlated aggregate becomes ONE
+# grouped aggregate over lineitem joined back on l_partkey — no
+# nested-loop re-execution per outer row.  (l_quantity is
+# integer-valued, so avg() is an exact double on both engines and the
+# `<` comparison can't flip on fold order.)
+# Scale shape: two scans of lineitem, one hash agg keyed by the
+# high-cardinality l_partkey, equi-joins all the way — the same plan
+# you'd hand-write, derived automatically from the declarative form.
+# --------------------------------------------------------------------------
+
+Q40_SQL = """
+SELECT p.p_brand,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_small
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def q40_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.sources.tables import register_views
+    register_views(spark, sf)
+    return spark.sql(Q40_SQL)
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -604,6 +637,7 @@ QUERIES = {
     "q37_map_funcs": q37_map_funcs,
     "q38_salted_join": q38_salted_join,
     "q39_range_frame_window": q39_range_frame_window,
+    "q40_correlated_scalar": q40_correlated_scalar,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -624,5 +658,6 @@ ORACLES = {
     "q37_map_funcs": Q37_SQL,
     "q38_salted_join": Q38_SQL,
     "q39_range_frame_window": Q39_SQL,
+    "q40_correlated_scalar": Q40_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }

@@ -166,3 +166,15 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = simple_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    # Catalyst must rewrite the per-row correlated scalar subquery into
+    # one grouped aggregate + equi-join — never a nested-loop
+    # re-execution of lineitem per outer row
+    from bigarrays_jl_spark.operators.advanced import q40_correlated_scalar
+    df = q40_correlated_scalar(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregation(df)
