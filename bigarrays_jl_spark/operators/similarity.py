@@ -542,12 +542,122 @@ FROM dims GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN: compress the corpus to one byte per
+# dimension (per-dim global min/max → uniform 256-level grid), then
+# search asymmetrically — full-precision queries against dequantized
+# codes (the ADC pattern).  At 100 TB this is the memory lever: a
+# 64-dim float32 corpus drops 4× to 64 B/vector, so 4× more of the
+# corpus fits a scan's working set; recall loss is bounded by half a
+# grid cell per dimension.
+#
+# Scale shape: the stats pass is ONE single-row aggregate (map-side
+# partial over every partition → 128 scalars), broadcast back into the
+# quantize/scan stage; search is the brute-force plan on the compact
+# codes.  Both quantize and dequantize are built-in higher-order
+# expressions — JVM-side, bit-identical to the oracle because every
+# float step (subtract, divide, ×255, floor; dequant mn+(c+0.5)Δ/256)
+# is written in the same IEEE evaluation order on both engines.
+# --------------------------------------------------------------------------
+
+SQ_DIM = 64  # testdata embedding dimensionality (embeddings.parquet)
+
+_SQ_CODE_SPARK = f"""
+transform(sequence(1, {SQ_DIM}), i ->
+  CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0
+       ELSE CAST(least(255.0D, greatest(0.0D,
+         floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mn, i))
+               / (element_at(mx, i) - element_at(mn, i)) * 255))) AS INT)
+  END)
+"""
+
+_SQ_DEQ_SPARK = f"""
+transform(sequence(1, {SQ_DIM}), i ->
+  element_at(mn, i) + (CAST(element_at(code, i) AS DOUBLE) + 0.5)
+                      * (element_at(mx, i) - element_at(mn, i)) / 256.0D)
+"""
+
+
+def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    mns, mxs = [], []
+    for i in range(1, SQ_DIM + 1):
+        c = F.element_at(F.col("embedding"), i).cast("double")
+        mns.append(F.min(c).alias(f"mn{i}"))
+        mxs.append(F.max(c).alias(f"mx{i}"))
+    stats = (e.agg(*mns, *mxs)
+              .select(F.array(*[F.col(f"mn{i}") for i in range(1, SQ_DIM + 1)])
+                       .alias("mn"),
+                      F.array(*[F.col(f"mx{i}") for i in range(1, SQ_DIM + 1)])
+                       .alias("mx")))
+    deq = (e.crossJoin(F.broadcast(stats))
+            .withColumn("code", F.expr(_SQ_CODE_SPARK))
+            .withColumn("d", F.expr(_SQ_DEQ_SPARK))
+            .select("vec_id", "d"))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    dot_qd = F.expr(f"""aggregate(transform(sequence(1, {SQ_DIM}),
+        i -> CAST(element_at(qe, i) AS DOUBLE) * element_at(d, i)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+    norm_d = F.expr("aggregate(transform(d, x -> x * x), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (deq.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("cosine", F.round(
+                  dot_qd / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(norm_d)), 6)))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "vec_id", "cosine", "rank"))
+
+
+ANN_SQ8_TOPK_SQL = f"""
+WITH dims AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, range(1, {SQ_DIM + 1}) t(i) GROUP BY i),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM dims),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, {SQ_DIM + 1}), i ->
+           CASE WHEN mx[i] = mn[i] THEN 0
+                ELSE CAST(least(255.0, greatest(0.0,
+                  floor((CAST(embedding[i] AS DOUBLE) - mn[i])
+                        / (mx[i] - mn[i]) * 255))) AS INT) END) AS code
+  FROM embeddings, stats),
+deq AS (
+  SELECT vec_id,
+         list_transform(range(1, {SQ_DIM + 1}), i ->
+           mn[i] + (CAST(code[i] AS DOUBLE) + 0.5) * (mx[i] - mn[i]) / 256.0)
+           AS d
+  FROM codes, stats),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, deq.vec_id,
+         round(list_sum(list_transform(range(1, {SQ_DIM + 1}),
+                 i -> CAST(qe[i] AS DOUBLE) * d[i]))
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt(list_sum(list_transform(d, x -> x * x)))), 6) AS cosine
+  FROM deq, q WHERE deq.vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+           AS rank
+  FROM scored)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2_topk": ann_ivf_nprobe2_topk,
     "ann_kmeans_cells": ann_kmeans_cells,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "ann_sq8_topk": ann_sq8_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -559,6 +669,7 @@ ORACLES = {
     "ann_ivf_nprobe2_topk": ANN_IVF_NPROBE2_SQL,
     "ann_kmeans_cells": ANN_KMEANS_CELLS_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
+    "ann_sq8_topk": ANN_SQ8_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,

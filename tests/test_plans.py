@@ -178,3 +178,14 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_partial_aggregation(df)
+
+
+def test_sq8_stats_and_queries_broadcast(spark, sf_dir):
+    # both small sides (the 1-row min/max stats and the query set) are
+    # keyless attaches, so they must plan as BROADCAST nested-loop
+    # joins — one pass over the corpus, never a shuffled/cartesian join
+    from bigarrays_jl_spark.operators.similarity import ann_sq8_topk
+    plan = simple_plan(ann_sq8_topk(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
