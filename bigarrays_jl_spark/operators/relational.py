@@ -328,6 +328,39 @@ SELECT c_custkey FROM customer WHERE c_acctbal < 0
 
 
 # --------------------------------------------------------------------------
+# q41 — bag-semantics set ops: EXCEPT ALL / INTERSECT ALL preserve
+# multiplicities (q12 covers the DISTINCT forms).  Spark plans both as
+# a hash aggregation on the value carrying per-side counts, then
+# re-generates min/difference copies — one shuffle per operand pair,
+# no sort, same shape DuckDB uses.
+# Scale shape: cost is O(distinct values) after the map-side partial
+# count, not O(rows); skew on a hot value lands on one reducer only
+# for that value's count row, never its raw rows.
+# --------------------------------------------------------------------------
+
+def q41_setops_all(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ex = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    ix = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return ex.unionByName(ix).select("op", "o_custkey")
+
+
+Q41_SQL = """
+SELECT 'except_all' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — distinct aggregates (exact; the approx variant is q24).
 # --------------------------------------------------------------------------
 
@@ -594,6 +627,7 @@ QUERIES = {
     "q10_cube": q10_cube,
     "q11_topk": q11_topk,
     "q12_setops": q12_setops,
+    "q41_setops_all": q41_setops_all,
     "q13_distinct_agg": q13_distinct_agg,
     "q14_string_funcs": q14_string_funcs,
     "q15_date_funcs": q15_date_funcs,
@@ -620,6 +654,7 @@ ORACLES = {
     "q10_cube": Q10_SQL,
     "q11_topk": Q11_SQL,
     "q12_setops": Q12_SQL,
+    "q41_setops_all": Q41_SQL,
     "q13_distinct_agg": Q13_SQL,
     "q14_string_funcs": Q14_SQL,
     "q15_date_funcs": Q15_SQL,
