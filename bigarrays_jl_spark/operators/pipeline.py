@@ -203,10 +203,64 @@ FROM w, unnest(generate_series(1, wt)) AS u(copy)
 """
 
 
+
+# --------------------------------------------------------------------------
+# pipeline_chunk_documents — sliding context windows: split every
+# document into fixed-width character chunks (CHUNK_LEN) advancing by
+# CHUNK_STRIDE, keeping CHUNK_LEN - CHUNK_STRIDE of overlap so no
+# span is lost at a boundary — the standard pre-tokenization chunking
+# step that fits long documents into a model's context window.
+# Output carries (start, length, md5) per chunk, not the chunk text,
+# so the result stays compact.
+#
+# Scale shape: the chunk index list is generated per row by a built-in
+# sequence + explode — map-side only, zero shuffles, and each output
+# row is ~50 bytes regardless of chunk width.  No Python, no window,
+# no repartition: the op is embarrassingly parallel and inherits the
+# scan's partitioning.
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def pipeline_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    n_k = F.floor((F.greatest(F.length("text"), F.lit(1)) - 1) / CHUNK_STRIDE) \
+           .cast("int")
+    chunks = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), n_k)).alias("k"))
+    chunk = F.expr(f"substring(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})")
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("k") * CHUNK_STRIDE + 1).cast("bigint").alias("start_pos"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"))
+
+
+PIPELINE_CHUNK_DOCUMENTS_SQL = f"""
+WITH seq AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((greatest(length(text), 1) - 1)
+                                    / {CHUNK_STRIDE}) AS INT) + 1)) AS k
+  FROM documents)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_pos,
+       CAST(length(substr(text, CAST(k * {CHUNK_STRIDE} + 1 AS INT),
+                          {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(k * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN}))
+         AS chunk_md5
+FROM seq
+"""
+
+
 QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_global_ids": pipeline_global_ids,
+    "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
     "sample_weighted_mix": sample_weighted_mix,
 }
@@ -215,6 +269,7 @@ ORACLES = {
     "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "pipeline_global_ids": PIPELINE_GLOBAL_IDS_SQL,
+    "pipeline_chunk_documents": PIPELINE_CHUNK_DOCUMENTS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_weighted_mix": SAMPLE_WEIGHTED_MIX_SQL,
 }
