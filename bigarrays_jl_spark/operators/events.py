@@ -142,11 +142,55 @@ WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
 """
 
 
+
+# --------------------------------------------------------------------------
+# events_rollup_two_level — the continuous-aggregate / hypertable-rollup
+# pattern: raw events pre-aggregate into 1-minute buckets, then the
+# HOURLY result is computed FROM THE MINUTE PRE-AGGREGATES (sum of
+# sums, count of counts, min of mins, max of maxes) — never rescanning
+# raw data.  The oracle aggregates raw events directly at the hour, so
+# a hash match proves the reaggregation property holds exactly (decimal
+# sums keep the two-level accumulation order-independent).
+#
+# Scale shape: at 100 TB the minute layer is what you materialize
+# incrementally (streaming twin: watermarked tumbling agg); the hourly
+# rollup then reads ~1/60th the rows.  Both levels are partial-agg
+# shuffles on (bucket, type) — bounded by bucket cardinality, not raw
+# volume.
+# --------------------------------------------------------------------------
+
+def events_rollup_two_level(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    minute = (e.groupBy(
+        F.expr("(unix_micros(ts) div 1000000) div 60").alias("minute_id"),
+        "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+             F.min("value").alias("mn"), F.max("value").alias("mx")))
+    return (minute.withColumn("hour_id", F.expr("minute_id div 60"))
+            .groupBy("hour_id", "event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
+                 F.min("mn").alias("min_value"),
+                 F.max("mx").alias("max_value")))
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT (epoch_us(ts) // 1000000) // 3600 AS hour_id, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_funnel": events_funnel,
+    "events_rollup_two_level": events_rollup_two_level,
 }
 
 ORACLES = {
@@ -154,4 +198,5 @@ ORACLES = {
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_rollup_two_level": EVENTS_ROLLUP_SQL,
 }
