@@ -578,8 +578,10 @@ transform(sequence(1, {SQ_DIM}), i ->
 """
 
 
-def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
+def _sq8_dequantized(e: DataFrame) -> DataFrame:
+    """(vec_id, label, d): the corpus as dequantized SQ8 codes.  The
+    min/max stats are ONE single-row aggregate broadcast back into the
+    corpus scan."""
     mns, mxs = [], []
     for i in range(1, SQ_DIM + 1):
         c = F.element_at(F.col("embedding"), i).cast("double")
@@ -590,10 +592,15 @@ def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
                        .alias("mn"),
                       F.array(*[F.col(f"mx{i}") for i in range(1, SQ_DIM + 1)])
                        .alias("mx")))
-    deq = (e.crossJoin(F.broadcast(stats))
-            .withColumn("code", F.expr(_SQ_CODE_SPARK))
-            .withColumn("d", F.expr(_SQ_DEQ_SPARK))
-            .select("vec_id", "d"))
+    return (e.crossJoin(F.broadcast(stats))
+             .withColumn("code", F.expr(_SQ_CODE_SPARK))
+             .withColumn("d", F.expr(_SQ_DEQ_SPARK))
+             .select("vec_id", "label", "d"))
+
+
+def ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    deq = _sq8_dequantized(e).select("vec_id", "d")
     q = (e.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
     dot_qd = F.expr(f"""aggregate(transform(sequence(1, {SQ_DIM}),
@@ -651,6 +658,90 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# ann_ivf_sq8_topk — IVF cell pruning × SQ8 codes: the production
+# composition (what an IVF-SQ index does).  Routing picks each query's
+# nearest coarse cell from full-precision centroids; the cell scan then
+# reads only DEQUANTIZED SQ8 codes.  At 100 TB the scan cost is
+# (1/nlist of the corpus) × (1/4 the bytes) per query — the two levers
+# multiply.  Same plan shape as ann_ivf_topk (broadcast-routed,
+# label-pruned) with the quantized corpus substituted.
+# --------------------------------------------------------------------------
+
+def ann_ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e, routed = _ivf_routed(spark, sf, nprobe=1)
+    deq = _sq8_dequantized(e)
+    dot_qd = F.expr(f"""aggregate(transform(sequence(1, {SQ_DIM}),
+        i -> CAST(element_at(qe, i) AS DOUBLE) * element_at(d, i)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+    norm_d = F.expr("aggregate(transform(d, x -> x * x), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (deq.join(F.broadcast(routed), deq["label"] == routed["probe"])
+                 .filter(F.col("vec_id") != F.col("qid"))
+                 .withColumn("cosine", F.round(
+                     dot_qd / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(norm_d)),
+                     6)))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "probe", "vec_id", "cosine", "rank"))
+
+
+ANN_IVF_SQ8_SQL = f"""
+WITH qdims AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, range(1, {SQ_DIM + 1}) t(i) GROUP BY i),
+qstats AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM qdims),
+codes AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {SQ_DIM + 1}), i ->
+           CASE WHEN mx[i] = mn[i] THEN 0
+                ELSE CAST(least(255.0, greatest(0.0,
+                  floor((CAST(embedding[i] AS DOUBLE) - mn[i])
+                        / (mx[i] - mn[i]) * 255))) AS INT) END) AS code
+  FROM embeddings, qstats),
+deq AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {SQ_DIM + 1}), i ->
+           mn[i] + (CAST(code[i] AS DOUBLE) + 0.5) * (mx[i] - mn[i]) / 256.0)
+           AS d
+  FROM codes, qstats),
+expl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+cdims AS (SELECT label, pos, avg(v) AS m FROM expl GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+         FROM cdims GROUP BY label),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT qid, qe, probe FROM (
+    SELECT qid, qe, label AS probe,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round({_DOT_SQL.format(a='qe', b='centroid')}
+                   / (sqrt({_NORM2_SQL.format(a='qe')})
+                      * sqrt({_NORM2_SQL.format(a='centroid')})), 6) DESC,
+             label) AS r
+    FROM q, cent) WHERE r = 1),
+scored AS (
+  SELECT qid, probe, deq.vec_id,
+         round(list_sum(list_transform(range(1, {SQ_DIM + 1}),
+                 i -> CAST(qe[i] AS DOUBLE) * d[i]))
+               / (sqrt({_NORM2_SQL.format(a='qe')})
+                  * sqrt(list_sum(list_transform(d, x -> x * x)))), 6)
+           AS cosine
+  FROM deq JOIN routed ON deq.label = routed.probe
+  WHERE deq.vec_id <> qid)
+SELECT qid, probe, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -658,6 +749,7 @@ QUERIES = {
     "ann_kmeans_cells": ann_kmeans_cells,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_sq8_topk": ann_sq8_topk,
+    "ann_ivf_sq8_topk": ann_ivf_sq8_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -670,6 +762,7 @@ ORACLES = {
     "ann_kmeans_cells": ANN_KMEANS_CELLS_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "ann_sq8_topk": ANN_SQ8_TOPK_SQL,
+    "ann_ivf_sq8_topk": ANN_IVF_SQ8_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,

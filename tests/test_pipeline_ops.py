@@ -114,3 +114,29 @@ def test_repetition_ratio_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["top_freq"] <= r["n_tok"]
         assert 0 < r["rep_ratio"] <= 1
+
+
+def test_chunking_covers_every_document_exactly(spark, sf_dir):
+    # invariants: chunks tile [1, len] with the configured overlap, the
+    # last chunk reaches the end of the document, and no chunk is empty
+    from bigarrays_jl_spark.operators.pipeline import (
+        CHUNK_LEN, CHUNK_STRIDE, pipeline_chunk_documents)
+    rows = pipeline_chunk_documents(spark, sf_dir).collect()
+    lens = {r["doc_id"]: r["n_chars"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "n_chars").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = lens[doc_id]
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["start_pos"] == i * CHUNK_STRIDE + 1
+            assert 0 < c["chunk_len"] <= CHUNK_LEN
+        last = chunks[-1]
+        # last chunk touches the end; one more stride would start past it
+        assert last["start_pos"] + last["chunk_len"] - 1 == n
+        assert last["start_pos"] + CHUNK_STRIDE > n
