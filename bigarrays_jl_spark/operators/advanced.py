@@ -620,6 +620,74 @@ def q40_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(Q40_SQL)
 
 
+
+# --------------------------------------------------------------------------
+# q42 — statistical aggregates (variance / stddev / covariance /
+# correlation) computed from exact DECIMAL power sums, not the built-in
+# streaming moment aggregates.  Spark's stddev/corr use an
+# order-dependent incremental update, so their last-ulp result varies
+# with partitioning; the power-sum formulation (n, Σx, Σy, Σx², Σy²,
+# Σxy accumulated in DECIMAL(28,6)) is bit-reproducible on any cluster
+# size and lets both engines evaluate the identical closed forms.
+# Per-row products are exact in double here (quantity is integer-valued
+# ≤ 50, price has 2 decimals < 2^53 after squaring), so the decimal
+# casts lose nothing.
+# Scale shape: one map-side-partial hash agg on the group key — the
+# same single-shuffle plan as any sum; no second pass, no window.
+# --------------------------------------------------------------------------
+
+def q42_stats_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    d = lambda c: F.sum(c.cast("decimal(28,6)"))  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        d(x).alias("sx"), d(y).alias("sy"),
+        d(x * x).alias("sxx"), d(y * y).alias("syy"),
+        d(x * y).alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_q = (sxx - sx * sx / nd) / (nd - 1)
+    covar = (sxy - sx * sy / nd) / (nd - 1)
+    corr = ((nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)))
+    return agg.select(
+        "l_returnflag", "n",
+        F.round(var_q, 4).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(covar, 2).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"))
+
+
+Q42_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+         sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+         sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy,
+         sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         CAST(sxy AS DOUBLE) AS sxy
+  FROM s)
+SELECT l_returnflag, n,
+       round((sxx - sx * sx / nd) / (nd - 1), 4) AS var_qty,
+       round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 6) AS stddev_qty,
+       round((sxy - sx * sy / nd) / (nd - 1), 2) AS covar_qty_price,
+       round((nd * sxy - sx * sy)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM c
+"""
+
+
 QUERIES = {
     "q24_asof_join": q24_asof_join,
     "q25_percentiles": q25_percentiles,
@@ -638,6 +706,7 @@ QUERIES = {
     "q38_salted_join": q38_salted_join,
     "q39_range_frame_window": q39_range_frame_window,
     "q40_correlated_scalar": q40_correlated_scalar,
+    "q42_stats_aggs": q42_stats_aggs,
     "volume_cutout_sum": volume_cutout_sum,
 }
 
@@ -659,5 +728,6 @@ ORACLES = {
     "q38_salted_join": Q38_SQL,
     "q39_range_frame_window": Q39_SQL,
     "q40_correlated_scalar": Q40_SQL,
+    "q42_stats_aggs": Q42_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }
