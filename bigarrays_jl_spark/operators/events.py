@@ -185,12 +185,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+# --------------------------------------------------------------------------
+# events_winsorize — robust-stats clamp: per event type, clip value to
+# its [p05, p95] band and report the winsorized sum + clip counts (the
+# standard outlier treatment before training-metric aggregation).
+# Boundary determinism: Spark `percentile` and DuckDB `quantile_cont`
+# share the linear-interpolation definition and agree bitwise on this
+# data (verified at sf0.01/0.1), so the clamp comparisons can't flip.
+#
+# Scale shape: boundaries are a tiny per-type aggregate broadcast back
+# into one corpus scan.  Exact per-group percentile buffers a group's
+# values in its reducer, so with a low-cardinality group key the 100 TB
+# build swaps percentile → percentile_approx (mergeable map-side
+# sketch, same plan otherwise) or the distributed-rank machinery of
+# q28; the clamp/aggregate stage is unchanged.
+# --------------------------------------------------------------------------
+
+def events_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    b = (e.groupBy("event_type")
+          .agg(F.percentile("value", 0.05).alias("lo"),
+               F.percentile("value", 0.95).alias("hi")))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (e.join(F.broadcast(b), "event_type")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum(clamped.cast("decimal(18,6)")), 2)
+                   .cast("double").alias("sum_winsorized"),
+                  F.sum(F.when(clipped, 1).otherwise(0)).cast("bigint")
+                   .alias("n_clipped")))
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       CAST(round(sum(CAST(least(greatest(value, lo), hi)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_winsorized,
+       CAST(count(*) FILTER (WHERE value < lo OR value > hi) AS BIGINT)
+         AS n_clipped
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_funnel": events_funnel,
     "events_rollup_two_level": events_rollup_two_level,
+    "events_winsorize": events_winsorize,
 }
 
 ORACLES = {
@@ -199,4 +249,5 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_rollup_two_level": EVENTS_ROLLUP_SQL,
+    "events_winsorize": EVENTS_WINSORIZE_SQL,
 }

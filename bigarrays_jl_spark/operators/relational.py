@@ -614,6 +614,37 @@ FROM events GROUP BY event_type
 """
 
 
+
+# --------------------------------------------------------------------------
+# q43 — fixed-width histogram: the profiling primitive behind every
+# "distribution of X" dashboard.  Bucket id is a pure map-side floor
+# division, so the plan is one partial-agg shuffle of (buckets) rows —
+# the cheapest possible full-table profile at any scale.
+# --------------------------------------------------------------------------
+
+HIST_WIDTH = 50_000
+
+
+def q43_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("bigint")
+    return (o.groupBy(bucket.alias("bucket"))
+             .agg(F.count("*").alias("n"),
+                  _dsum2(F.col("o_totalprice")).alias("total"),
+                  F.min("o_totalprice").alias("lo"),
+                  F.max("o_totalprice").alias("hi")))
+
+
+Q43_SQL = f"""
+SELECT CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -628,6 +659,7 @@ QUERIES = {
     "q11_topk": q11_topk,
     "q12_setops": q12_setops,
     "q41_setops_all": q41_setops_all,
+    "q43_histogram": q43_histogram,
     "q13_distinct_agg": q13_distinct_agg,
     "q14_string_funcs": q14_string_funcs,
     "q15_date_funcs": q15_date_funcs,
@@ -655,6 +687,7 @@ ORACLES = {
     "q11_topk": Q11_SQL,
     "q12_setops": Q12_SQL,
     "q41_setops_all": Q41_SQL,
+    "q43_histogram": Q43_SQL,
     "q13_distinct_agg": Q13_SQL,
     "q14_string_funcs": Q14_SQL,
     "q15_date_funcs": Q15_SQL,
