@@ -652,6 +652,81 @@ class Volume:
         df = self.chunks_df().filter(~F.col("key").isin(list(doomed)))
         self._rewrite_mip(df)
 
+    def map_blocks(self, fn, dest: "Volume") -> None:
+        """Apply a shape-preserving numpy transform to every stored
+        chunk, writing the results into ``dest``.
+
+        The distributed "process every block" primitive (beyond the
+        reference's surface: BigArrays.jl iterates chunks driver-side in
+        its mode loops, src/modes/sequential.jl:4-17).  ``fn`` receives
+        each chunk as an ``(x, y, z, c)`` array (channel axis always
+        present) and must return the same shape; the result is cast to
+        ``dest``'s dtype, so dtype-changing pipelines (e.g. uint8 →
+        float32 feature maps) are one call.
+
+        Scale shape: decode → fn → encode runs inside ONE Arrow-batched
+        ``mapInPandas`` over the chunk table.  Chunk ids are unchanged,
+        so there is NO shuffle and nothing touches the driver;
+        partitioning (and row-group pruning) is inherited from the scan.
+
+        ``dest`` must share this volume's chunk lattice (offset, size,
+        chunk_size); its encoding/dtype may differ.
+        """
+        src_sc, dst_sc = self.scale, dest.scale
+        if (tuple(src_sc.chunk_size) != tuple(dst_sc.chunk_size)
+                or tuple(src_sc.voxel_offset) != tuple(dst_sc.voxel_offset)
+                or tuple(src_sc.volume_size) != tuple(dst_sc.volume_size)):
+            raise ValueError(
+                "map_blocks requires dest to share the source chunk "
+                f"lattice; got src={src_sc.chunk_size}@{src_sc.voxel_offset}"
+                f"/{src_sc.volume_size} vs dst={dst_sc.chunk_size}@"
+                f"{dst_sc.voxel_offset}/{dst_sc.volume_size}")
+        nc = self.info.num_channels
+        src_dtype = self.info.data_type
+        dst_dtype = dest.info.data_type
+        dst_enc = dst_sc.encoding
+        epoch = dest._next_epoch()
+        _root = _REPO_ROOT
+
+        def xform(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
+            import numpy as _np
+            from bigarrays_jl_spark import codecs as _codecs
+            from bigarrays_jl_spark import indexes as _ix
+            sdt = _np.dtype(src_dtype)
+            ddt = _np.dtype(dst_dtype)
+            out_codec = _codecs.get_codec(dst_enc)
+            for b in it:
+                payloads = []
+                for key, enc, payload in zip(b["key"], b["enc"], b["payload"]):
+                    cbox = _ix.parse_chunk_key(key)
+                    shape = _ix.box_shape(cbox)
+                    full = (*shape, nc) if nc > 1 else shape
+                    codec = _codecs.get_codec(enc)
+                    arr = _np.frombuffer(codec.decode(bytes(payload)), dtype=sdt)
+                    arr = arr.reshape(full, order="F")
+                    if nc == 1:
+                        arr = arr[..., _np.newaxis]
+                    out = _np.asarray(fn(arr))
+                    if out.shape != arr.shape:
+                        raise ValueError(
+                            f"map_blocks fn changed chunk shape "
+                            f"{arr.shape} -> {out.shape} at {key}")
+                    out = out.astype(ddt, copy=False)
+                    if nc == 1:
+                        out = out[..., 0]
+                    payloads.append(out_codec.encode(
+                        _np.asfortranarray(out).tobytes(order="F")))
+                yield pd.DataFrame({
+                    "cx": b["cx"], "cy": b["cy"], "cz": b["cz"],
+                    "key": b["key"], "enc": dst_enc,
+                    "epoch": _np.int64(epoch), "payload": payloads})
+
+        dest._write_chunks(
+            self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
+
     def compact(self) -> None:
         """Fold overwrite history: keep only the latest epoch per key and
         rewrite the mip directory sorted for row-group pruning.  Resets

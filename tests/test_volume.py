@@ -252,3 +252,55 @@ def test_downsample_segmentation_strides(spark, tmp_path):
     v2 = Volume.open(spark, vol.root, mip=1)
     out, _ = v2.cutout(((0, 16), (0, 16), (0, 8)))
     np.testing.assert_array_equal(out, a[0::2, 0::2, :])
+
+
+def test_map_blocks_invert_roundtrip(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [24, 16, 8]}]})
+    src = Volume.create(spark, str(tmp_path / "mb_src"), info)
+    a = rand_u8((24, 16, 8))
+    src.write(a, (0, 0, 0))
+    dst = Volume.create(spark, str(tmp_path / "mb_dst"), info)
+    src.map_blocks(lambda c: 255 - c, dst)
+    out, _ = dst.cutout(((0, 24), (0, 16), (0, 8)))
+    np.testing.assert_array_equal(out, 255 - a)
+
+
+def test_map_blocks_dtype_change(spark, tmp_path):
+    base = {"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+            "key": "1_1_1", "resolution": [1, 1, 1],
+            "voxel_offset": [0, 0, 0], "size": [16, 16, 8]}
+    src_info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [dict(base)]})
+    dst_info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "float32",
+        "scales": [dict(base)]})
+    src = Volume.create(spark, str(tmp_path / "mbd_src"), src_info)
+    a = rand_u8((16, 16, 8))
+    src.write(a, (0, 0, 0))
+    dst = Volume.create(spark, str(tmp_path / "mbd_dst"), dst_info)
+    src.map_blocks(lambda c: c.astype(np.float32) / 255.0, dst)
+    out, _ = dst.cutout(((0, 16), (0, 16), (0, 8)))
+    np.testing.assert_allclose(out, a.astype(np.float32) / 255.0)
+
+
+def test_map_blocks_rejects_mismatched_lattice(spark, tmp_path):
+    import pytest
+    src_info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 8]}]})
+    dst_info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[4, 4, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 8]}]})
+    src = Volume.create(spark, str(tmp_path / "mm_src"), src_info)
+    dst = Volume.create(spark, str(tmp_path / "mm_dst"), dst_info)
+    with pytest.raises(ValueError, match="lattice"):
+        src.map_blocks(lambda c: c, dst)
