@@ -12,13 +12,15 @@ a mutant copy (id + 1_000_000) with the first token dropped.  Both the
 Spark and SQL sides build the same augmentation, so true near-dup pairs
 exist and the candidate machinery is actually exercised.
 
-Scale design (100 TB): the band join is the scale path — O(docs × bands)
-rows shuffle, never O(docs²); exact Jaccard runs only on band candidates.
-MinHash signatures are computed map-side with higher-order functions
-(no shingle explode or shuffle — min() absorbs duplicate shingles), so
-the first shuffle is the compact band join on 16-byte md5 signatures.
-Only the exact-Jaccard verifier (dedup_ngram_jaccard) explodes shingles;
-there it is hash-partitioned by shingle — the inverted-index pattern.
+Scale design (100 TB): the band join is the ONLY discovery path —
+O(docs × bands) rows shuffle, never O(docs²).  MinHash signatures are
+computed map-side with higher-order functions (no shingle explode or
+shuffle — min() absorbs duplicate shingles), so the first shuffle is the
+compact band join on 16-byte md5 signatures.  The exact-Jaccard verifier
+(dedup_ngram_jaccard) is candidate-driven: shingles are semi-joined down
+to the LSH candidate docs before any pair work, and hot shingles above
+SHINGLE_DF_CAP are dropped, so no full inverted-index self-join exists
+anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -150,6 +152,39 @@ FROM aug GROUP BY 1
 # join → candidate pairs with estimated Jaccard (shared sigs / 8)
 # --------------------------------------------------------------------------
 
+def _bands(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, sig, b, band): map-side minhash signatures exploded to
+    their LSH bands — the shared front-end of discovery (minhash pairs)
+    and verification (ngram Jaccard candidates)."""
+    aug = _augmented(spark, sf)
+    toks = fan_out(spark, aug.select("doc_id", tokens().alias("t"))
+                   .filter(F.size("t") >= 3))
+    shingled = toks.withColumn("sh_arr", shingle_array("t"))
+    sig = shingled.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
+    # band signature = md5 of its 2 member hashes; explode to (doc, band)
+    return sig.select("doc_id", "sig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.md5(F.concat_ws("|",
+                                   F.element_at("sig", 2 * b + 1),
+                                   F.element_at("sig", 2 * b + 2))).alias("band"))
+        for b in range(N_BANDS)])).alias("e")).select(
+        "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+
+
+def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from the band join —
+    the ONLY discovery path; exact verification never self-joins the
+    shingle inverted index (O(docs × bands) rows shuffle, never O(n²))."""
+    bands = _bands(spark, sf)
+    a, bb = bands.alias("a"), bands.alias("b2")
+    return (a.join(bb, (F.col("a.b") == F.col("b2.b"))
+                   & (F.col("a.band") == F.col("b2.band"))
+                   & (F.col("a.doc_id") < F.col("b2.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b2.doc_id").alias("doc_b"))
+             .distinct())
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Signatures are computed entirely map-side with higher-order
     # functions — no shingle explode, no distinct, no groupBy.  min()
@@ -161,19 +196,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # signature table — the whole plan is two shuffles: the band
     # self-join (whose two identical exchanges Spark reuses, so the scan
     # and hashing run once) and the final pair-dedup aggregation.
-    aug = _augmented(spark, sf)
-    toks = fan_out(spark, aug.select("doc_id", tokens().alias("t"))
-                   .filter(F.size("t") >= 3))
-    shingled = toks.withColumn("sh_arr", shingle_array("t"))
-    sig = shingled.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
-    # band signature = md5 of its 2 member hashes; explode to (doc, band)
-    bands = sig.select("doc_id", "sig", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("b"),
-                 F.md5(F.concat_ws("|",
-                                   F.element_at("sig", 2 * b + 1),
-                                   F.element_at("sig", 2 * b + 2))).alias("band"))
-        for b in range(N_BANDS)])).alias("e")).select(
-        "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+    bands = _bands(spark, sf)
     a, bb = bands.alias("a"), bands.alias("b2")
     # estimated Jaccard = fraction of matching signature slots, computed
     # inline from the carried signatures; max() collapses duplicate
@@ -192,9 +215,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("est_jaccard")))
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH aug AS ({_AUG_SQL}),
-{_SHINGLE_SQL},
+# Shared minhash CTE chain (assumes `aug` and the shingle CTEs are in
+# scope): per-shingle universal hashes → 8-slot signatures → banded
+# buckets → distinct candidate pairs.  Reused by the minhash oracle, the
+# candidate-driven n-gram verifier, and the components oracle so all
+# three grade the exact same discovery path.
+_MINHASH_CTES_SQL = f"""
 hs AS (SELECT doc_id,
               CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % {MERSENNE_P} AS h1,
               CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) % {MERSENNE_P} AS h2
@@ -209,6 +235,12 @@ bands AS (SELECT doc_id, b,
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          FROM bands a JOIN bands b2
            ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id)
+"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+{_SHINGLE_SQL},
+{_MINHASH_CTES_SQL}
 SELECT doc_a, doc_b, round(count(*) / {float(N_HASHES)}, 4) AS est_jaccard
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
@@ -218,45 +250,78 @@ GROUP BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
-# exact n-gram Jaccard on shared-shingle candidates (verify stage)
+# exact n-gram Jaccard — the VERIFY stage, candidate-driven: exact
+# Jaccard is computed ONLY for the LSH band candidates, never by
+# self-joining the shingle inverted index.  Shingles are first
+# semi-joined down to candidate docs (at 100 TB the candidate set is a
+# tiny fraction of the corpus), then hot shingles above a document-
+# frequency cap are dropped — a shingle appearing in many docs ("terms
+# of service apply") identifies nothing and would otherwise inflate the
+# per-pair probe fan-out.  Both constants are mirrored in the oracle.
 # --------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    # Set sizes ride along via a window count — no separate size table,
-    # so the corpus is scanned once instead of thrice and the exact
-    # Jaccard falls out of the inverted-index self-join directly.  Both
-    # join sides are the identical subplan hash-partitioned by shingle,
-    # so Spark reuses one exchange for the two of them.
-    from pyspark.sql import Window as W
-    sh = (_shingles(_augmented(spark, sf))
-          .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id"))))
-    a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"),
-                      F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-             .agg(F.count("*").alias("shared"))
-             .withColumn("jaccard", F.round(
-                 F.col("shared").cast("double")
-                 / (F.col("na") + F.col("nb") - F.col("shared")), 4))
-             .filter(F.col("jaccard") >= 0.5)
-             .select("doc_a", "doc_b", "jaccard"))
+SHINGLE_DF_CAP = 512  # scale guard; at bench SFs no shingle reaches it
 
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    cand = _band_candidates(spark, sf)
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+             .union(cand.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
+    # corpus → candidate-doc shingles (semi join), then the DF cap and
+    # per-doc set sizes ride along via window counts over the reduced set
+    shk = (_shingles(_augmented(spark, sf))
+           .join(cdocs, "doc_id", "left_semi")
+           .withColumn("df", F.count("*").over(W.partitionBy("sh")))
+           .filter(F.col("df") <= SHINGLE_DF_CAP).drop("df")
+           .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id"))))
+    a, b = shk.alias("a"), shk.alias("b")
+    return (cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+                .join(b, (F.col("b.doc_id") == F.col("doc_b"))
+                      & (F.col("b.sh") == F.col("a.sh")))
+                .groupBy("doc_a", "doc_b",
+                         F.col("a.n_sh").alias("na"),
+                         F.col("b.n_sh").alias("nb"))
+                .agg(F.count("*").alias("shared"))
+                .withColumn("jaccard", F.round(
+                    F.col("shared").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+                .filter(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b", "jaccard"))
+
+
+# Verify-stage CTE chain shared with the components oracle (assumes the
+# aug/shingle/minhash CTEs are in scope): candidate docs → semi-joined
+# shingles → DF cap → sizes → per-candidate-pair shared counts → pairs.
+_NGRAM_VERIFY_CTES_SQL = f"""
+cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN cdocs c ON s.doc_id = c.doc_id),
+keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shc GROUP BY sh)
+         WHERE df <= {SHINGLE_DF_CAP}),
+shk AS (SELECT s.doc_id, s.sh FROM shc s JOIN keep k ON s.sh = k.sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
+shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+           FROM cand c
+           JOIN shk a ON a.doc_id = c.doc_a
+           JOIN shk b ON b.doc_id = c.doc_b AND b.sh = a.sh
+           GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b,
+                 round(CAST(shared AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(shared AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5)
+"""
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH aug AS ({_AUG_SQL}),
 {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+{_MINHASH_CTES_SQL},
+{_NGRAM_VERIFY_CTES_SQL}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
@@ -388,15 +453,8 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
 DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE aug AS ({_AUG_SQL}),
 {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM shared
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5),
+{_MINHASH_CTES_SQL},
+{_NGRAM_VERIFY_CTES_SQL},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(node, lab) AS (
