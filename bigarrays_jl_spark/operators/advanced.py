@@ -616,7 +616,7 @@ GROUP BY p.p_brand
 
 def q40_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
     from bigarrays_jl_spark.sources.tables import register_views
-    register_views(spark, sf)
+    register_views(spark, sf, tables=["part", "lineitem"])
     return spark.sql(Q40_SQL)
 
 

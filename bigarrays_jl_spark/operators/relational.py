@@ -499,7 +499,7 @@ HAVING round(CAST(sum(l_quantity) AS DOUBLE), 2) > 100
 # --------------------------------------------------------------------------
 
 def q19_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    register_views(spark, sf)
+    register_views(spark, sf, tables=["lineitem"])
     return spark.sql("""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty

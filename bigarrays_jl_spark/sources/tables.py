@@ -36,20 +36,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (the
-        # same truncation DuckDB applies when it loads TIMESTAMP_NS).
+        # events.ts has shipped as both TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects unless read as long) and plain
+        # timestamp[us]; enable the legacy long read, then apply the
+        # nanos→micros truncation ONLY when ts actually arrives as long
+        # (the same truncation DuckDB applies when it loads TIMESTAMP_NS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        return (spark.read.parquet(path)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        from pyspark.sql import types as T
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # normalize to TIMESTAMP so watermarks/windows accept it; the
+            # session tz is pinned UTC so the naive value is unchanged
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for SQL-first operators."""
-    for t in TABLES:
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] | list[str] | None = None) -> None:
+    """Register tables as temp views for SQL-first operators.
+
+    Per-table isolation: when registering the default full set, a table
+    whose load fails (e.g. a schema drift in one parquet file) is skipped
+    so it cannot take down queries that never read it — the failure
+    surfaces as TABLE_OR_VIEW_NOT_FOUND only when that table is actually
+    queried.  Callers that pass an explicit ``tables`` list get loud
+    failures for exactly the tables they asked for.
+    """
+    explicit = tables is not None
+    for t in (tables if explicit else TABLES):
+        try:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        except Exception:
+            if explicit:
+                raise
 
 
 def write_bucketed(spark: SparkSession, sf_dir: str, name: str, table: str,

@@ -19,24 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),          # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (nanos → micros, same
-    truncation as the batch loader in sources/tables.py)."""
+    """File-source stream over the events table.
+
+    The raw schema is inferred from the batch file (readStream requires
+    an explicit schema), so the stream tracks whatever parquet type the
+    testdata ships `ts` as; the nanos→micros truncation is applied only
+    when ts arrives as long — one behavior shared with the batch loader
+    in sources/tables.py.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    raw = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP; session tz is UTC so this cast
+        # preserves the naive value
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

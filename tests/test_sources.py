@@ -121,3 +121,35 @@ def test_cloud_connector_conf_pinned(spark):
     assert hconf.get("fs.s3a.committer.name") == "magic"
     assert hconf.get("fs.s3a.committer.magic.enabled") == "true"
     assert hconf.get("fs.gs.http.max.retry") == "4"
+
+
+def test_register_views_isolates_poisoned_table(spark, sf_dir, tmp_path):
+    # Robustness at scale: one bad table (schema drift, corrupt file) must
+    # not take down SQL queries that never read it.  Build a dataset dir
+    # with a healthy lineitem but a corrupt events file, register the full
+    # default view set, and verify lineitem still answers.
+    import shutil
+    data = tmp_path / "poisoned"
+    data.mkdir()
+    shutil.copy(f"{sf_dir}/lineitem.parquet", data / "lineitem.parquet")
+    (data / "events.parquet").write_bytes(b"this is not parquet")
+
+    from bigarrays_jl_spark.sources.tables import register_views
+    register_views(spark, str(data))  # must not raise
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+
+    # the poisoned table itself still fails loudly when explicitly asked for
+    with pytest.raises(Exception):
+        register_views(spark, str(data), tables=["events"])
+
+    # re-register the real views so later tests in the session see sf_dir
+    register_views(spark, sf_dir)
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    # the testdata has shipped events.ts as both TIMESTAMP(NANOS)-as-long
+    # and plain timestamp[us]; the loader must normalize either to a
+    # watermark-compatible TIMESTAMP column
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
