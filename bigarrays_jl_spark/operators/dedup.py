@@ -257,10 +257,14 @@ GROUP BY doc_a, doc_b
 # tiny fraction of the corpus), then hot shingles above a document-
 # frequency cap are dropped — a shingle appearing in many docs ("terms
 # of service apply") identifies nothing and would otherwise inflate the
-# per-pair probe fan-out.  Both constants are mirrored in the oracle.
+# per-pair probe fan-out.  Document frequency is computed over the FULL
+# corpus shingle set (one narrow agg), not the candidate subset, so a
+# pair's score is deterministic per corpus and cannot shift with which
+# other docs landed in the LSH candidate set.  Both constants are
+# mirrored in the oracle.
 # --------------------------------------------------------------------------
 
-SHINGLE_DF_CAP = 512  # scale guard; at bench SFs no shingle reaches it
+SHINGLE_DF_CAP = 512  # corpus-level df guard; at bench SFs no shingle reaches it
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -269,12 +273,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
              .union(cand.select(F.col("doc_b").alias("doc_id")))
              .distinct())
-    # corpus → candidate-doc shingles (semi join), then the DF cap and
-    # per-doc set sizes ride along via window counts over the reduced set
-    shk = (_shingles(_augmented(spark, sf))
+    sh_all = _shingles(_augmented(spark, sf))
+    # hot-shingle set from CORPUS-level document frequency (one narrow
+    # partial-aggregated groupBy), so a pair's reported Jaccard is a
+    # property of the corpus alone — never of which other docs happened
+    # to be LSH candidates.  At the cap the surviving hot set is tiny
+    # and broadcasts into the anti join.
+    hot = (sh_all.groupBy("sh").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
+    # corpus → candidate-doc shingles (semi join) minus hot shingles;
+    # per-doc set sizes ride along via a window count over the kept set
+    shk = (sh_all
            .join(cdocs, "doc_id", "left_semi")
-           .withColumn("df", F.count("*").over(W.partitionBy("sh")))
-           .filter(F.col("df") <= SHINGLE_DF_CAP).drop("df")
+           .join(F.broadcast(hot), "sh", "left_anti")
            .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id"))))
     a, b = shk.alias("a"), shk.alias("b")
     return (cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
@@ -297,9 +308,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 _NGRAM_VERIFY_CTES_SQL = f"""
 cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
 shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN cdocs c ON s.doc_id = c.doc_id),
-keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shc GROUP BY sh)
-         WHERE df <= {SHINGLE_DF_CAP}),
-shk AS (SELECT s.doc_id, s.sh FROM shc s JOIN keep k ON s.sh = k.sh),
+hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        WHERE df > {SHINGLE_DF_CAP}),
+shk AS (SELECT s.doc_id, s.sh FROM shc s
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
 shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
            FROM cand c

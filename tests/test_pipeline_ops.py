@@ -140,3 +140,29 @@ def test_chunking_covers_every_document_exactly(spark, sf_dir):
         # last chunk touches the end; one more stride would start past it
         assert last["start_pos"] + last["chunk_len"] - 1 == n
         assert last["start_pos"] + CHUNK_STRIDE > n
+
+
+def test_ngram_jaccard_hot_shingle_cap_is_corpus_level(spark, tmp_path, monkeypatch):
+    # A shingle above SHINGLE_DF_CAP must be excluded from BOTH the
+    # shared count and the per-doc set sizes, and the document frequency
+    # that triggers the cap is computed over the whole corpus — not the
+    # LSH candidate subset — so a pair's score cannot depend on which
+    # unrelated docs happened to collide in a band.
+    from bigarrays_jl_spark.operators import dedup
+
+    base = "hot common phrase t1 t2 t3 t4 t5 t6 t7"          # 10 tokens
+    rows = [(1, base), (2, base + " t8")]                    # near-dup pair
+    # six fillers all containing the hot shingle; none are near-dups of
+    # the pair, and with the cap at 4 the shingle's corpus df (8) trips it
+    rows += [(i + 3, f"hot common phrase u{i}a u{i}b") for i in range(6)]
+    data = tmp_path / "hotcap"
+    data.mkdir()
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(str(data / "documents.parquet"))
+
+    monkeypatch.setattr(dedup, "SHINGLE_DF_CAP", 4)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.dedup_ngram_jaccard(spark, str(data)).collect()}
+    # with the hot shingle dropped: 7 shared / (7 + 8 - 7) = 0.875;
+    # keeping it (the candidate-relative bug) would report 8/9 = 0.8889
+    assert got[(1, 2)] == pytest.approx(0.875)
