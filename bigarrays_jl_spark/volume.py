@@ -580,16 +580,23 @@ class Volume:
                     if nc == 1:
                         block = block[..., _np.newaxis]
                     shp = block.shape
+                    # int32 coordinate arrays: the schema columns are
+                    # 32-bit, and shipping int64 through Arrow doubles
+                    # the dominant transfer cost of this operator
                     xs, ys, zs, cs = _np.meshgrid(
-                        _np.arange(cut[0][0], cut[0][1]),
-                        _np.arange(cut[1][0], cut[1][1]),
-                        _np.arange(cut[2][0], cut[2][1]),
-                        _np.arange(shp[3]), indexing="ij")
+                        _np.arange(cut[0][0], cut[0][1], dtype=_np.int32),
+                        _np.arange(cut[1][0], cut[1][1], dtype=_np.int32),
+                        _np.arange(cut[2][0], cut[2][1], dtype=_np.int32),
+                        _np.arange(shp[3], dtype=_np.int32), indexing="ij")
                     vals = block.reshape(-1, order="C")
                     if dtype_str == "uint64":
                         vals = vals.astype(object)  # decimal(20,0) path
-                    elif dtype_str.startswith("uint"):
-                        vals = vals.astype(_np.int64)
+                    elif dtype_str == "uint8":
+                        vals = vals.astype(_np.int16)   # smallint
+                    elif dtype_str == "uint16":
+                        vals = vals.astype(_np.int32)   # int
+                    elif dtype_str == "uint32":
+                        vals = vals.astype(_np.int64)   # bigint
                     yield pd.DataFrame({
                         "x": xs.ravel(), "y": ys.ravel(), "z": zs.ravel(),
                         "c": cs.ravel(), "value": vals})
