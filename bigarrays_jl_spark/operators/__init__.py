@@ -15,11 +15,16 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
+# queries whose oracle can only hold within a tolerance (approx sketches):
+# {name: (exact_sql, rel_tol)} — tools/check_oracle.py grades these cells
+# within ±rel_tol of the exact answer instead of by value hash
+ALL_TOLERANCE_ORACLES = {}
 for _m in _MODULES:
     for _name, _fn in _m.QUERIES.items():
         if _name in ALL_QUERIES:
             raise ValueError(f"duplicate query name {_name}")
         ALL_QUERIES[_name] = _fn
     ALL_ORACLES.update(_m.ORACLES)
+    ALL_TOLERANCE_ORACLES.update(getattr(_m, "TOLERANCE_ORACLES", {}))
 
-__all__ = ["ALL_QUERIES", "ALL_ORACLES"]
+__all__ = ["ALL_QUERIES", "ALL_ORACLES", "ALL_TOLERANCE_ORACLES"]

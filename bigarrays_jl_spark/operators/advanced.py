@@ -731,3 +731,20 @@ ORACLES = {
     "q42_stats_aggs": Q42_SQL,
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }
+
+# q31's sketches (HLL, GK quantile) are engine-specific, so no exact
+# cross-engine oracle exists — but their *accuracy contract* is
+# checkable: every approximate cell must land within ±5% of the exact
+# DuckDB answer.  tools/check_oracle.py grades this tolerance oracle;
+# the driver still records q31 as rows-only.
+Q31_EXACT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS approx_parts,
+       count(DISTINCT l_partkey) AS exact_parts,
+       median(l_extendedprice) AS approx_p50
+FROM lineitem GROUP BY l_returnflag
+"""
+
+TOLERANCE_ORACLES = {
+    "q31_approx_aggs": (Q31_EXACT_SQL, 0.05),
+}

@@ -268,6 +268,15 @@ SHINGLE_DF_CAP = 512  # corpus-level df guard; at bench SFs no shingle reaches i
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-*verified* near-dup pairs: exact shingle Jaccard >= 0.5, but
+    only for pairs the MinHash band join surfaced — NOT all-pairs
+    Jaccard.  At 8 hashes / 4 bands a true J=0.5 pair is surfaced with
+    p = 1-(1-0.5^2)^4 ~ 0.68, rising fast with J (J=0.9: p ~ 0.9996);
+    tests/test_pipeline_ops.py pins a deterministic borderline miss, and
+    test_ngram_jaccard_recall_vs_full_oracle measures recall against an
+    independent all-pairs DuckDB oracle (1.000 at sf0.001, where every
+    true pair has J >= 0.87).  Precision is exact: every reported pair
+    carries its true corpus Jaccard."""
     from pyspark.sql import Window as W
     cand = _band_candidates(spark, sf)
     cdocs = (cand.select(F.col("doc_a").alias("doc_id"))

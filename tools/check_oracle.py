@@ -3,9 +3,11 @@
 Runs every registered query through Spark AND its DuckDB oracle on the
 same parquet, compares row-count, column names, and an order-insensitive
 value hash (values normalized: floats rounded via repr, timestamps to
-ISO).  Usage:
+ISO).  Queries registered in ALL_TOLERANCE_ORACLES (approx sketches)
+are instead graded cell-by-cell within ±rel_tol of the exact answer.
+Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -50,11 +52,50 @@ def table_signature(cols, rows):
     return sorted_cols, len(norm_rows), h.hexdigest(), norm_rows
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def tolerance_match(scols, srows, ocols, orows, rel_tol):
+    """Order-insensitive compare where numeric cells may deviate by
+    ±rel_tol from the oracle value; non-numeric cells must be equal.
+    Rows are aligned by sorting both sides on their normalized
+    non-float cells (the group keys)."""
+    if sorted(scols) != sorted(ocols):
+        return False, "columns differ"
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    def keyed(rows, order):
+        out = []
+        for r in rows:
+            cells = [r[i] for i in order]
+            key = tuple(normalize_cell(c) for c in cells
+                        if not isinstance(c, (int, float)))
+            out.append((key, cells))
+        return sorted(out, key=lambda kv: kv[0])
+    s, o = keyed([tuple(r) for r in srows], sorder), keyed(orows, oorder)
+    if len(s) != len(o):
+        return False, f"row counts differ: {len(s)}/{len(o)}"
+    for (sk, sc_), (ok_, oc_) in zip(s, o):
+        if sk != ok_:
+            return False, f"group keys differ: {sk} vs {ok_}"
+        for a, b in zip(sc_, oc_):
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+                denom = max(abs(float(b)), 1e-12)
+                if abs(float(a) - float(b)) / denom > rel_tol:
+                    return False, f"cell off by >{rel_tol:.0%}: {a} vs {b}"
+            elif normalize_cell(a) != normalize_cell(b):
+                return False, f"cell differs: {a!r} vs {b!r}"
+    return True, None
 
-    from bigarrays_jl_spark.operators import ALL_ORACLES, ALL_QUERIES
+
+def main():
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    from bigarrays_jl_spark.operators import (ALL_ORACLES, ALL_QUERIES,
+                                              ALL_TOLERANCE_ORACLES)
     from bigarrays_jl_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -64,6 +105,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    report = {}
     for name, fn in ALL_QUERIES.items():
         if only and name not in only:
             continue
@@ -75,11 +117,39 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": f"spark error: {e}"[:500]}
             continue
         sql = ALL_ORACLES.get(name)
+        if sql is None and name in ALL_TOLERANCE_ORACLES:
+            sql, rel_tol = ALL_TOLERANCE_ORACLES[name]
+            try:
+                res = con.execute(sql)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: duckdb error: {e}")
+                failures.append(name)
+                report[name] = {"status": "FAIL",
+                                "err": f"duckdb error: {e}"[:500]}
+                continue
+            ok, why = tolerance_match(scols, srows, ocols, orows, rel_tol)
+            status = "PASS" if ok else "FAIL"
+            print(f"{status} {name}: rows={len(srows)}/{len(orows)} "
+                  f"tolerance=±{rel_tol:.0%}"
+                  + (f" ({why})" if why else "")
+                  + f" [{time.time()-t0:.1f}s]")
+            if not ok:
+                failures.append(name)
+            report[name] = {"status": status, "mode": "tolerance",
+                            "rel_tol": rel_tol, "rows_spark": len(srows),
+                            "rows_oracle": len(orows), "err": why,
+                            "secs": round(time.time() - t0, 2)}
+            continue
         if sql is None:
             print(f"---- {name}: no oracle (rows-only) rows={len(srows)} "
                   f"[{time.time()-t0:.1f}s]")
+            report[name] = {"status": "ROWS_ONLY", "rows_spark": len(srows),
+                            "secs": round(time.time() - t0, 2)}
             continue
         try:
             res = con.execute(sql)
@@ -88,6 +158,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": f"duckdb error: {e}"[:500]}
             continue
         sc, sn, sh, snorm = table_signature(scols, [tuple(r) for r in srows])
         oc, on, oh, onorm = table_signature(ocols, orows)
@@ -95,6 +166,9 @@ def main():
         status = "PASS" if ok else "FAIL"
         print(f"{status} {name}: rows={sn}/{on} cols_match={sc == oc} "
               f"hash_match={sh == oh} [{time.time()-t0:.1f}s]")
+        report[name] = {"status": status, "rows_spark": sn, "rows_oracle": on,
+                        "cols_match": sc == oc, "hash_match": sh == oh,
+                        "secs": round(time.time() - t0, 2)}
         if not ok:
             failures.append(name)
             if sc != oc:
@@ -107,6 +181,13 @@ def main():
                     print(f"   duck-only:  {r}")
     print(f"\n{len(failures)} failures: {failures}" if failures
           else "\nall queries match")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "n_failures": len(failures), "queries": report},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 
