@@ -528,12 +528,68 @@ GROUP BY fp
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_exact_substring — exact repeated-span detection (the
+# "deduplicating training data" substring family, distinct from the
+# shingle-set Jaccard family): two docs match when they share a verbatim
+# run of RUN_LEN consecutive tokens.  Spark shape: every doc's distinct
+# RUN_LEN-token window hashes (map-side, no explode of raw text), hot
+# windows above a corpus df cap dropped (boilerplate runs — license
+# headers — identify nothing and would quadratically inflate the
+# self-join), then an inverted-index equi-join on the 16-byte window
+# hash.  The shuffle is O(docs × windows) compact hashes; per-hash
+# fan-out is bounded by the cap, so no O(n²) stage exists at any corpus
+# size.
+# --------------------------------------------------------------------------
+
+RUN_LEN = 8            # tokens per verbatim run
+RUN_DF_CAP = 64        # corpus df above which a window is boilerplate
+
+
+def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _augmented(spark, sf)
+    toks = aug.select("doc_id", tokens().alias("t"))
+    wins = (toks.filter(F.size("t") >= RUN_LEN)
+            .select("doc_id",
+                    F.explode(F.transform(shingle_array("t", RUN_LEN), F.md5))
+                     .alias("h"))
+            .distinct())
+    hot = (wins.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > RUN_DF_CAP).select("h"))
+    kept = wins.join(F.broadcast(hot), "h", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared_runs")))
+
+
+DEDUP_EXACT_SUBSTRING_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM aug),
+wins AS (SELECT DISTINCT doc_id,
+                md5(array_to_string(t[i:i+{RUN_LEN - 1}], ' ')) AS h
+         FROM toks, UNNEST(range(1, len(t) - {RUN_LEN - 2})) u(i)
+         WHERE len(t) >= {RUN_LEN}),
+hot AS (SELECT h FROM (SELECT h, count(*) AS df FROM wins GROUP BY h)
+        WHERE df > {RUN_DF_CAP}),
+kept AS (SELECT doc_id, h FROM wins w
+         WHERE NOT EXISTS (SELECT 1 FROM hot x WHERE x.h = w.h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_runs
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
     "text_simhash": text_simhash,
@@ -545,6 +601,7 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "dedup_embedding_cosine": _embedding_cosine_sql(),
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "text_simhash": TEXT_SIMHASH_SQL,

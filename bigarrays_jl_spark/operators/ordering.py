@@ -67,3 +67,57 @@ def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     cum = F.sum(weight).over(w) + F.element_at(off_map, F.col("__bkt"))
     return (bucketed.withColumn(out, cum.cast("bigint")).drop("__bkt"), acc)
+
+
+def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
+                  group: str, value: str, tiebreak: str) -> DataFrame:
+    """``df`` plus a ``tile`` column: exact per-``group`` ntile over
+    ``(value, tiebreak)`` with NO per-group whole-partition window.
+
+    A bare ``ntile() OVER (PARTITION BY group ORDER BY ...)`` funnels
+    each group through one task — fatal when one group dominates (an
+    80%-English corpus at 100 TB).  Same two-phase pattern as
+    :func:`distributed_prefix_sum`, grouped: per-group approximate range
+    boundaries split every group into ordered sub-buckets, exact
+    per-(group, sub-bucket) counts (≤ groups × buckets rows to the
+    driver) become rank offsets broadcast back as literal maps, and the
+    only window is per-(group, sub-bucket).  Matches the SQL ``ntile``
+    split exactly (first ``total % n_tiles`` tiles get the extra row).
+    Group cardinality must be modest (the boundary/offset maps are
+    literal expressions); the size of each group is unconstrained.
+    """
+    n_buckets = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bdf = (df.groupBy(group)
+           .agg(F.percentile_approx(value, probs).alias("__bs")))
+    j = df.join(F.broadcast(bdf), group)
+    bucket = F.size(F.filter(F.col("__bs"), lambda b: F.col(value) > b))
+    bucketed = j.withColumn("__bkt", bucket).drop("__bs")
+
+    per = (bucketed.groupBy(group, "__bkt")
+           .agg(F.count("*").alias("c")).collect())
+    sep = "\x1f"
+    offsets, totals = {}, {}
+    for r in sorted(per, key=lambda r: (str(r[group]), r["__bkt"])):
+        g = str(r[group])
+        offsets[(g, r["__bkt"])] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + r["c"]
+    off_map = F.create_map(*[F.lit(v) for (g, b), o in offsets.items()
+                             for v in (f"{g}{sep}{b}", o)])
+    tot_map = F.create_map(*[F.lit(v) for g, t in totals.items()
+                             for v in (g, t)])
+    gkey = F.col(group).cast("string")
+    okey = F.concat_ws(sep, gkey, F.col("__bkt").cast("string"))
+
+    w = W.partitionBy(group, "__bkt").orderBy(value, tiebreak)
+    rank = F.row_number().over(w) + F.element_at(off_map, okey)
+    total = F.element_at(tot_map, gkey)
+    q = F.floor(total / n_tiles)
+    rem = total % n_tiles
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    # when q == 0, big == total so the first branch covers every rank
+    tile = F.when(rank <= big, F.floor((rank - 1) / (q + 1))) \
+            .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))))
+    return (bucketed.withColumn("tile", (tile + 1).cast("int"))
+            .drop("__bkt"))

@@ -312,6 +312,50 @@ FROM tok, n GROUP BY term, n.n
 """
 
 
+# --------------------------------------------------------------------------
+# text_quality_buckets — CCNet-style head/middle/tail corpus split: each
+# language's documents are cut into exact per-language terciles of a
+# quality score (stopword ratio here standing in for the LM-perplexity
+# score CCNet uses; same operator shape).  Downstream pipelines train on
+# "head", mine "middle", and drop "tail".
+#
+# Scale shape: per-language ntile via ordering.grouped_ntile — two-phase
+# grouped rank, so the dominant language does NOT funnel through a
+# single window task the way a bare ntile() OVER (PARTITION BY lang)
+# would.  The oracle runs the equivalent single-node ntile.
+# --------------------------------------------------------------------------
+
+def text_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.operators.ordering import grouped_ntile
+    d = load(spark, sf, "documents")
+    t = _toks()
+    score = F.round(
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(t), 4)
+    scored = d.select("doc_id", "lang", score.alias("score"))
+    tiled = grouped_ntile(spark, scored, 3, "lang", "score", "doc_id")
+    bucket = (F.when(F.col("tile") == 3, "head")       # highest score
+               .when(F.col("tile") == 2, "middle")
+               .otherwise("tail"))
+    return tiled.select("doc_id", "lang", "score", bucket.alias("bucket"))
+
+
+TEXT_QUALITY_BUCKETS_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, lang,
+         round(CAST(len(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+           AS score
+  FROM documents)
+SELECT doc_id, lang, score,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)
+         WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM q
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -321,6 +365,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_doc_freq": text_doc_freq,
     "text_repetition": text_repetition,
+    "text_quality_buckets": text_quality_buckets,
 }
 
 ORACLES = {
@@ -332,4 +377,5 @@ ORACLES = {
     "text_doc_freq": TEXT_DOC_FREQ_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
+    "text_quality_buckets": TEXT_QUALITY_BUCKETS_SQL,
 }

@@ -149,3 +149,25 @@ def test_distributed_ntile_matches_builtin(spark, values, n_tiles):
     want = {(r.id, r.tile) for r in
             df.withColumn("tile", F.ntile(n_tiles).over(w)).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["en", "fr", "de"]),
+                          st.integers(0, 10)), min_size=1, max_size=60),
+       st.integers(2, 4))
+def test_grouped_ntile_matches_builtin(spark, rows, n_tiles):
+    # the grouped two-phase rank must agree with the per-group ntile
+    # window on any input — heavy ties, singleton groups, n < n_tiles
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.ordering import grouped_ntile
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "id int, g string, v double")
+    got = {(r.id, r.tile) for r in
+           grouped_ntile(spark, df, n_tiles, "g", "v", "id").collect()}
+    w = W.partitionBy("g").orderBy("v", "id")
+    want = {(r.id, r.tile) for r in
+            df.withColumn("tile", F.ntile(n_tiles).over(w)).collect()}
+    assert got == want
