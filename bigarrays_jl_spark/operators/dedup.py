@@ -162,13 +162,20 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
     shingled = toks.withColumn("sh_arr", shingle_array("t"))
     sig = shingled.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
     # band signature = md5 of its 2 member hashes; explode to (doc, band)
-    return sig.select("doc_id", "sig", F.explode(F.array(*[
+    bands = sig.select("doc_id", "sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("b"),
                  F.md5(F.concat_ws("|",
                                    F.element_at("sig", 2 * b + 1),
                                    F.element_at("sig", 2 * b + 2))).alias("band"))
         for b in range(N_BANDS)])).alias("e")).select(
         "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+    # materialize the signature table ONCE (localCheckpoint → executor
+    # storage): every consumer self-joins it, and without this both join
+    # sides re-run the corpus-wide tokenize+md5+minhash map (the
+    # dominant cost).  At 100 TB the table is O(docs × bands) compact
+    # rows (~130 B/row) — the standard LSH signature-table materialization
+    # — and the join becomes exchange-reusing instead of double-scanning.
+    return bands.localCheckpoint()
 
 
 def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
