@@ -203,6 +203,69 @@ FROM w, unnest(generate_series(1, wt)) AS u(copy)
 """
 
 
+# --------------------------------------------------------------------------
+# sample_temperature_mix — temperature-based source rebalancing (the
+# mT5/XLM-R multilingual mix): source s with corpus share p_s is
+# resampled toward target share q_s ∝ p_s^α, so small sources are
+# upsampled and dominant ones damped.  α = 0.5 deliberately: p^0.5 is
+# sqrt, which IEEE 754 requires to be correctly rounded, so Spark and
+# DuckDB compute bit-identical weights (pow(p, α) for general α carries
+# no such guarantee).  The per-source epoch count is
+# clamp(round(SCALE · q_s/p_s), 1, CAP) — an integer derived once per
+# source, then realized map-side per doc.
+#
+# Scale shape: two narrow per-source aggregations (sources ≪ docs)
+# broadcast back into one corpus scan; row generation is
+# explode(sequence(1, copies)) — zero wide shuffles end to end.
+# --------------------------------------------------------------------------
+
+TEMP_SCALE = 2          # epochs for a perfectly balanced source
+TEMP_COPY_CAP = 8       # bound on upsampling (also bounds mix_id arith)
+
+
+def sample_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    per = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = per.agg(F.sum("n_s").alias("n"))
+    shares = (per.crossJoin(F.broadcast(tot))
+              .withColumn("p", F.col("n_s") / F.col("n"))
+              .withColumn("pa", F.sqrt("p")))
+    z = shares.agg(F.sum("pa").alias("z"))
+    copies = (shares.crossJoin(F.broadcast(z))
+              .withColumn("r", (F.col("pa") / F.col("z")) / F.col("p"))
+              .select("source",
+                      F.greatest(
+                          F.lit(1),
+                          F.least(F.lit(TEMP_COPY_CAP),
+                                  F.round(F.lit(TEMP_SCALE) * F.col("r"))
+                                   .cast("int"))).alias("copies")))
+    return (d.join(F.broadcast(copies), "source")
+            .select("doc_id", "source",
+                    F.explode(F.sequence(F.lit(1), F.col("copies")))
+                     .alias("copy"))
+            .withColumn("mix_id",
+                        F.col("doc_id") * (TEMP_COPY_CAP + 1) + F.col("copy")))
+
+
+SAMPLE_TEMPERATURE_MIX_SQL = f"""
+WITH per AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n FROM per),
+shares AS (SELECT source, n_s, n_s / n AS p, sqrt(n_s / n) AS pa
+           FROM per, tot),
+z AS (SELECT sum(pa) AS z FROM shares),
+cp AS (SELECT source,
+              greatest(1, least({TEMP_COPY_CAP},
+                CAST(round({TEMP_SCALE} * (pa / z.z) / p) AS INTEGER)))
+                AS copies
+       FROM shares, z)
+SELECT d.doc_id, d.source, CAST(copy AS INTEGER) AS copy,
+       d.doc_id * {TEMP_COPY_CAP + 1} + copy AS mix_id
+FROM documents d
+JOIN cp ON cp.source = d.source,
+unnest(generate_series(1, copies)) AS u(copy)
+"""
+
+
 
 # --------------------------------------------------------------------------
 # pipeline_chunk_documents — sliding context windows: split every
@@ -263,6 +326,7 @@ QUERIES = {
     "pipeline_chunk_documents": pipeline_chunk_documents,
     "sample_stratified": sample_stratified,
     "sample_weighted_mix": sample_weighted_mix,
+    "sample_temperature_mix": sample_temperature_mix,
 }
 
 ORACLES = {
@@ -272,4 +336,5 @@ ORACLES = {
     "pipeline_chunk_documents": PIPELINE_CHUNK_DOCUMENTS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_weighted_mix": SAMPLE_WEIGHTED_MIX_SQL,
+    "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
 }

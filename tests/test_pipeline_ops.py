@@ -230,3 +230,25 @@ def test_ngram_jaccard_borderline_pair_may_miss(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.jaccard
            for r in dedup_ngram_jaccard(spark, str(data)).collect()}
     assert got == {(1, 2): pytest.approx(0.5)}
+
+
+def test_temperature_mix_flattens_source_skew(spark, sf_dir):
+    # temperature sampling must upsample rare sources harder than
+    # dominant ones: post-mix shares sit strictly between the raw
+    # shares and uniform, and every source keeps >= 1 epoch
+    from bigarrays_jl_spark.operators.pipeline import sample_temperature_mix
+    raw = {r.source: r.c for r in
+           (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .groupBy("source").agg(F.count("*").alias("c")).collect())}
+    mixed = {r.source: r.c for r in
+             (sample_temperature_mix(spark, sf_dir)
+              .groupBy("source").agg(F.count("*").alias("c")).collect())}
+    assert set(mixed) == set(raw)
+    n_raw, n_mix = sum(raw.values()), sum(mixed.values())
+    smallest = min(raw, key=raw.get)
+    largest = max(raw, key=raw.get)
+    if raw[smallest] < raw[largest]:  # skew exists in the fixture
+        boost = {s: (mixed[s] / n_mix) / (raw[s] / n_raw) for s in raw}
+        assert boost[smallest] > boost[largest]
+    for s in raw:
+        assert mixed[s] >= raw[s]  # copies >= 1 epoch everywhere
