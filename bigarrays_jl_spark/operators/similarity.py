@@ -242,6 +242,16 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COS_THRESHOLD}
 # centroids, route each query to its nearest centroid (nprobe=1), and
 # scan ONLY that cell — a broadcast-pruned join instead of the
 # brute-force full-corpus scan in ann_cosine_topk.
+#
+# RECALL DEPENDS ON THE PARTITION QUALITY, and the testdata's labels are
+# semantically arbitrary — measured recall@10 vs the brute-force truth
+# at sf0.001 (tests/test_ann_recall.py pins these):
+#   ann_ivf_topk (label cells, nprobe=1)   0.14   <- partition is noise
+#   ann_ivf_nprobe2_topk                   0.30   <- linear in nprobe
+#   ann_ivf_kmeans_topk (fitted cells)     0.76   <- geometry helps
+#   ann_sq8_topk (full scan, 8-bit codes)  1.00   <- no routing loss
+# The label-cell variants exist to exercise the routed-search machinery
+# against an oracle; ann_ivf_kmeans_topk is the production shape.
 # --------------------------------------------------------------------------
 
 _cosine = _cosine_fn
