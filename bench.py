@@ -170,13 +170,12 @@ def main() -> None:
     # best-of-2 for the volume paths too: the first full-size pass pays
     # JVM C2 compilation of the parquet writer + Arrow codec paths that
     # a long-lived cluster has already amortized
-    vol_stats = run_volume_bench(spark)
-    for k, v in run_volume_bench(spark).items():
-        vol_stats[k] = max(vol_stats[k], v)
-    dist = run_volume_distributed_bench(spark)
-    for k, v in run_volume_distributed_bench(spark).items():
-        dist[k] = max(dist[k], v)
-    vol_stats.update(dist)
+    def best_of_2(fn):
+        a, b = fn(spark), fn(spark)
+        return {k: max(a[k], b[k]) for k in a}
+
+    vol_stats = best_of_2(run_volume_bench)
+    vol_stats.update(best_of_2(run_volume_distributed_bench))
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

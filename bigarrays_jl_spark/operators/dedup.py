@@ -169,13 +169,16 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
                                    F.element_at("sig", 2 * b + 2))).alias("band"))
         for b in range(N_BANDS)])).alias("e")).select(
         "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
-    # materialize the signature table ONCE (localCheckpoint → executor
-    # storage): every consumer self-joins it, and without this both join
-    # sides re-run the corpus-wide tokenize+md5+minhash map (the
-    # dominant cost).  At 100 TB the table is O(docs × bands) compact
-    # rows (~130 B/row) — the standard LSH signature-table materialization
-    # — and the join becomes exchange-reusing instead of double-scanning.
-    return bands.localCheckpoint()
+    # materialize the signature table ONCE (lazy localCheckpoint →
+    # executor storage on first use): every consumer self-joins it, and
+    # without this both join sides re-run the corpus-wide
+    # tokenize+md5+minhash map (the dominant cost).  At 100 TB the table
+    # is O(docs × bands) compact rows (~130 B/row) — the standard LSH
+    # signature-table materialization.  eager=False keeps plan
+    # construction lazy (.schema/.explain trigger no job); a
+    # fault-tolerant deployment would use reliable checkpointing or
+    # persist(DISK) instead of executor-local blocks.
+    return bands.localCheckpoint(eager=False)
 
 
 def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
@@ -289,7 +292,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
              .union(cand.select(F.col("doc_b").alias("doc_id")))
              .distinct())
-    sh_all = _shingles(_augmented(spark, sf))
+    # the shingle set feeds BOTH the corpus-df aggregation and the
+    # candidate semi-join below; materialize it once (lazy checkpoint)
+    # so the explode+distinct shuffle doesn't run twice.  Tradeoff: the
+    # stored set is O(corpus distinct shingles) — heavier than the
+    # compact signature table — but recomputing it costs the same
+    # shuffle again, so caching wins whenever executor storage holds it.
+    sh_all = _shingles(_augmented(spark, sf)).localCheckpoint(eager=False)
     # hot-shingle set from CORPUS-level document frequency (one narrow
     # partial-aggregated groupBy), so a pair's reported Jaccard is a
     # property of the corpus alone — never of which other docs happened

@@ -85,32 +85,46 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     split exactly (first ``total % n_tiles`` tiles get the extra row).
     Group cardinality must be modest (the boundary/offset maps are
     literal expressions); the size of each group is unconstrained.
+    NULL groups form their own partition (both engines' PARTITION BY
+    semantics) via an internal coalesced key, so no row can silently
+    vanish through the boundary join; NULL *values* are rejected —
+    their ordering differs between engines — detected inside the
+    existing per-bucket aggregation so the guard costs no extra scan.
     """
     n_buckets = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bdf = (df.groupBy(group)
+    sep = "\x1f"
+    null_g = sep + "NULL"  # cannot collide: sep never appears in a cast
+    df = df.withColumn(
+        "__g", F.coalesce(F.col(group).cast("string"), F.lit(null_g)))
+    bdf = (df.groupBy("__g")
            .agg(F.percentile_approx(value, probs).alias("__bs")))
-    j = df.join(F.broadcast(bdf), group)
+    j = df.join(F.broadcast(bdf), "__g")
     bucket = F.size(F.filter(F.col("__bs"), lambda b: F.col(value) > b))
     bucketed = j.withColumn("__bkt", bucket).drop("__bs")
 
-    per = (bucketed.groupBy(group, "__bkt")
-           .agg(F.count("*").alias("c")).collect())
-    sep = "\x1f"
+    per = (bucketed.groupBy("__g", "__bkt")
+           .agg(F.count("*").alias("c"),
+                F.count(F.when(F.col(value).isNull(), 1)).alias("nn"))
+           .collect())
+    if any(r["nn"] for r in per):
+        raise ValueError(
+            f"grouped_ntile requires non-null {value!r} (engines order "
+            f"NULLs differently); coalesce a sentinel before calling")
     offsets, totals = {}, {}
-    for r in sorted(per, key=lambda r: (str(r[group]), r["__bkt"])):
-        g = str(r[group])
+    for r in sorted(per, key=lambda r: (r["__g"], r["__bkt"])):
+        g = r["__g"]
         offsets[(g, r["__bkt"])] = totals.get(g, 0)
         totals[g] = totals.get(g, 0) + r["c"]
     off_map = F.create_map(*[F.lit(v) for (g, b), o in offsets.items()
                              for v in (f"{g}{sep}{b}", o)])
     tot_map = F.create_map(*[F.lit(v) for g, t in totals.items()
                              for v in (g, t)])
-    gkey = F.col(group).cast("string")
+    gkey = F.col("__g")
     okey = F.concat_ws(sep, gkey, F.col("__bkt").cast("string"))
 
-    w = W.partitionBy(group, "__bkt").orderBy(value, tiebreak)
+    w = W.partitionBy("__g", "__bkt").orderBy(value, tiebreak)
     rank = F.row_number().over(w) + F.element_at(off_map, okey)
     total = F.element_at(tot_map, gkey)
     q = F.floor(total / n_tiles)
@@ -120,4 +134,4 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     tile = F.when(rank <= big, F.floor((rank - 1) / (q + 1))) \
             .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))))
     return (bucketed.withColumn("tile", (tile + 1).cast("int"))
-            .drop("__bkt"))
+            .drop("__bkt", "__g"))

@@ -231,13 +231,17 @@ def sample_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
               .withColumn("p", F.col("n_s") / F.col("n"))
               .withColumn("pa", F.sqrt("p")))
     z = shares.agg(F.sum("pa").alias("z"))
+    # round to 9 decimals before the integer round (the repo's oracle
+    # float rule): z = Σ√p is an order-sensitive double sum, and this
+    # absorbs the ulp-level accumulation differences between engines
     copies = (shares.crossJoin(F.broadcast(z))
               .withColumn("r", (F.col("pa") / F.col("z")) / F.col("p"))
               .select("source",
                       F.greatest(
                           F.lit(1),
                           F.least(F.lit(TEMP_COPY_CAP),
-                                  F.round(F.lit(TEMP_SCALE) * F.col("r"))
+                                  F.round(F.round(
+                                      F.lit(TEMP_SCALE) * F.col("r"), 9))
                                    .cast("int"))).alias("copies")))
     return (d.join(F.broadcast(copies), "source")
             .select("doc_id", "source",
@@ -255,8 +259,8 @@ shares AS (SELECT source, n_s, n_s / n AS p, sqrt(n_s / n) AS pa
 z AS (SELECT sum(pa) AS z FROM shares),
 cp AS (SELECT source,
               greatest(1, least({TEMP_COPY_CAP},
-                CAST(round({TEMP_SCALE} * (pa / z.z) / p) AS INTEGER)))
-                AS copies
+                CAST(round(round({TEMP_SCALE} * (pa / z.z) / p, 9))
+                     AS INTEGER))) AS copies
        FROM shares, z)
 SELECT d.doc_id, d.source, CAST(copy AS INTEGER) AS copy,
        d.doc_id * {TEMP_COPY_CAP + 1} + copy AS mix_id

@@ -191,10 +191,11 @@ def sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
              .select("vec_id", "embedding",
                      F.col("bk.band").alias("band"),
                      F.col("bk.bkey").alias("bkey"))
-            # materialize the bucket-key table once: both self-join sides
-            # consume it, and the 48-plane sign projection is the dominant
-            # map cost — same signature-table pattern as dedup._bands
-            .localCheckpoint())
+            # materialize the bucket-key table once (lazy): both self-join
+            # sides consume it, and the 48-plane sign projection is the
+            # dominant map cost — same signature-table pattern and
+            # fault-tolerance caveat as dedup._bands
+            .localCheckpoint(eager=False))
     a = keys.select(F.col("vec_id").alias("vec_a"),
                     F.col("embedding").alias("ea"), "band", "bkey")
     b = keys.select(F.col("vec_id").alias("vec_b"),

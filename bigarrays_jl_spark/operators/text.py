@@ -329,9 +329,12 @@ def text_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from bigarrays_jl_spark.operators.ordering import grouped_ntile
     d = load(spark, sf, "documents")
     t = _toks()
-    score = F.round(
+    # -1.0 sentinel for degenerate docs (NULL/empty text): sorts below
+    # every real ratio identically in both engines, where a NULL score
+    # would order differently (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    score = F.coalesce(F.round(
         F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
-        / F.size(t), 4)
+        / F.size(t), 4), F.lit(-1.0))
     scored = d.select("doc_id", "lang", score.alias("score"))
     tiled = grouped_ntile(spark, scored, 3, "lang", "score", "doc_id")
     bucket = (F.when(F.col("tile") == 3, "head")       # highest score
@@ -343,11 +346,11 @@ def text_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
 TEXT_QUALITY_BUCKETS_SQL = rf"""
 WITH q AS (
   SELECT doc_id, lang,
-         round(CAST(len(list_filter(
+         coalesce(round(CAST(len(list_filter(
                  regexp_split_to_array(trim(lower(text)), '\s+'),
                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
-           AS score
+               / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4),
+             -1.0) AS score
   FROM documents)
 SELECT doc_id, lang, score,
        CASE ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)

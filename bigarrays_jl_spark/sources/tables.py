@@ -71,6 +71,9 @@ def register_views(spark: SparkSession, sf_dir: str,
         try:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
         except Exception:
+            # drop any stale same-name view so a failed registration can
+            # never leave a PREVIOUS dataset silently answering queries
+            spark.catalog.dropTempView(t)
             if explicit:
                 raise
 

@@ -135,9 +135,14 @@ def test_register_views_isolates_poisoned_table(spark, sf_dir, tmp_path):
     (data / "events.parquet").write_bytes(b"this is not parquet")
 
     from bigarrays_jl_spark.sources.tables import register_views
+    # pre-register the REAL events view: the poisoned registration below
+    # must drop it, not leave it silently answering for the wrong dataset
+    register_views(spark, sf_dir, tables=["events"])
     register_views(spark, str(data))  # must not raise
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
     assert n > 0
+    with pytest.raises(Exception):  # stale view gone → loud failure
+        spark.sql("SELECT count(*) FROM events").collect()
 
     # the poisoned table itself still fails loudly when explicitly asked for
     with pytest.raises(Exception):

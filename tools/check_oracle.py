@@ -56,7 +56,10 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
     """Order-insensitive compare where numeric cells may deviate by
     ±rel_tol from the oracle value; non-numeric cells must be equal.
     Rows are aligned by sorting both sides on their normalized
-    non-float cells (the group keys)."""
+    non-numeric cells (the group keys) — numeric cells can't key because
+    they may be approximate.  Tolerance oracles therefore need a UNIQUE
+    non-numeric key per row; ambiguous alignment fails loudly instead of
+    comparing cells from unrelated rows."""
     if sorted(scols) != sorted(ocols):
         return False, "columns differ"
     sorder = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -66,12 +69,17 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
         for r in rows:
             cells = [r[i] for i in order]
             key = tuple(normalize_cell(c) for c in cells
-                        if not isinstance(c, (int, float)))
+                        if not isinstance(c, (int, float))
+                        or isinstance(c, bool))
             out.append((key, cells))
         return sorted(out, key=lambda kv: kv[0])
     s, o = keyed([tuple(r) for r in srows], sorder), keyed(orows, oorder)
     if len(s) != len(o):
         return False, f"row counts differ: {len(s)}/{len(o)}"
+    skeys = [k for k, _ in s]
+    if len(set(skeys)) != len(skeys):
+        return False, ("ambiguous row alignment: tolerance oracles need a "
+                       "unique non-numeric key per row")
     for (sk, sc_), (ok_, oc_) in zip(s, o):
         if sk != ok_:
             return False, f"group keys differ: {sk} vs {ok_}"
