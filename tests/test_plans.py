@@ -189,3 +189,13 @@ def test_sq8_stats_and_queries_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_buckets_no_single_partition_window(spark, sf_dir):
+    # the CCNet bucket split must never plan a whole-group window: an
+    # Exchange SinglePartition (or a bare ntile over one partition)
+    # would funnel the dominant language through one task at scale
+    from bigarrays_jl_spark.operators.text import text_quality_buckets
+    plan = text_quality_buckets(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
