@@ -545,6 +545,54 @@ GROUP BY fp
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental_minhash — near-dup screening of a NEW batch against
+# the EXISTING corpus (the continuous-crawl production pattern, the
+# LSH analog of dedup_incremental's exact-fingerprint screen): the
+# mutant set stands in for today's crawl, originals for the corpus.
+# Band signatures come from the shared checkpointed table; the join is
+# batch-bands × corpus-bands — never corpus × corpus — so ingesting a
+# batch costs O(batch × bands) probe rows against the standing corpus
+# signature index regardless of corpus size, and the corpus is neither
+# re-paired nor rescanned.
+# --------------------------------------------------------------------------
+
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    bands = _bands(spark, sf)
+    batch = bands.filter(F.col("doc_id") >= 1000000).alias("a")
+    corpus = bands.filter(F.col("doc_id") < 1000000).alias("b2")
+    shared = F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b2.sig"), lambda x, y: x == y),
+        lambda m: m))
+    return (batch.join(corpus, (F.col("a.b") == F.col("b2.b"))
+                       & (F.col("a.band") == F.col("b2.band")))
+            .select(F.col("a.doc_id").alias("batch_id"),
+                    F.col("b2.doc_id").alias("corpus_id"),
+                    shared.alias("shared"))
+            .groupBy("batch_id", "corpus_id")
+            .agg(F.round(F.max("shared") / F.lit(float(N_HASHES)), 4)
+                  .alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5))
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = f"""
+WITH aug AS ({_AUG_SQL}),
+{_SHINGLE_SQL},
+{_MINHASH_CTES_SQL.replace("cand AS", "selfcand AS")}
+, xcand AS (SELECT DISTINCT a.doc_id AS batch_id, b2.doc_id AS corpus_id
+            FROM bands a JOIN bands b2
+              ON a.b = b2.b AND a.band = b2.band
+            WHERE a.doc_id >= 1000000 AND b2.doc_id < 1000000)
+SELECT batch_id, corpus_id,
+       round(count(*) / {float(N_HASHES)}, 4) AS est_jaccard
+FROM xcand
+JOIN sig sa ON sa.doc_id = batch_id
+JOIN sig sb ON sb.doc_id = corpus_id AND sa.k = sb.k AND sa.mh = sb.mh
+GROUP BY 1, 2
+HAVING round(count(*) / {float(N_HASHES)}, 4) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_exact_substring — exact repeated-span detection (the
 # "deduplicating training data" substring family, distinct from the
 # shingle-set Jaccard family): two docs match when they share a verbatim
@@ -602,6 +650,7 @@ GROUP BY 1, 2
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -614,6 +663,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_incremental_minhash": DEDUP_INCREMENTAL_MINHASH_SQL,
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
