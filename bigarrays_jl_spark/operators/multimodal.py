@@ -226,12 +226,114 @@ FROM documents,
 """
 
 
+# --------------------------------------------------------------------------
+# mm_phash_neardup — perceptual-hash near-dup for media payloads: a
+# 16-bit block-luminance hash (bit i = block i's byte mean above the
+# payload mean — integer cross-multiplied, so exact on both engines),
+# banded 4×4 bits for discovery.  A pair within Hamming distance 2 can
+# break at most 2 of the 4 bands (pigeonhole), so the band join's
+# candidates are a strict superset of every true match; the exact
+# XOR-popcount verify then filters.  This is image-dedup's standard
+# shape (pHash + multi-index Hamming search) on the deterministic byte
+# stand-in; swap the hash kernel when an imaging library exists.
+# Near-dups exist by construction: the dedup module's mutant
+# augmentation yields payloads with near-identical byte statistics.
+#
+# Scale: O(payloads × 4) band rows shuffle, never all-pairs; per-bucket
+# fan-out is bounded by 16-bit hash space × band occupancy.
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 16
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 2
+
+
+def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.operators.dedup import _augmented
+    aug = fan_out(spark, _augmented(spark, sf)
+                  .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+                  .filter(F.length("payload") >= PHASH_BITS))
+
+    def phash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for b in it:
+            out = []
+            for p in b["payload"]:
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n, total = len(a), int(a.sum())
+                h = 0
+                for i in range(PHASH_BITS):
+                    s, e = n * i // PHASH_BITS, n * (i + 1) // PHASH_BITS
+                    if int(a[s:e].sum()) * n > total * (e - s):
+                        h |= 1 << i
+                out.append(h)
+            yield pd.DataFrame({"doc_id": b["doc_id"],
+                                "phash": pd.Series(out, dtype="int64")})
+
+    hashed = (aug.mapInPandas(phash, schema="doc_id bigint, phash bigint")
+              .localCheckpoint(eager=False))   # both self-join sides read it
+    width = PHASH_BITS // PHASH_BANDS
+    bands = hashed.select("doc_id", "phash", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright("phash", b * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for b in range(PHASH_BANDS)])).alias("e")) \
+        .select("doc_id", "phash", F.col("e.b").alias("b"),
+                F.col("e.bv").alias("bv"))
+    a, bb = bands.alias("a"), bands.alias("b2")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b2.phash")))
+    return (a.join(bb, (F.col("a.b") == F.col("b2.b"))
+                   & (F.col("a.bv") == F.col("b2.bv"))
+                   & (F.col("a.doc_id") < F.col("b2.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b2.doc_id").alias("doc_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("hamming").cast("int").alias("hamming")))
+
+
+MM_PHASH_NEARDUP_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 0),
+d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM aug
+      WHERE octet_length(encode(text)) >= {PHASH_BITS}),
+blk AS (
+  SELECT doc_id, i,
+         (SELECT coalesce(sum(ascii(substr(text, CAST(p AS INT) + 1, 1))), 0)
+          FROM UNNEST(range(n * i // {PHASH_BITS},
+                            n * (i + 1) // {PHASH_BITS})) v(p)) AS bsum,
+         n * (i + 1) // {PHASH_BITS} - n * i // {PHASH_BITS} AS blen, n
+  FROM d, UNNEST(range(0, {PHASH_BITS})) u(i)),
+tot AS (SELECT doc_id, sum(bsum) AS total FROM blk GROUP BY doc_id),
+ph AS (SELECT blk.doc_id,
+              sum(CASE WHEN bsum * n > total * blen
+                       THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS phash
+       FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+       GROUP BY blk.doc_id),
+bands AS (SELECT doc_id, phash, b,
+                 (phash >> (b * {PHASH_BITS // PHASH_BANDS}))
+                 & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS bv
+          FROM ph, UNNEST(range(0, {PHASH_BANDS})) w(b))
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(min(bit_count(xor(a.phash, b2.phash))) AS INT) AS hamming
+FROM bands a JOIN bands b2
+  ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.phash, b2.phash)) <= {PHASH_MAX_HAMMING}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "mm_metadata": mm_metadata,
     "mm_byte_features": mm_byte_features,
     "mm_fingerprint": mm_fingerprint,
     "mm_resize_thumb": mm_resize_thumb,
     "mm_frame_sample": mm_frame_sample,
+    "mm_phash_neardup": mm_phash_neardup,
 }
 
 ORACLES = {
@@ -240,4 +342,5 @@ ORACLES = {
     "mm_fingerprint": MM_FINGERPRINT_SQL,
     "mm_resize_thumb": MM_RESIZE_THUMB_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_phash_neardup": MM_PHASH_NEARDUP_SQL,
 }
