@@ -171,3 +171,19 @@ def test_grouped_ntile_matches_builtin(spark, rows, n_tiles):
     want = {(r.id, r.tile) for r in
             df.withColumn("tile", F.ntile(n_tiles).over(w)).collect()}
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**16 - 1),
+       st.sets(st.integers(0, 15), min_size=0, max_size=2))
+def test_phash_band_superset_guarantee(base, flips):
+    # the discovery guarantee mm_phash_neardup relies on: any pair
+    # within Hamming distance 2 of a 16-bit hash shares at least one of
+    # the four 4-bit bands (2 errors can break at most 2 of 4 bands),
+    # so the band join's candidate set is a strict superset of every
+    # true match — no verification step can be starved by discovery
+    other = base
+    for f in flips:
+        other ^= 1 << f
+    bands = lambda h: [(h >> (4 * b)) & 15 for b in range(4)]
+    assert any(x == y for x, y in zip(bands(base), bands(other)))
