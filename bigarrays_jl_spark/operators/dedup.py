@@ -487,13 +487,16 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
                     "component_size"))
 
 
+# The pair chain lives in a subquery-scoped WITH, outside the RECURSIVE
+# umbrella: DuckDB 1.0.0 silently returns DIFFERENT (fewer) rows for the
+# identical non-recursive CTE chain when the WITH list is declared
+# RECURSIVE (reproduced at sf0.1: 727 vs 820 pairs — a J=0.98 mutant
+# pair vanished).  Only the reachability fixpoint stays recursive.
 DEDUP_COMPONENTS_SQL = f"""
-WITH RECURSIVE aug AS ({_AUG_SQL}),
-{_SHINGLE_SQL},
-{_MINHASH_CTES_SQL},
-{_NGRAM_VERIFY_CTES_SQL},
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
+WITH RECURSIVE
+prs AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL}) q),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
 reach(node, lab) AS (
   SELECT DISTINCT src, src FROM edges
   UNION
