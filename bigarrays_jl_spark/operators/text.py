@@ -359,6 +359,54 @@ FROM q
 """
 
 
+# --------------------------------------------------------------------------
+# text_unigram_logprob — perplexity-proxy quality score (the CCNet-style
+# LM filter with a unigram LM fit on the corpus itself): per-doc mean
+# negative log-probability of its tokens under corpus unigram
+# frequencies.  Low = common-token fluent text, high = rare-token noise;
+# the standard cheap stand-in when no external LM is available.
+#
+# Float discipline: each token's -ln(tf/N) is rounded to 9 decimals and
+# accumulated in DECIMAL(28,9) (the q42 power-sum trick), so the per-doc
+# mean is bit-reproducible under any partitioning and any engine's
+# summation order; only the final display value re-enters double.
+#
+# Scale shape: one explode + one groupBy(term) builds the frequency
+# table (vocabulary-bounded); the token→frequency join shuffles on the
+# term hash; the per-doc rollup is a partial-aggregated groupBy.  No
+# windows, no driver loops.
+# --------------------------------------------------------------------------
+
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = tf.agg(F.sum("tf").cast("double").alias("n"))
+    nll = (tf.crossJoin(F.broadcast(n_total))
+           .select("term", F.round(-F.log(F.col("tf") / F.col("n")), 9)
+                   .cast("decimal(28,9)").alias("nll")))
+    return (toks.join(nll, "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.round((F.sum("nll") / F.count("*")).cast("double"), 4)
+                  .alias("avg_nll")))
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf),
+nll AS (SELECT term, CAST(round(-ln(tf / n.n), 9) AS DECIMAL(28,9)) AS nll
+        FROM tf, n)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nll) / count(*) AS DOUBLE), 4) AS avg_nll
+FROM tok JOIN nll USING (term)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -369,6 +417,7 @@ QUERIES = {
     "text_doc_freq": text_doc_freq,
     "text_repetition": text_repetition,
     "text_quality_buckets": text_quality_buckets,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLES = {
@@ -381,4 +430,5 @@ ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "text_quality_buckets": TEXT_QUALITY_BUCKETS_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
 }
