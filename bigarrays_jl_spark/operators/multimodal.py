@@ -293,12 +293,16 @@ def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("hamming").cast("int").alias("hamming")))
 
 
-MM_PHASH_NEARDUP_SQL = f"""
-WITH aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
-  FROM documents WHERE doc_id % 10 = 0),
+# The oracle's per-block sums index CHARACTERS (ascii(substr(...)))
+# while the Spark UDF hashes raw UTF-8 BYTES — equivalent only for
+# ASCII payloads, which the committed testdata is (same assumption as
+# MM_BYTE_FEATURES_SQL; real media payloads are binary and would be
+# graded by a byte-capable oracle).  The augmentation SQL is imported
+# from dedup so the mutant rule cannot desync between engines.
+def _phash_sql() -> str:
+    from bigarrays_jl_spark.operators.dedup import _AUG_SQL
+    return f"""
+WITH aug AS ({_AUG_SQL}),
 d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM aug
       WHERE octet_length(encode(text)) >= {PHASH_BITS}),
 blk AS (
@@ -325,6 +329,9 @@ FROM bands a JOIN bands b2
 WHERE bit_count(xor(a.phash, b2.phash)) <= {PHASH_MAX_HAMMING}
 GROUP BY 1, 2
 """
+
+
+MM_PHASH_NEARDUP_SQL = _phash_sql()
 
 
 QUERIES = {

@@ -709,11 +709,17 @@ def _pq_sub(e: DataFrame) -> DataFrame:
     double subvectors — on the unit sphere inner product IS cosine, so
     the ADC scores rank like the brute-force cosine truth (the standard
     PQ-for-cosine preprocessing)."""
-    nrm = F.sqrt(_norm2(F.col("embedding")))
-    return (e.select("vec_id", F.explode(F.array(*[
+    # the norm is hoisted to a named column: Spark does not lift
+    # subexpressions out of higher-order-function lambdas, so an inline
+    # norm inside the transform would re-run the 64-element fold once
+    # per output element
+    normed = e.select("vec_id", "embedding",
+                      F.sqrt(_norm2(F.col("embedding"))).alias("nrm"))
+    return (normed.select("vec_id", F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
                  F.transform(F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
-                             lambda x: x.cast("double") / nrm).alias("sv"))
+                             lambda x: x.cast("double") / F.col("nrm"))
+                  .alias("sv"))
         for s in range(PQ_M)])).alias("p"))
         .select("vec_id", F.col("p.s").alias("s"), F.col("p.sv").alias("sv")))
 
@@ -789,12 +795,13 @@ def _pq_ctes() -> str:
                 f"    FROM sub JOIN {cent} c ON c.s = sub.s) WHERE r = 1)")
 
     parts = [
+        f"normed AS (SELECT vec_id, embedding,"
+        f" sqrt({_NORM2_SQL.format(a='embedding')}) AS nrm FROM embeddings)",
         f"sub AS (SELECT vec_id, s,\n"
         f"  list_transform(list_slice(embedding, s * {PQ_SUBDIM} + 1,"
         f" s * {PQ_SUBDIM} + {PQ_SUBDIM}),"
-        f" x -> CAST(x AS DOUBLE)"
-        f" / sqrt({_NORM2_SQL.format(a='embedding')})) AS sv\n"
-        f"  FROM embeddings, range(0, {PQ_M}) t(s))",
+        f" x -> CAST(x AS DOUBLE) / nrm) AS sv\n"
+        f"  FROM normed, range(0, {PQ_M}) t(s))",
         f"cent0 AS (SELECT s, vec_id AS cell, sv AS centroid FROM sub"
         f" WHERE vec_id < {PQ_K})"]
     for t in range(1, PQ_ITERS + 1):

@@ -379,7 +379,11 @@ FROM q
 
 def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    # materialized once (lazy): the exploded token table feeds BOTH the
+    # frequency aggregation and the per-doc join — without this the
+    # corpus scan+explode runs twice (same discipline as dedup sh_all)
+    toks = (d.select("doc_id", F.explode(_toks()).alias("term"))
+            .localCheckpoint(eager=False))
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
     n_total = tf.agg(F.sum("tf").cast("double").alias("n"))
     nll = (tf.crossJoin(F.broadcast(n_total))
