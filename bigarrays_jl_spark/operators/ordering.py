@@ -41,10 +41,20 @@ def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
     tiebreak)`` must be a total order for the result to be
     deterministic.  A constant ``F.lit(1)`` weight yields the global
     ``row_number``.
+
+    The source is scanned ONCE: an eager ``localCheckpoint`` materializes
+    the input before the percentile probe, so the probe, the per-bucket
+    totals and the final per-bucket window all read the materialized
+    blocks instead of rescanning the corpus three times (at 100 TB those
+    were three full passes over the tokenized table).  Same
+    lineage-truncation-for-recompute tradeoff as the LSH signature
+    tables in dedup.py; project ``df`` down to the needed columns before
+    calling so the checkpoint holds only what the rank needs.
     """
     n_buckets = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    df = df.localCheckpoint(eager=True)  # the single source scan
     head = df.select(F.percentile_approx(value, probs).alias("b")).first()
     raw = head["b"] if head is not None else None
     if raw is None:  # empty input: nothing to rank
@@ -87,15 +97,20 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     literal expressions); the size of each group is unconstrained.
     NULL groups form their own partition (both engines' PARTITION BY
     semantics) via an internal coalesced key, so no row can silently
-    vanish through the boundary join; NULL *values* are rejected —
-    their ordering differs between engines — detected inside the
-    existing per-bucket aggregation so the guard costs no extra scan.
+    vanish through the boundary join; NULL *values* and NULL
+    *tiebreaks* are rejected — their ordering differs between engines
+    (Spark asc is NULLS FIRST, DuckDB NULLS LAST) — detected inside the
+    existing per-bucket aggregation so the guards cost no extra scan.
+    String group columns must not contain ``"\\x1f"`` (the internal
+    key separator); violations raise instead of silently colliding
+    with the NULL-group sentinel or another group's offset key.
     """
     n_buckets = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     sep = "\x1f"
-    null_g = sep + "NULL"  # cannot collide: sep never appears in a cast
+    null_g = sep + "NULL"  # non-string groups can't collide (casts never
+    # produce \x1f); string groups containing the sep are rejected below
     df = df.withColumn(
         "__g", F.coalesce(F.col(group).cast("string"), F.lit(null_g)))
     bdf = (df.groupBy("__g")
@@ -106,12 +121,25 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
 
     per = (bucketed.groupBy("__g", "__bkt")
            .agg(F.count("*").alias("c"),
-                F.count(F.when(F.col(value).isNull(), 1)).alias("nn"))
+                F.count(F.when(F.col(value).isNull(), 1)).alias("nn"),
+                F.count(F.when(F.col(tiebreak).isNull(), 1)).alias("tn"),
+                F.max((F.col("__g") != null_g)
+                      & F.col("__g").contains(sep)).alias("sep_g"))
            .collect())
     if any(r["nn"] for r in per):
         raise ValueError(
             f"grouped_ntile requires non-null {value!r} (engines order "
             f"NULLs differently); coalesce a sentinel before calling")
+    if any(r["tn"] for r in per):
+        raise ValueError(
+            f"grouped_ntile requires non-null {tiebreak!r} (Spark orders "
+            "NULLs first asc, DuckDB last — ties would break cross-engine "
+            "parity); coalesce a sentinel before calling")
+    if any(r["sep_g"] for r in per):
+        raise ValueError(
+            f"grouped_ntile group column {group!r} contains the internal "
+            "separator '\\x1f'; such keys would collide with the offset "
+            "map — clean the group values before calling")
     offsets, totals = {}, {}
     for r in sorted(per, key=lambda r: (r["__g"], r["__bkt"])):
         g = r["__g"]

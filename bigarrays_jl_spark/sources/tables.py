@@ -8,6 +8,8 @@ protocol dispatch (src/type.jl:37-50) for relational sources.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -70,12 +72,19 @@ def register_views(spark: SparkSession, sf_dir: str,
     for t in (tables if explicit else TABLES):
         try:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
-        except Exception:
+        except Exception as e:
             # drop any stale same-name view so a failed registration can
             # never leave a PREVIOUS dataset silently answering queries
             spark.catalog.dropTempView(t)
             if explicit:
                 raise
+            # keep the actionable diagnostic: with a wholly wrong sf_dir
+            # every table lands here, and without this warning the later
+            # TABLE_OR_VIEW_NOT_FOUND hides the original load error
+            warnings.warn(
+                f"register_views: skipping table {t!r} from {sf_dir!r} "
+                f"(load failed: {type(e).__name__}: {e})",
+                stacklevel=2)
 
 
 def write_bucketed(spark: SparkSession, sf_dir: str, name: str, table: str,

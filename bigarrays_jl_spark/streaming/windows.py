@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
@@ -26,11 +29,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit schema), so the stream tracks whatever parquet type the
     testdata ships `ts` as; the nanos→micros truncation is applied only
     when ts arrives as long — one behavior shared with the batch loader
-    in sources/tables.py.
+    in sources/tables.py.  The inference (a parquet-footer read job) runs
+    once per path and is cached, so repeated stream constructions over
+    the same dataset cost no extra job and cannot race a concurrent
+    rewrite of the file between footer read and stream start.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _SCHEMA_CACHE.get(path)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = raw_schema
     raw = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))

@@ -33,8 +33,12 @@ byte-identical on-disk keys to the reference / neuroglancer precomputed).
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import json
 import os
+import socket
+import time
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -56,6 +60,17 @@ CHUNK_SCHEMA = "cx int, cy int, cz int, key string, enc string, epoch bigint, pa
 class MissingChunkError(KeyError):
     """Raised on cutout of absent chunks when fill_missing=False
     (reference: rethrown KeyError, src/modes/sequential.jl:55-58)."""
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to acquire a dataset's write-intent lock.
+
+    Overwrite ordering rides a monotonically increasing epoch counter;
+    two concurrent writers bumping it read-modify-write could silently
+    interleave epochs and resurrect overwritten chunks.  The lock makes
+    that contract violation loud instead of silent.  If a writer crashed
+    and left a stale lock behind, clear it with ``Volume.break_lock()``.
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +124,60 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(conf).exists(jpath)
 
+def _fs_create_exclusive(spark: SparkSession, path: str, data: bytes) -> bool:
+    """Create-if-absent: write ``data`` to ``path`` only if no file exists
+    there yet.  Returns False (without writing) when the path is taken —
+    the atomic primitive behind the write-intent lock.  Local FS uses
+    O_EXCL; Hadoop schemes use ``FileSystem.create(path, overwrite=False)``
+    (on S3A this maps to a conditional create / If-None-Match put on
+    recent connectors; worst case it is check-then-create, which still
+    turns the silent epoch interleave into a loud near-miss)."""
+    if _is_local(path):
+        p = _strip_file_scheme(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    try:
+        out = fs.create(jpath, False)  # overwrite=False → throws if present
+    except Exception:
+        return False
+    out.write(bytearray(data))
+    out.close()
+    return True
+
+def _locked_writer(get_lock_target=None):
+    """Method decorator: hold the dataset write-intent lock for the whole
+    epoch-allocate → chunk-write window.  ``get_lock_target`` picks which
+    Volume to lock (default: ``self``; ``map_blocks`` locks its dest)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *a, **kw):
+            target = get_lock_target(self, *a, **kw) if get_lock_target else self
+            with target._write_lock():
+                return fn(self, *a, **kw)
+        return wrapper
+    return deco
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    if _is_local(path):
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(_strip_file_scheme(path))
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jpath.getFileSystem(conf).delete(jpath, False)
+
 
 class Volume:
     """Handle over one precomputed-style dataset (reference BigArray,
@@ -122,6 +191,7 @@ class Volume:
         self.info = info
         self.mip = mip
         self.fill_missing = fill_missing
+        self._lock_held = False  # reentrancy flag for _write_lock
 
     # -- constructors (src/type.jl:28-99) -----------------------------------
 
@@ -197,6 +267,47 @@ class Volume:
         _fs_write_bytes(self.spark, self.root + "/_epoch", str(nxt).encode())
         return nxt
 
+    # -- write-intent lock ----------------------------------------------------
+
+    @property
+    def _lock_path(self) -> str:
+        return self.root + "/_lock"
+
+    @contextlib.contextmanager
+    def _write_lock(self):
+        """Create-exclusive write-intent lock spanning epoch allocation
+        through chunk-store write.  A second concurrent writer raises
+        :class:`ConcurrentWriterError` instead of silently interleaving
+        epochs (the reference's writers assume exclusive dataset
+        ownership implicitly; here the contract is enforced).  Reentrant
+        within one Volume handle so composite writers (e.g. auto-compact
+        inside ``write``) take it once."""
+        if self._lock_held:
+            yield
+            return
+        token = (f"pid={os.getpid()} host={socket.gethostname()} "
+                 f"acquired={time.time():.3f}").encode()
+        if not _fs_create_exclusive(self.spark, self._lock_path, token):
+            try:
+                holder = _fs_read_bytes(self.spark, self._lock_path).decode()
+            except Exception:
+                holder = "<unreadable>"
+            raise ConcurrentWriterError(
+                f"dataset {self.root} is locked by another writer "
+                f"({holder}); one writer per dataset — if that writer "
+                "crashed, clear the stale lock with Volume.break_lock()")
+        self._lock_held = True
+        try:
+            yield
+        finally:
+            self._lock_held = False
+            _fs_delete(self.spark, self._lock_path)
+
+    def break_lock(self) -> None:
+        """Force-remove a stale write-intent lock left by a crashed
+        writer.  Only call when you know no writer is live."""
+        _fs_delete(self.spark, self._lock_path)
+
     def _write_chunks(self, df: DataFrame, mip: int | None = None,
                       mode: str = "append", path: str | None = None) -> None:
         """Append/overwrite chunk rows, sorted by (cz,cy,cx) so Parquet
@@ -260,6 +371,7 @@ class Volume:
 
     # -- write / ingest (src/type.jl:137-150, src/modes/sequential.jl:4-17) --
 
+    @_locked_writer()
     def write(self, arr: np.ndarray, offset: Sequence[int]) -> None:
         """Write ``arr`` with its [0,0,0] voxel at global ``offset``.
 
@@ -272,13 +384,15 @@ class Volume:
         - payload byte order is Fortran (column-major), matching the
           neuroglancer raw layout (src/modes/sequential.jl:13-15).
 
-        .. warning:: single-writer contract — overwrite ordering rides a
-           monotonically increasing epoch counter stored beside the
-           dataset, and bumping it is a read-modify-write with no lock
-           (matching the reference, whose writers also assume exclusive
-           ownership of a dataset).  Run exactly one writer process per
-           dataset; concurrent writers may interleave epochs and
-           resurrect overwritten chunks.
+        .. note:: single-writer contract, ENFORCED — overwrite ordering
+           rides a monotonically increasing epoch counter stored beside
+           the dataset (the reference's writers assume exclusive dataset
+           ownership implicitly).  Every writer entry point holds a
+           create-exclusive ``_lock`` file for the epoch-allocate →
+           chunk-write window, so a second concurrent writer raises
+           :class:`ConcurrentWriterError` instead of silently
+           interleaving epochs; ``break_lock()`` clears a stale lock
+           after a writer crash.
         """
         info, sc = self.info, self.scale
         if arr.dtype != info.dtype:
@@ -353,6 +467,7 @@ class Volume:
 
         self._write_chunks(df.mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
 
+    @_locked_writer()
     def ingest_chunks(self, df: DataFrame) -> None:
         """Distributed bulk ingest from a chunk DataFrame — the 100 TB
         write path (the driver-array ``write`` is the API-parity path).
@@ -383,6 +498,7 @@ class Volume:
                  .mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
         self._write_chunks(out)
 
+    @_locked_writer()
     def ingest_voxels(self, df: DataFrame) -> None:
         """Distributed ingest from a voxel DataFrame ``(x,y,z[,c],value)``
         with global coordinates — the inverse of ``voxels()``.
@@ -649,6 +765,7 @@ class Volume:
         return sorted(r.key for r in
                       self.chunks_df(mip).select("key").distinct().collect())
 
+    @_locked_writer()
     def delete(self, request: ix.Box) -> None:
         """Delete stored chunks intersecting ``request`` — Parquet is
         immutable, so this is a compaction rewrite excluding the doomed
@@ -659,6 +776,7 @@ class Volume:
         df = self.chunks_df().filter(~F.col("key").isin(list(doomed)))
         self._rewrite_mip(df)
 
+    @_locked_writer(lambda self, fn, dest: dest)
     def map_blocks(self, fn, dest: "Volume") -> None:
         """Apply a shape-preserving numpy transform to every stored
         chunk, writing the results into ``dest``.
@@ -734,6 +852,7 @@ class Volume:
         dest._write_chunks(
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
+    @_locked_writer()
     def compact(self) -> None:
         """Fold overwrite history: keep only the latest epoch per key and
         rewrite the mip directory sorted for row-group pruning.  Resets
@@ -765,6 +884,7 @@ class Volume:
     # -- mip pyramid build (extension of A5: the reference generates only
     #    *metadata* for mips; we also produce the pixels) --------------------
 
+    @_locked_writer()
     def downsample(self, from_mip: int | None = None) -> None:
         """Build mip ``m+1`` chunks from mip ``m`` by 2×2×1 reduction
         (mean for image layers, mode-free max-count for segmentation is

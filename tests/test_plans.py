@@ -199,3 +199,27 @@ def test_quality_buckets_no_single_partition_window(spark, sf_dir):
     plan = text_quality_buckets(spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_prefix_sum_scans_source_once(spark, sf_dir):
+    # distributed_prefix_sum materializes its input via an eager
+    # localCheckpoint, so the percentile probe, per-bucket totals and
+    # final window read the checkpointed blocks: the parquet source
+    # appears ZERO times in the returned plan (it was scanned exactly
+    # once, by the checkpoint) and the result is still correct
+    from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
+    from bigarrays_jl_spark.sources.tables import load
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n"))
+    out, total = distributed_prefix_sum(
+        spark, docs, F.col("n"), value="n", tiebreak="doc_id")
+    plan = simple_plan(out)
+    assert "parquet" not in plan.lower(), plan      # no rescan of the source
+    assert "SinglePartition" not in plan, plan
+    rows = out.orderBy("cum").collect()
+    assert total == sum(r.n for r in rows)
+    assert rows[-1].cum == total                     # inclusive prefix sum
+    running = 0
+    for r in rows[:50]:
+        running += r.n
+        assert r.cum == running

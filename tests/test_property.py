@@ -187,3 +187,19 @@ def test_phash_band_superset_guarantee(base, flips):
         other ^= 1 << f
     bands = lambda h: [(h >> (4 * b)) & 15 for b in range(4)]
     assert any(x == y for x, y in zip(bands(base), bands(other)))
+
+
+def test_grouped_ntile_rejects_null_tiebreak_and_sep_group(spark):
+    # NULL tiebreaks order differently across engines (Spark NULLS FIRST
+    # asc, DuckDB NULLS LAST) and \x1f in a string group collides with
+    # the internal offset-map key — both must raise, not silently skew
+    import pytest
+    from bigarrays_jl_spark.operators.ordering import grouped_ntile
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (None, "en", 2.0)], "id int, g string, v double")
+    with pytest.raises(ValueError, match="non-null 'id'"):
+        grouped_ntile(spark, df, 2, "g", "v", "id").collect()
+    df2 = spark.createDataFrame(
+        [(1, "en\x1fx", 1.0), (2, "fr", 2.0)], "id int, g string, v double")
+    with pytest.raises(ValueError, match="separator"):
+        grouped_ntile(spark, df2, 2, "g", "v", "id").collect()

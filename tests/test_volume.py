@@ -304,3 +304,45 @@ def test_map_blocks_rejects_mismatched_lattice(spark, tmp_path):
     dst = Volume.create(spark, str(tmp_path / "mm_dst"), dst_info)
     with pytest.raises(ValueError, match="lattice"):
         src.map_blocks(lambda c: c, dst)
+
+
+# -- write-intent lock (single-writer epoch contract, volume.py) ------------
+
+SMALL = {
+    "num_channels": 1, "type": "image", "data_type": "uint8", "scales": [
+        {"encoding": "gzip", "chunk_sizes": [[8, 8, 4]], "key": "1_1_1",
+         "resolution": [1, 1, 1], "voxel_offset": [0, 0, 0],
+         "size": [16, 16, 8]}]}
+
+
+def test_second_concurrent_writer_raises(spark, tmp_path):
+    from bigarrays_jl_spark.volume import ConcurrentWriterError
+    v1 = Volume.create(spark, str(tmp_path / "lk"), Info.from_dict(SMALL))
+    v2 = Volume.open(spark, v1.root)
+    a = rand_u8((8, 8, 4))
+    with v1._write_lock():  # writer 1 is mid-write
+        with pytest.raises(ConcurrentWriterError, match="locked by another writer"):
+            v2.write(a, (0, 0, 0))
+    # writer 1 released the lock → writer 2 proceeds and lock is cleaned up
+    v2.write(a, (0, 0, 0))
+    assert not (tmp_path / "lk" / "_lock").exists()
+    out, _ = v2.cutout(((0, 8), (0, 8), (0, 4)))
+    assert (out == a).all()
+
+
+def test_stale_lock_break_and_reentrancy(spark, tmp_path):
+    from bigarrays_jl_spark.volume import ConcurrentWriterError
+    vol = Volume.create(spark, str(tmp_path / "stale"), Info.from_dict(SMALL))
+    a = rand_u8((8, 8, 4))
+    # simulate a crashed writer that left its lock behind
+    (tmp_path / "stale" / "_lock").write_bytes(b"pid=0 host=crashed")
+    with pytest.raises(ConcurrentWriterError, match="break_lock"):
+        vol.write(a, (0, 0, 0))
+    vol.break_lock()
+    vol.write(a, (0, 0, 0))
+    # reentrant within one handle: a composite writer holding the lock can
+    # call another locked method (e.g. compact inside a write path)
+    with vol._write_lock():
+        vol.compact()
+    out, _ = vol.cutout(((0, 8), (0, 8), (0, 4)))
+    assert (out == a).all()

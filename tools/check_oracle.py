@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import decimal
 import os
 import sys
 import time
@@ -64,13 +65,19 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
         return False, "columns differ"
     sorder = sorted(range(len(scols)), key=lambda i: scols[i])
     oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    # Decimal counts as numeric too: DuckDB returns decimal.Decimal for
+    # DECIMAL aggregates (e.g. median over a DECIMAL column); treating it
+    # as a key cell would demand exact equality and silently defeat the
+    # ±rel_tol grading.
+    def is_numeric(c):
+        return (isinstance(c, (int, float, decimal.Decimal))
+                and not isinstance(c, bool))
+
     def keyed(rows, order):
         out = []
         for r in rows:
             cells = [r[i] for i in order]
-            key = tuple(normalize_cell(c) for c in cells
-                        if not isinstance(c, (int, float))
-                        or isinstance(c, bool))
+            key = tuple(normalize_cell(c) for c in cells if not is_numeric(c))
             out.append((key, cells))
         return sorted(out, key=lambda kv: kv[0])
     s, o = keyed([tuple(r) for r in srows], sorder), keyed(orows, oorder)
@@ -84,7 +91,7 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
         if sk != ok_:
             return False, f"group keys differ: {sk} vs {ok_}"
         for a, b in zip(sc_, oc_):
-            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            if is_numeric(a) and is_numeric(b):
                 denom = max(abs(float(b)), 1e-12)
                 if abs(float(a) - float(b)) / denom > rel_tol:
                     return False, f"cell off by >{rel_tol:.0%}: {a} vs {b}"
