@@ -402,16 +402,18 @@ def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
             .select("vec_id", "embedding", "cell", "score"))
 
 
-def _kmeans_fit(spark: SparkSession, sf: str):
-    """(final assignment, final centroids) after KM_ITERS Lloyd's
+def _kmeans_fit(spark: SparkSession, sf: str,
+                k_cells: int = K_CELLS, iters: int = KM_ITERS):
+    """(final assignment, final centroids) after ``iters`` Lloyd's
     rounds — shared by the cell-stats query and the composed IVF
-    search."""
+    search.  Defaults are the oracle-paired demo config; tests pass a
+    production-shaped ``k_cells`` to grade recall on structured data."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    cent = (e.filter(F.col("vec_id") < K_CELLS)
+    cent = (e.filter(F.col("vec_id") < k_cells)
             .select(F.col("vec_id").alias("cell"),
                     F.transform("embedding", lambda x: x.cast("double"))
                      .alias("centroid")))
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         assigned = _km_assign(e, cent)
         expl = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
         dims = (expl.groupBy("cell", "pos")
@@ -433,12 +435,14 @@ def ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
                   .alias("avg_cosine")))
 
 
-def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+def ann_ivf_kmeans_topk(spark: SparkSession, sf: str,
+                        k_cells: int = K_CELLS,
+                        iters: int = KM_ITERS) -> DataFrame:
     """The quantizer fit and the search composed end-to-end: route each
     query to its nearest fitted k-means centroid and scan only that
     cell's members — what ann_ivf_topk does with the ready-made label
     column, now over cells this engine itself fitted."""
-    final, cent = _kmeans_fit(spark, sf)
+    final, cent = _kmeans_fit(spark, sf, k_cells, iters)
     q = (final.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
     routed = (q.crossJoin(F.broadcast(cent))
@@ -704,8 +708,8 @@ PQ_K = 8                       # codes per subspace
 PQ_ITERS = 2
 
 
-def _pq_sub(e: DataFrame) -> DataFrame:
-    """(vec_id, s, sv): each vector L2-NORMALIZED then split into PQ_M
+def _pq_sub(e: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, s, sv): each vector L2-NORMALIZED then split into ``m``
     double subvectors — on the unit sphere inner product IS cosine, so
     the ADC scores rank like the brute-force cosine truth (the standard
     PQ-for-cosine preprocessing)."""
@@ -715,12 +719,13 @@ def _pq_sub(e: DataFrame) -> DataFrame:
     # per output element
     normed = e.select("vec_id", "embedding",
                       F.sqrt(_norm2(F.col("embedding"))).alias("nrm"))
+    subdim = SQ_DIM // m
     return (normed.select("vec_id", F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
-                 F.transform(F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                 F.transform(F.slice("embedding", s * subdim + 1, subdim),
                              lambda x: x.cast("double") / F.col("nrm"))
                   .alias("sv"))
-        for s in range(PQ_M)])).alias("p"))
+        for s in range(m)])).alias("p"))
         .select("vec_id", F.col("p.s").alias("s"), F.col("p.sv").alias("sv")))
 
 
@@ -739,16 +744,19 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
             .select("vec_id", "s", "sv", "cell"))
 
 
-def _pq_fit(spark: SparkSession, sf: str):
-    """(sub, codebooks, codes) after PQ_ITERS grouped Lloyd's rounds —
+def _pq_fit(spark: SparkSession, sf: str,
+            pq_k: int = PQ_K, iters: int = PQ_ITERS, pq_m: int = PQ_M):
+    """(sub, codebooks, codes) after ``iters`` grouped Lloyd's rounds —
     all PQ_M subspace codebooks fit in ONE chain (subspace is just
-    another grouping key)."""
+    another grouping key).  Defaults are the oracle-paired demo config;
+    tests pass a production-shaped ``pq_k`` (codebook size) to grade
+    recall on structured data."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    sub = _pq_sub(e).localCheckpoint(eager=False)  # reused every round
-    cent = (sub.filter(F.col("vec_id") < PQ_K)
+    sub = _pq_sub(e, pq_m).localCheckpoint(eager=False)  # reused every round
+    cent = (sub.filter(F.col("vec_id") < pq_k)
             .select("s", F.col("vec_id").alias("cell"),
                     F.col("sv").alias("centroid")))
-    for _ in range(PQ_ITERS):
+    for _ in range(iters):
         a = _pq_assign(sub, cent)
         expl = a.select("s", "cell", F.posexplode("sv").alias("pos", "v"))
         dims = (expl.groupBy("s", "cell", "pos")
@@ -762,8 +770,10 @@ def _pq_fit(spark: SparkSession, sf: str):
     return sub, cent, codes
 
 
-def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    sub, cent, codes = _pq_fit(spark, sf)
+def ann_pq_topk(spark: SparkSession, sf: str,
+                pq_k: int = PQ_K, iters: int = PQ_ITERS,
+                pq_m: int = PQ_M) -> DataFrame:
+    sub, cent, codes = _pq_fit(spark, sf, pq_k, iters, pq_m)
     q = (sub.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qs")))
     # ADC lookup table: N_QUERIES x PQ_M x PQ_K partial dots (tiny,

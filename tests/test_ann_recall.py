@@ -53,3 +53,58 @@ def test_pq_preserves_structure_above_chance(spark, sf_dir, truth):
     # signal, and the codebook-size lever (PQ_K) is the accuracy knob
     from bigarrays_jl_spark.operators.similarity import ann_pq_topk
     assert _recall(ann_pq_topk(spark, sf_dir), truth) >= 0.1
+
+
+# -- production-shaped config on structured (clustered) embeddings ----------
+#
+# The sf-testdata embeddings are near-random, so the demo configs above
+# honestly report low absolute recall — they grade the *machinery*.  This
+# fixture grades the *levers*: a seeded mixture of Gaussians (8 unit-norm
+# cluster means, sigma=0.05) with 5 planted near-neighbors per query
+# (sigma=0.005 — the standard ANN-benchmark ground-truth shape, and the
+# near-dup-retrieval geometry the pipeline actually hunts at 100 TB).
+# Where geometry exists, the fitted IVF and a production-sized PQ codebook
+# (PQ_K=64 vs the demo's 8) must recover >=0.9 of the brute-force top-k.
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260814)
+    n, dim, n_clusters, n_q, k = 512, 64, 8, 10, 5
+    means = rng.normal(size=(n_clusters, dim))
+    means /= np.linalg.norm(means, axis=1, keepdims=True)
+    cluster = np.arange(n) % n_clusters
+    emb = means[cluster] + 0.05 * rng.normal(size=(n, dim))
+    tail = n - n_q * k
+    for q in range(n_q):          # plant k true near-neighbors per query
+        for j in range(k):
+            t = tail + q * k + j
+            emb[t] = emb[q] + 0.005 * rng.normal(size=dim)
+            cluster[t] = cluster[q]
+    d = tmp_path_factory.mktemp("clustered")
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in
+                               emb.astype(np.float32)], pa.list_(pa.float32())),
+        "label": pa.array(cluster.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_ivf_kmeans_recall_on_clustered_embeddings(spark, clustered_dir):
+    truth = {(r.qid, r.vec_id)
+             for r in ann_cosine_topk(spark, clustered_dir).collect()}
+    got = ann_ivf_kmeans_topk(spark, clustered_dir, k_cells=8, iters=3)
+    assert _recall(got, truth) >= 0.9     # measured 1.0
+
+
+def test_pq_production_codebook_recall_on_clustered_embeddings(spark, clustered_dir):
+    from bigarrays_jl_spark.operators.similarity import ann_pq_topk
+    truth = {(r.qid, r.vec_id)
+             for r in ann_cosine_topk(spark, clustered_dir).collect()}
+    got = ann_pq_topk(spark, clustered_dir, pq_k=64, iters=2)
+    assert _recall(got, truth) >= 0.9     # measured 1.0
