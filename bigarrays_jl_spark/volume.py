@@ -192,6 +192,16 @@ class Volume:
         self.mip = mip
         self.fill_missing = fill_missing
         self._lock_held = False  # reentrancy flag for _write_lock
+        # driver-side materialization cap for cutout(): 2**31 voxels
+        # (~2 GiB at uint8).  Distributed reads (voxels, map_blocks)
+        # are unaffected.
+        self.cutout_voxel_budget = 2 ** 31
+        # auto-compaction policy: when a write leaves this many epochs of
+        # overwrite history, fold it down so reads keep the no-shuffle
+        # `_latest` fast path.  Each compaction rewrites the mip, so the
+        # threshold amortizes that cost over N appends; None disables
+        # (manual compact() only).
+        self.auto_compact_epochs: int | None = 16
 
     # -- constructors (src/type.jl:28-99) -----------------------------------
 
@@ -466,6 +476,7 @@ class Volume:
                 yield b
 
         self._write_chunks(df.mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
+        self._maybe_auto_compact()
 
     @_locked_writer()
     def ingest_chunks(self, df: DataFrame) -> None:
@@ -497,6 +508,7 @@ class Volume:
                          "payload")
                  .mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
         self._write_chunks(out)
+        self._maybe_auto_compact()
 
     @_locked_writer()
     def ingest_voxels(self, df: DataFrame) -> None:
@@ -561,6 +573,7 @@ class Volume:
         result = keyed.groupBy("cx", "cy", "cz").applyInPandas(
             assemble, schema=CHUNK_SCHEMA)
         self._write_chunks(result)
+        self._maybe_auto_compact()
 
     # python-slice sugar: vol[x0:x1, y0:y1, z0:z1] = arr / arr = vol[...]
     def __setitem__(self, idx, arr: np.ndarray) -> None:
@@ -583,10 +596,31 @@ class Volume:
         MissingChunkError.  Execution: Catalyst prunes the chunk table to
         the id bounding box, executors decode+slice via Arrow batches,
         only the *contributing sub-blocks* travel to the driver.
+
+        ``cutout`` materializes the WHOLE request box as one driver-side
+        numpy array, so its size is capped at ``cutout_voxel_budget``
+        (default 2**31 voxels ≈ 2 GiB at uint8) — a 100 GB request would
+        OOM the driver before Spark even ran.  Raise the budget on a
+        big-memory driver via the attribute, or use ``voxels()`` /
+        ``map_blocks`` for analysis that should stay distributed.
         """
         info, sc = self.info, self.scale
         request = tuple((int(lo), int(hi)) for lo, hi in request)
         nc = info.num_channels
+        n_voxels = 1
+        for lo, hi in request:
+            n_voxels *= max(0, hi - lo)
+        n_voxels *= nc
+        budget = self.cutout_voxel_budget
+        if n_voxels > budget:
+            raise ValueError(
+                f"cutout request is {n_voxels:,} voxels "
+                f"({n_voxels * info.dtype.itemsize / 1e9:.1f} GB at "
+                f"{info.data_type}), above the driver-side budget of "
+                f"{budget:,}; materializing it would allocate the whole "
+                "box on the driver.  Use voxels() or map_blocks() for "
+                "distributed reads, or raise vol.cutout_voxel_budget "
+                "explicitly on a driver with enough memory")
         out_shape = ix.box_shape(request) if nc == 1 else (*ix.box_shape(request), nc)
         buf = np.zeros(out_shape, dtype=info.dtype, order="F")
         origin = tuple(lo for lo, _ in request)
@@ -852,21 +886,43 @@ class Volume:
         dest._write_chunks(
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
+    def _maybe_auto_compact(self) -> None:
+        """Fold overwrite history once it crosses ``auto_compact_epochs``
+        (epochs are 0-based, so epoch e means e+1 write generations).
+        Called by the epoch-bumping writers while they still hold the
+        write lock — compact() re-enters it as a no-op."""
+        t = self.auto_compact_epochs
+        if t is not None and self._current_epoch() + 1 >= t:
+            self.compact()
+
     @_locked_writer()
     def compact(self) -> None:
         """Fold overwrite history: keep only the latest epoch per key and
-        rewrite the mip directory sorted for row-group pruning.  Resets
+        rewrite each mip directory sorted for row-group pruning.  Resets
         the epoch counter so subsequent reads take the no-shuffle fast
-        path in ``_latest``."""
-        self._rewrite_mip(self._latest(self.chunks_df())
-                          .withColumn("epoch", F.lit(0).cast("bigint"))
-                          .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
+        path in ``_latest``.
+
+        Every EXISTING mip is folded, not just the current one: the
+        epoch counter is dataset-global (``downsample`` appends epochs
+        to mip+1 too), so resetting it is only sound once no mip retains
+        multi-epoch history.
+        """
+        if self._current_epoch() <= 0:
+            return  # already single-epoch everywhere
+        for m in range(len(self.info.scales)):
+            if not _fs_exists(self.spark, self._mip_dir(m)):
+                continue
+            self._rewrite_mip(
+                self._latest(self.chunks_df(m))
+                    .withColumn("epoch", F.lit(0).cast("bigint"))
+                    .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"),
+                mip=m)
         _fs_write_bytes(self.spark, self.root + "/_epoch", b"0")
 
-    def _rewrite_mip(self, df: DataFrame) -> None:
-        tmp = self._mip_dir() + ".tmp"
-        self._write_chunks(df, mode="overwrite", path=tmp)
-        final = self._mip_dir()
+    def _rewrite_mip(self, df: DataFrame, mip: int | None = None) -> None:
+        tmp = self._mip_dir(mip) + ".tmp"
+        self._write_chunks(df, mip=mip, mode="overwrite", path=tmp)
+        final = self._mip_dir(mip)
         if _is_local(final):
             import shutil
             fp = _strip_file_scheme(final)

@@ -151,3 +151,68 @@ def test_streaming_corpus_dedup_matches_batch(spark, sf_dir):
     want = (load(spark, sf_dir, "documents")
             .select(fp.alias("fp")).distinct().count())
     assert n == want
+
+
+# -- late-data semantics: watermark DROP behavior (not just window math) ----
+#
+# The batch-twin tests above prove window arithmetic; these prove the
+# watermark actually discards late rows.  Two micro-batches via a file
+# source: batch 1 advances the watermark (max event time - 1h), batch 2
+# carries a row BEHIND that watermark which must be absent downstream,
+# while the batch twin over the same files still sees it.
+
+def _append_file(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts timestamp")
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def test_tumbling_window_drops_late_row(spark, tmp_path):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    d = str(tmp_path / "late_stream")
+    _append_file(spark, d, [(1, "click", 1.0, T(10, 0)),
+                            (2, "click", 1.0, T(10, 30)),
+                            (3, "click", 1.0, T(12, 0))])
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).parquet(d)
+    q = (streaming_tumbling(sdf).writeStream.outputMode("append")
+         .format("memory").queryName("t_late_win").start())
+    q.processAllAvailable()                 # batch 1 → watermark 11:00
+    _append_file(spark, d, [(4, "click", 1.0, T(10, 15)),   # LATE
+                            (5, "click", 1.0, T(12, 30))])
+    q.processAllAvailable()                 # batch 2 closes [10:00, 11:00)
+    q.stop()
+    got = {(r.window_start, r.event_type): r.n_events
+           for r in spark.sql("SELECT * FROM t_late_win").collect()}
+    assert got[(T(10, 0), "click")] == 2    # late row 4 was dropped
+    # the batch twin over the very same files still counts it
+    n_batch = (spark.read.parquet(d)
+               .filter((F.col("ts") >= T(10, 0)) & (F.col("ts") < T(11, 0)))
+               .count())
+    assert n_batch == 3
+
+
+def test_dedup_within_watermark_drops_late_row(spark, tmp_path):
+    import datetime as dt
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    d = str(tmp_path / "late_dedup")
+    _append_file(spark, d, [(1, "view", 1.0, T(10, 0)),
+                            (99, "view", 1.0, T(12, 0))])
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).parquet(d)
+    q = (streaming_dedup(sdf).writeStream.outputMode("append")
+         .format("memory").queryName("t_late_dedup").start())
+    q.processAllAvailable()                 # batch 1 → watermark 11:00
+    _append_file(spark, d, [(3, "view", 1.0, T(10, 5)),     # LATE, new id
+                            (2, "view", 1.0, T(12, 10))])
+    q.processAllAvailable()
+    q.stop()
+    ids = {r.event_id for r in spark.sql("SELECT * FROM t_late_dedup").collect()}
+    assert 3 not in ids                      # late row dropped by watermark
+    assert ids == {1, 99, 2}
+    # batch dedup over the same files keeps it — only the watermark drops it
+    batch_ids = {r.event_id for r in
+                 spark.read.parquet(d).dropDuplicates(["event_id"]).collect()}
+    assert 3 in batch_ids

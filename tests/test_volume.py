@@ -346,3 +346,69 @@ def test_stale_lock_break_and_reentrancy(spark, tmp_path):
         vol.compact()
     out, _ = vol.cutout(((0, 8), (0, 8), (0, 4)))
     assert (out == a).all()
+
+
+def test_cutout_voxel_budget_guard(spark, tmp_path):
+    # a cutout materializes the whole request box on the driver; a
+    # request above the budget must fail fast with a pointer to the
+    # distributed paths instead of OOMing before Spark even runs
+    vol = Volume.create(spark, str(tmp_path / "budget"), Info.from_dict(SMALL))
+    a = rand_u8((8, 8, 4))
+    vol.write(a, (0, 0, 0))
+    vol.cutout_voxel_budget = 100
+    with pytest.raises(ValueError, match="voxels.*budget|budget"):
+        vol.cutout(((0, 16), (0, 16), (0, 8)))   # 2048 voxels > 100
+    out, _ = vol.cutout(((0, 8), (0, 4), (0, 2)))  # 64 voxels: fine
+    assert (out == a[:8, :4, :2]).all()
+    vol.cutout_voxel_budget = 2 ** 31
+    out, _ = vol.cutout(((0, 16), (0, 16), (0, 8)))
+    assert (out[:8, :8, :4] == a).all()
+
+
+def test_auto_compaction_restores_fast_path(spark, tmp_path):
+    # repeated overwrites accumulate epochs; once the policy threshold is
+    # crossed the writer folds history itself, so a subsequent read plans
+    # the no-shuffle `_latest` fast path (no max_by dedupe aggregate)
+    vol = Volume.create(spark, str(tmp_path / "ac"), Info.from_dict(SMALL))
+    vol.auto_compact_epochs = 4
+    last = None
+    for i in range(6):
+        last = rand_u8((16, 16, 8))
+        vol.write(last, (0, 0, 0))
+    # 6 writes with threshold 4 -> compaction ran at least once
+    assert vol._current_epoch() < 4
+    out, _ = vol.cutout(((0, 16), (0, 16), (0, 8)))
+    assert (out == last).all()                      # latest write survives
+    vol.compact()                                   # idempotent manual fold
+    plan = vol._latest(vol.chunks_df())._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan                     # fast path: scan only
+    assert vol._current_epoch() == 0
+
+
+def test_compact_folds_every_mip(spark, tmp_path):
+    # downsample appends epochs to mip+1; compact must fold ALL mips
+    # before resetting the dataset-global epoch counter, or mip+1 reads
+    # would silently skip their dedupe
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 8]}]}).with_mips(2)
+    vol = Volume.create(spark, str(tmp_path / "mipc"), info)
+    vol.auto_compact_epochs = None                  # manual control
+    a = rand_u8((16, 16, 8))
+    vol.write(a, (0, 0, 0))
+    vol.downsample()                                # mip1 epoch e1
+    b = rand_u8((16, 16, 8))
+    vol.write(b, (0, 0, 0))
+    vol.downsample()                                # mip1 epoch e2 (overwrites)
+    vol.compact()
+    assert vol._current_epoch() == 0
+    m1 = vol.mip_volume(1)
+    # single row per key at mip1 (history folded), values = downsample of b
+    keys = [r.key for r in m1.chunks_df().select("key").collect()]
+    assert len(keys) == len(set(keys))
+    out, _ = m1.cutout(((0, 8), (0, 8), (0, 8)))
+    expect = np.rint((b[0::2, 0::2, :].astype(np.float64) + b[1::2, 0::2, :]
+                      + b[0::2, 1::2, :] + b[1::2, 1::2, :]) / 4.0).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
