@@ -6,12 +6,14 @@ bench.py iterate the same registry so coverage stays in one place.
 
 from __future__ import annotations
 
-from bigarrays_jl_spark.operators import (advanced, dedup, events, multimodal,
-                                          pipeline, relational, similarity,
-                                          text)
+from bigarrays_jl_spark.operators import (advanced, dedup, events, extensions,
+                                          multimodal, pipeline, relational,
+                                          similarity, text)
 
+# ordering is the driver-grading contract: extensions (round 6+) stays
+# LAST so new names append after the graded 50-query prefix
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
-            pipeline)
+            pipeline, extensions)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

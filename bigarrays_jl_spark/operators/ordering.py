@@ -111,8 +111,13 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     sep = "\x1f"
     null_g = sep + "NULL"  # non-string groups can't collide (casts never
     # produce \x1f); string groups containing the sep are rejected below
+    # same single-scan policy as distributed_prefix_sum: materialize the
+    # keyed input once so the boundary probe, the bucketed join, the
+    # per-bucket counts and the final window all read the checkpointed
+    # blocks instead of rescanning the corpus four times
     df = df.withColumn(
-        "__g", F.coalesce(F.col(group).cast("string"), F.lit(null_g)))
+        "__g", F.coalesce(F.col(group).cast("string"), F.lit(null_g))
+    ).localCheckpoint(eager=True)
     bdf = (df.groupBy("__g")
            .agg(F.percentile_approx(value, probs).alias("__bs")))
     j = df.join(F.broadcast(bdf), "__g")

@@ -223,3 +223,13 @@ def test_prefix_sum_scans_source_once(spark, sf_dir):
     for r in rows[:50]:
         running += r.n
         assert r.cum == running
+
+
+def test_extension_ops_no_single_partition(spark, sf_dir):
+    # retention / transitions / ngram-topk: every window partitions by a
+    # bounded key (user_id, event_type, lang) — no whole-table funnel
+    from bigarrays_jl_spark.operators.extensions import (
+        events_retention, events_transitions, text_ngram_topk)
+    for op in (events_retention, events_transitions, text_ngram_topk):
+        plan = simple_plan(op(spark, sf_dir))
+        assert "SinglePartition" not in plan, plan
