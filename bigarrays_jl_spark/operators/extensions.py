@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 
 # --------------------------------------------------------------------------
@@ -117,7 +117,10 @@ FROM c
 # the aggregation stages are already the 100 TB shape.
 
 def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    # fan_out: the testdata parquet is one row group → one task would own
+    # ALL the regex+bigram compute; spread it first (no-op on a properly
+    # split source)
+    d = fan_out(spark, load(spark, sf, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                     lambda t: t != "")
     bigrams = F.when(
