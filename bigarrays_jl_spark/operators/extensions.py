@@ -1,13 +1,15 @@
 """Round-6 extension operators: cohort retention, behavior transitions,
-per-language n-gram ranking.
+per-language n-gram ranking, SemDeDup semantic pruning, Gopher quality
+rules, multi-step funnel, per-source cap sampling, and two TPC-H-shaped
+correlated-subquery queries (Q17/Q21).
 
 Registered as the LAST module in the operator registry so every name
 lands after the driver's 50-query graded prefix — the composition the
 driver has graded green since round 2 never rotates (see the ordering
 note in dedup.py's QUERIES).
 
-Scale notes are per-operator; all three are pure built-in-expression
-plans (no Python in the hot path, no whole-table windows).
+Scale notes are per-operator; everything is built-in-expression plans
+(no Python in the hot path, no whole-table windows).
 """
 
 from __future__ import annotations
@@ -15,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.functions import dot as _dot
+from bigarrays_jl_spark.functions import norm2 as _norm2
+from bigarrays_jl_spark.operators.similarity import _DOT_SQL, _NORM2_SQL
 from bigarrays_jl_spark.sources.tables import fan_out, load
 
 
@@ -159,14 +164,509 @@ SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# semdedup_prune — SemDeDup: embedding-cluster semantic deduplication
+# --------------------------------------------------------------------------
+# Abbas et al. 2023 ("SemDeDup"): cluster the corpus embeddings, then
+# inside each cluster drop every vector whose cosine to an earlier
+# (lower-id) cluster member exceeds a threshold — near-duplicate
+# *meaning*, not near-duplicate bytes.  Deterministic variant: the
+# SEM_K lowest vec_ids are the centroids (no iterative fit, so the
+# oracle is plain SQL), assignment is argmax cosine with seed-id
+# tie-break, pruning keeps the lowest vec_id of every semantic group.
+#
+# Scale shape: seeds broadcast into one corpus scan (k × n cosines,
+# map-side); the only wide exchanges are the vec_id-keyed assignment
+# agg and the cluster-keyed self-join.  The in-cluster pairwise stage
+# is O(Σ n_c²) — SemDeDup's own design point — bounded by choosing k
+# proportional to corpus size (the paper runs k≈11k on 1B docs); no
+# all-pairs stage over the corpus exists anywhere.
+
+SEM_K = 8        # deterministic seed count (vec_id < SEM_K)
+SEM_TAU = 0.2    # in-cluster cosine above this = semantic duplicate
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = (e.filter(F.col("vec_id") < SEM_K)
+              .select(F.col("vec_id").alias("seed"),
+                      F.col("embedding").alias("se")))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("se"))
+        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
+        6)
+    # argmax cosine, ties to the lowest seed id: min over (-cos, seed)
+    assigned = (e.crossJoin(F.broadcast(seeds))
+                 .select("vec_id", (-cos).alias("nc"), "seed")
+                 .groupBy("vec_id")
+                 .agg(F.min(F.struct("nc", "seed")).alias("m"))
+                 .select("vec_id", F.col("m.seed").alias("cluster")))
+    av = assigned.join(e, "vec_id")
+    a = av.select(F.col("vec_id").alias("va"), "cluster",
+                  F.col("embedding").alias("ea"))
+    b = av.select(F.col("vec_id").alias("vb"),
+                  F.col("cluster").alias("cb"),
+                  F.col("embedding").alias("eb"))
+    pair_cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))), 6)
+    dropped = (a.join(b, (F.col("cluster") == F.col("cb"))
+                      & (F.col("va") < F.col("vb")))
+                .filter(pair_cos >= SEM_TAU)
+                .select(F.col("vb").alias("vec_id"))
+                .distinct()
+                .withColumn("is_dropped", F.lit(True)))
+    return (assigned.join(dropped, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(~F.col("is_dropped"), F.lit(True))
+                     .alias("kept")))
+
+
+_SEM_COS = ("round({d} / (sqrt({na}) * sqrt({nb})), 6)").format
+SEMDEDUP_PRUNE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
+          WHERE vec_id < {SEM_K}),
+scored AS (
+  SELECT vec_id, seed,
+         {_SEM_COS(d=_DOT_SQL.format(a='embedding', b='se'),
+                   na=_NORM2_SQL.format(a='embedding'),
+                   nb=_NORM2_SQL.format(a='se'))} AS c
+  FROM e, seeds),
+assigned AS (
+  SELECT vec_id, seed AS cluster FROM (
+    SELECT vec_id, seed,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, seed) AS rn
+    FROM scored) WHERE rn = 1),
+av AS (SELECT a.vec_id, a.cluster, e.embedding
+       FROM assigned a JOIN e USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_SEM_COS(d=_DOT_SQL.format(a='a.embedding', b='b.embedding'),
+                  na=_NORM2_SQL.format(a='a.embedding'),
+                  nb=_NORM2_SQL.format(a='b.embedding'))} >= {SEM_TAU})
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text_gopher_rules — Gopher-style document quality filter
+# --------------------------------------------------------------------------
+# Rae et al. 2021 (Gopher, §A1.1): per-document heuristic gates — word
+# count bounds, mean word length band, fraction of words containing an
+# alphabetic character, minimum stop-word hits.  Pure map-side
+# higher-order array expressions over one tokenization: zero shuffles,
+# no Python, inherits the scan's partitioning at any corpus size.
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 1000
+
+
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(spark, load(spark, sf, "documents"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    t = d.select("doc_id", toks.alias("ts"))
+    n = F.size("ts")
+    mean_len = F.round(
+        F.aggregate("ts", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / n, 4)
+    alpha = F.round(
+        F.size(F.filter("ts", lambda x: x.rlike("[a-zA-Z]")))
+         .cast("double") / n, 4)
+    nstop = F.size(F.filter("ts", lambda x: x.isin(*GOPHER_STOPWORDS)))
+    m = t.select("doc_id", n.alias("n_words"),
+                 mean_len.alias("mean_word_len"),
+                 alpha.alias("alpha_frac"), nstop.alias("n_stopwords"))
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_len = F.col("mean_word_len").between(3, 10)
+    ok_alpha = F.col("alpha_frac") >= 0.8
+    ok_stop = F.col("n_stopwords") >= 2
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stopwords",
+        ok_words.alias("ok_words"), ok_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"), ok_stop.alias("ok_stop"),
+        (ok_words & ok_len & ok_alpha & ok_stop).alias("gopher_pass"))
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+TEXT_GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(ts) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+               / len(ts), 4) AS mean_word_len,
+         round(CAST(len(list_filter(ts,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / len(ts), 4) AS alpha_frac,
+         CAST(len(list_filter(ts, x -> x IN ({_GOPHER_STOP_SQL}))) AS INT)
+           AS n_stopwords
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AS ok_words,
+       (mean_word_len BETWEEN 3 AND 10) AS ok_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stop,
+       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (mean_word_len BETWEEN 3 AND 10)
+        AND (alpha_frac >= 0.8) AND (n_stopwords >= 2)) AS gopher_pass
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# events_funnel_steps — ordered multi-step conversion funnel
+# --------------------------------------------------------------------------
+# view → click → purchase, each step strictly AFTER the user's previous
+# step (min qualifying timestamp), with per-step user counts and mean
+# step-to-step delay.  Three event scans each filtered to one type
+# (partition-prunable when the event log is type/date-partitioned),
+# user_id-keyed aggs with map-side partials, user_id-keyed joins —
+# nothing wider than user cardinality ever shuffles.  Delay math stays
+# exact: bigint second diffs summed exactly, one double division at
+# the end.
+
+def events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select("user_id", "ts", "event_type")
+    u1 = (e.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    u2 = (e.filter(F.col("event_type") == "click")
+           .join(u1, "user_id").filter(F.col("ts") > F.col("t1"))
+           .groupBy("user_id")
+           .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1")))
+    u3 = (e.filter(F.col("event_type") == "purchase")
+           .join(u2, "user_id").filter(F.col("ts") > F.col("t2"))
+           .groupBy("user_id")
+           .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2")))
+
+    def stage(df, k, a=None, b=None):
+        if a is None:
+            delay = F.lit(None).cast("double")
+        else:
+            d = F.unix_timestamp(F.col(b)) - F.unix_timestamp(F.col(a))
+            delay = F.round(F.sum(d).cast("double") / F.count("*"), 4)
+        return df.agg(F.lit(k).alias("stage"),
+                      F.count("*").alias("n_users"),
+                      delay.alias("avg_delay_s"))
+
+    return (stage(u1, 1).unionAll(stage(u2, 2, "t1", "t2"))
+                        .unionAll(stage(u3, 3, "t2", "t3")))
+
+
+EVENTS_FUNNEL_STEPS_SQL = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1
+  FROM events e JOIN u1 USING (user_id)
+  WHERE event_type = 'click' AND e.ts > t1 GROUP BY e.user_id),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(t2) AS t2
+  FROM events e JOIN u2 USING (user_id)
+  WHERE event_type = 'purchase' AND e.ts > t2 GROUP BY e.user_id)
+SELECT 1 AS stage, count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_delay_s
+FROM u1
+UNION ALL
+SELECT 2, count(*),
+       round(CAST(sum(date_diff('second', t1, t2)) AS DOUBLE) / count(*), 4)
+FROM u2
+UNION ALL
+SELECT 3, count(*),
+       round(CAST(sum(date_diff('second', t2, t3)) AS DOUBLE) / count(*), 4)
+FROM u3
+"""
+
+
+# --------------------------------------------------------------------------
+# sample_domain_cap — exact per-source document cap (FineWeb-style)
+# --------------------------------------------------------------------------
+# Keep at most DOMAIN_CAP documents per source, chosen deterministically
+# by md5(doc_id) order — an unbiased, reproducible "at most N pages per
+# domain" rebalancing.  The rank window partitions by source; at 100 TB
+# a dominant source funnels through one task, so the scale refinement
+# is a two-phase prune: per-source counts (bounded driver rows) pick a
+# hash-prefix cutoff that keeps ~5×CAP candidates per source — the
+# md5 bucket is a PREFIX of the sort key, so the prefilter provably
+# preserves the top-CAP — then the exact window runs over survivors.
+# The sf-scale implementation keeps the single exact window (AQE
+# handles moderate skew) and documents the refinement.
+
+DOMAIN_CAP = 10
+
+
+def sample_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (d.withColumn("pick_order", F.row_number().over(w))
+             .filter(F.col("pick_order") <= DOMAIN_CAP)
+             .select("doc_id", "source", "pick_order"))
+
+
+SAMPLE_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, CAST(pick_order AS INT) AS pick_order FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick_order
+  FROM documents)
+WHERE pick_order <= {DOMAIN_CAP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q44_correlated_avg — TPC-H Q17 shape: correlated scalar-avg subquery
+# --------------------------------------------------------------------------
+# Lineitems of one brand whose quantity is below 20% of the per-part
+# average quantity.  The correlated subquery decorrelates to a per-part
+# aggregate joined back to the fact; the brand dim broadcasts.  All
+# arithmetic is decimal-exact: the 0.2·avg comparison is rewritten
+# multiplicatively (qty·5·cnt < sum_qty) so no engine ever divides,
+# and prices sum as DECIMAL(18,2) — bit-identical across engines at
+# any row count (a double sum would be accumulation-order dependent).
+
+Q44_BRAND = "Brand#12"
+
+
+def q44_correlated_avg(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    p = (load(spark, sf, "part")
+         .filter(F.col("p_brand") == Q44_BRAND).select("p_partkey"))
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("cnt"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(per, "l_partkey")
+           .filter(qty * 5 * F.col("cnt") < F.col("sum_qty")))
+    return j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .alias("total_price"),
+        F.count("*").alias("n_li"))
+
+
+Q44_CORRELATED_AVG_SQL = f"""
+WITH per AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+       count(*) AS n_li
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q44_BRAND}'
+JOIN per ON per.l_partkey = l.l_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# q45_late_sole_supplier — TPC-H Q21 shape: EXISTS + NOT EXISTS
+# --------------------------------------------------------------------------
+# Suppliers who shipped late in a multi-supplier order where no OTHER
+# supplier shipped late — the classic double-correlated-exists query.
+# Spark side hand-plans the decorrelation: the late set builds once,
+# the EXISTS is a self semi-join, the NOT EXISTS an anti-join, both
+# keyed by l_orderkey (co-partitioned, no broadcast of fact-sized
+# sides); the supplier dim broadcasts into the final count.  Top-20
+# is TakeOrderedAndProject with a unique (numwait, s_name) tie-break.
+
+Q45_LATE_CUTOFF = "2000-06-01"
+
+
+def q45_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    late = (li.filter(F.col("l_shipdate") >= Q45_LATE_CUTOFF)
+              .select("l_orderkey", "l_suppkey").distinct())
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    a = late.alias("a")
+    multi = a.join(
+        others.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")), "left_semi")
+    sole = multi.alias("a").join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")), "left_anti")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    res = (sole.groupBy("l_suppkey")
+               .agg(F.countDistinct("l_orderkey").alias("numwait"))
+               .join(F.broadcast(s),
+                     F.col("l_suppkey") == F.col("s_suppkey")))
+    return (res.select("s_name", "numwait")
+               .orderBy(F.col("numwait").desc(), "s_name")
+               .limit(20))
+
+
+Q45_LATE_SOLE_SUPPLIER_SQL = f"""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q45_LATE_CUTOFF} 00:00:00'),
+sole AS (
+  SELECT a.l_orderkey, a.l_suppkey FROM late a
+  WHERE EXISTS (SELECT 1 FROM lineitem b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late c
+                    WHERE c.l_orderkey = a.l_orderkey
+                      AND c.l_suppkey <> a.l_suppkey))
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# text_quality_classifier — fasttext-style hashed linear quality model
+# --------------------------------------------------------------------------
+# The model-based filtering stage of a pretraining pipeline (CCNet /
+# fastText quality classifiers): score = squash(Σ w[h(token)] / n) over
+# a hashed bag-of-words.  The weight table here is derived from the
+# hash itself (bucket % 201 - 100, an integer in [-100, 100]) so the
+# oracle is closed-form; in production the table is a trained model
+# broadcast to executors — identical plan, different literals.
+# Exactness across engines: per-token weights are INTEGERS summed
+# exactly, ONE double division at the end, and the squash is the
+# rational x/(1+|x|) (division is IEEE-correctly-rounded; exp() in a
+# true sigmoid is not, so it could diverge between engines at the last
+# ulp).  Pure map-side expressions — zero shuffles.
+
+CLS_BUCKETS = 1024
+
+
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(spark, load(spark, sf, "documents"))
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    wt = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+                    .cast("bigint") % CLS_BUCKETS) % 201 - 100
+    t = d.select("doc_id", toks.alias("ts"))
+    n = F.size("ts")
+    raw_sum = F.aggregate("ts", F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + wt(x))
+    raw = raw_sum.cast("double") / (100.0 * n)
+    score = F.round(raw / (1 + F.abs(raw)), 6)
+    return t.select("doc_id", n.alias("n_toks"),
+                    raw_sum.alias("raw_sum"),
+                    score.alias("score"),
+                    (raw_sum > 0).alias("cls_pass"))
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(ts) AS INT) AS n_toks,
+         CAST(list_sum(list_transform(ts,
+             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT
+                  % {CLS_BUCKETS} % 201 - 100)) AS BIGINT) AS raw_sum
+  FROM t)
+SELECT doc_id, n_toks, raw_sum,
+       round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
+             / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
+         AS score,
+       (raw_sum > 0) AS cls_pass
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# sample_cluster_balanced — embedding-cluster-balanced diversity sample
+# --------------------------------------------------------------------------
+# Training-data curation: cap each SEMANTIC cluster (the semdedup_prune
+# assignment) at CLUSTER_CAP vectors, chosen by md5 order — keeps the
+# sample's cluster distribution flat instead of mirroring corpus skew.
+# Same two-stage shape as semdedup: broadcast seeds → argmax cosine
+# assignment, then a per-cluster rank window (bounded by cluster size;
+# the sample_domain_cap hash-prefix prefilter applies identically when
+# one cluster dominates).
+
+CLUSTER_CAP = 25
+
+
+def sample_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = (e.filter(F.col("vec_id") < SEM_K)
+              .select(F.col("vec_id").alias("seed"),
+                      F.col("embedding").alias("se")))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("se"))
+        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
+        6)
+    assigned = (e.crossJoin(F.broadcast(seeds))
+                 .select("vec_id", (-cos).alias("nc"), "seed")
+                 .groupBy("vec_id")
+                 .agg(F.min(F.struct("nc", "seed")).alias("m"))
+                 .select("vec_id", F.col("m.seed").alias("cluster")))
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = W.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    return (assigned.withColumn("pick_order", F.row_number().over(w))
+                    .filter(F.col("pick_order") <= CLUSTER_CAP)
+                    .select("vec_id", "cluster", "pick_order"))
+
+
+SAMPLE_CLUSTER_BALANCED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
+          WHERE vec_id < {SEM_K}),
+scored AS (
+  SELECT vec_id, seed,
+         {_SEM_COS(d=_DOT_SQL.format(a='embedding', b='se'),
+                   na=_NORM2_SQL.format(a='embedding'),
+                   nb=_NORM2_SQL.format(a='se'))} AS c
+  FROM e, seeds),
+assigned AS (
+  SELECT vec_id, seed AS cluster FROM (
+    SELECT vec_id, seed,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, seed) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT vec_id, cluster, CAST(pick_order AS INT) AS pick_order FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick_order
+  FROM assigned)
+WHERE pick_order <= {CLUSTER_CAP}
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
     "text_ngram_topk": text_ngram_topk,
+    "semdedup_prune": semdedup_prune,
+    "text_gopher_rules": text_gopher_rules,
+    "events_funnel_steps": events_funnel_steps,
+    "sample_domain_cap": sample_domain_cap,
+    "q44_correlated_avg": q44_correlated_avg,
+    "q45_late_sole_supplier": q45_late_sole_supplier,
+    "text_quality_classifier": text_quality_classifier,
+    "sample_cluster_balanced": sample_cluster_balanced,
 }
 
 ORACLES = {
     "events_retention": EVENTS_RETENTION_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "text_ngram_topk": TEXT_NGRAM_TOPK_SQL,
+    "semdedup_prune": SEMDEDUP_PRUNE_SQL,
+    "text_gopher_rules": TEXT_GOPHER_RULES_SQL,
+    "events_funnel_steps": EVENTS_FUNNEL_STEPS_SQL,
+    "sample_domain_cap": SAMPLE_DOMAIN_CAP_SQL,
+    "q44_correlated_avg": Q44_CORRELATED_AVG_SQL,
+    "q45_late_sole_supplier": Q45_LATE_SOLE_SUPPLIER_SQL,
+    "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
+    "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_SQL,
 }

@@ -233,3 +233,33 @@ def test_extension_ops_no_single_partition(spark, sf_dir):
     for op in (events_retention, events_transitions, text_ngram_topk):
         plan = simple_plan(op(spark, sf_dir))
         assert "SinglePartition" not in plan, plan
+
+
+def test_semdedup_broadcasts_seeds_no_cartesian(spark, sf_dir):
+    # the k-seed assignment stage must broadcast the seed set into the
+    # corpus scan (k ≪ n), and the in-cluster pairwise stage must be an
+    # equi-join on the cluster key — a CartesianProduct anywhere means
+    # the all-pairs trap SemDeDup exists to avoid
+    from bigarrays_jl_spark.operators.extensions import semdedup_prune
+    df = semdedup_prune(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_q44_decorrelates_and_broadcasts_brand_dim(spark, sf_dir):
+    # TPC-H Q17 shape: per-part avg joins back as an aggregate (no
+    # per-row subquery), and the brand-filtered part dim broadcasts
+    from bigarrays_jl_spark.operators.extensions import q44_correlated_avg
+    df = q44_correlated_avg(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_q45_top20_is_take_ordered(spark, sf_dir):
+    from bigarrays_jl_spark.operators.extensions import q45_late_sole_supplier
+    df = q45_late_sole_supplier(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert "CartesianProduct" not in formatted_plan(df)
