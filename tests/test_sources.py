@@ -158,3 +158,61 @@ def test_events_ts_is_timestamp(spark, sf_dir):
     # watermark-compatible TIMESTAMP column
     df = load(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+# --------------------------------------------------------------------------
+# z-order clustered layout: multi-dimensional data skipping
+# --------------------------------------------------------------------------
+
+def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    from bigarrays_jl_spark.sources.layout import (files_matching,
+                                                   write_zorder)
+    from bigarrays_jl_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    zpath, flat = str(tmp_path / "z"), str(tmp_path / "flat")
+    write_zorder(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    # control: same data, same file count, arrival order
+    li.repartition(8).write.parquet(flat)
+
+    # probe three point-lookups per dimension; a z-range boundary can
+    # straddle any single probe (the 0.5 point IS the top-bit split),
+    # so the skipping claim is on the aggregate: strictly fewer files
+    # admitted than the control on BOTH dimensions, ≤2/3 overall
+    pmax = li.agg({"l_partkey": "max"}).first()[0]
+    smax = li.agg({"l_suppkey": "max"}).first()[0]
+    for col, mx in (("l_partkey", pmax), ("l_suppkey", smax)):
+        zh = zt = fh = ft = 0
+        for frac in (0.25, 0.5, 0.75):
+            h, t = files_matching(zpath, col, int(mx * frac))
+            zh, zt = zh + h, zt + t
+            h, t = files_matching(flat, col, int(mx * frac))
+            fh, ft = fh + h, ft + t
+        assert fh == ft, "control layout should prune nothing"
+        assert zh < fh and zh <= 2 * zt // 3, (
+            f"z-order should skip files on {col}: {zh}/{zt} vs control {fh}")
+
+    # layout must not change the data
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert (back.agg(F.sum("l_quantity")).first()[0]
+            == li.agg(F.sum("l_quantity")).first()[0])
+
+
+def test_zorder_value_interleaves_and_bounds(spark):
+    from bigarrays_jl_spark.sources.layout import zorder_col
+
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (255, 0), (0, 255)], "a int, b int")
+    rows = {(r.a, r.b): r.z for r in
+            df.select("a", "b",
+                      zorder_col(df, ["a", "b"], bits=8).alias("z")).collect()}
+    # corners: (0,0) lowest, (max,max) highest, mixed corners between
+    assert rows[(0, 0)] == 0
+    assert rows[(255, 255)] == (1 << 16) - 1
+    assert 0 < rows[(255, 0)] < rows[(255, 255)]
+    assert 0 < rows[(0, 255)] < rows[(255, 255)]
+    # bit interleave: a occupies even bits, b odd bits (j ordering)
+    assert rows[(255, 0)] | rows[(0, 255)] == (1 << 16) - 1
+    assert rows[(255, 0)] & rows[(0, 255)] == 0
