@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.functions import dot as _dot
 from bigarrays_jl_spark.functions import norm2 as _norm2
+from bigarrays_jl_spark.operators.ordering import capped_by_hash_order
 from bigarrays_jl_spark.operators.similarity import _DOT_SQL, _NORM2_SQL
 from bigarrays_jl_spark.sources.tables import fan_out, load
 
@@ -388,25 +389,21 @@ FROM u3
 # --------------------------------------------------------------------------
 # Keep at most DOMAIN_CAP documents per source, chosen deterministically
 # by md5(doc_id) order — an unbiased, reproducible "at most N pages per
-# domain" rebalancing.  The rank window partitions by source; at 100 TB
-# a dominant source funnels through one task, so the scale refinement
-# is a two-phase prune: per-source counts (bounded driver rows) pick a
-# hash-prefix cutoff that keeps ~5×CAP candidates per source — the
-# md5 bucket is a PREFIX of the sort key, so the prefilter provably
-# preserves the top-CAP — then the exact window runs over survivors.
-# The sf-scale implementation keeps the single exact window (AQE
-# handles moderate skew) and documents the refinement.
+# domain" rebalancing.  Skew-safe for real: ordering.capped_by_hash_order
+# never windows over a whole group — a per-(source, hash-prefix) count
+# (the md5 prefix IS a prefix of the sort key) finds each source's
+# cutoff bucket, and the exact rank window runs only over the ~CAP
+# survivors.  Holds with 5 domains of a billion pages or a billion
+# domains of 5 pages; answer is identical to the naive per-source
+# window (the oracle is that naive window).
 
 DOMAIN_CAP = 10
 
 
 def sample_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "source")
-    h = F.md5(F.col("doc_id").cast("string"))
-    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    return (d.withColumn("pick_order", F.row_number().over(w))
-             .filter(F.col("pick_order") <= DOMAIN_CAP)
-             .select("doc_id", "source", "pick_order"))
+    return (capped_by_hash_order(d, "source", "doc_id", DOMAIN_CAP)
+            .select("doc_id", "source", "pick_order"))
 
 
 SAMPLE_DOMAIN_CAP_SQL = f"""
@@ -588,10 +585,9 @@ FROM m
 # Training-data curation: cap each SEMANTIC cluster (the semdedup_prune
 # assignment) at CLUSTER_CAP vectors, chosen by md5 order — keeps the
 # sample's cluster distribution flat instead of mirroring corpus skew.
-# Same two-stage shape as semdedup: broadcast seeds → argmax cosine
-# assignment, then a per-cluster rank window (bounded by cluster size;
-# the sample_domain_cap hash-prefix prefilter applies identically when
-# one cluster dominates).
+# Two-stage: broadcast seeds → argmax cosine assignment, then the same
+# skew-safe capped_by_hash_order as sample_domain_cap (no whole-cluster
+# window even when one cluster dominates the corpus).
 
 CLUSTER_CAP = 25
 
@@ -610,11 +606,8 @@ def sample_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
                  .groupBy("vec_id")
                  .agg(F.min(F.struct("nc", "seed")).alias("m"))
                  .select("vec_id", F.col("m.seed").alias("cluster")))
-    h = F.md5(F.col("vec_id").cast("string"))
-    w = W.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
-    return (assigned.withColumn("pick_order", F.row_number().over(w))
-                    .filter(F.col("pick_order") <= CLUSTER_CAP)
-                    .select("vec_id", "cluster", "pick_order"))
+    return (capped_by_hash_order(assigned, "cluster", "vec_id", CLUSTER_CAP)
+            .select("vec_id", "cluster", "pick_order"))
 
 
 SAMPLE_CLUSTER_BALANCED_SQL = f"""

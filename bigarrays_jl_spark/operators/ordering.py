@@ -168,3 +168,47 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
             .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))))
     return (bucketed.withColumn("tile", (tile + 1).cast("int"))
             .drop("__bkt", "__g"))
+
+
+def capped_by_hash_order(df: DataFrame, group_col: str, id_col: str,
+                         cap: int, out_col: str = "pick_order") -> DataFrame:
+    """Exact top-``cap`` rows per group, ordered by (md5(id), id) —
+    without ever running a per-group window over a whole group.
+
+    The skew problem with ``row_number() OVER (PARTITION BY group ORDER
+    BY md5(id))`` is one dominant group funneling through one task.
+    Because the ranking key IS the md5 hex string, its first two hex
+    chars are a PREFIX of the sort order — so a per-(group, prefix)
+    count (≤256 rows per group, balanced shuffle) tells exactly which
+    prefix bucket the cap falls in:
+
+    1. count rows per (group, 2-hex-char prefix);
+    2. cumulative count over the ≤256 prefixes inside each group (a
+       window over a tiny aggregate, never over data rows) → the
+       smallest prefix where the running total reaches ``cap``;
+    3. keep only rows at or below that group's cutoff prefix —
+       ~cap + n/256 expected survivors per group — and run the exact
+       rank window over those survivors alone.
+
+    Pure DataFrame end to end (no driver collect), so it holds whether
+    there are 5 groups of a billion rows or a billion groups of 5: the
+    cutoff table is |groups|·O(1) rows and joins back on the group key.
+    Output: input columns + ``out_col`` (1-based rank ≤ cap), identical
+    to the naive window's answer.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    pfx = F.substring(h, 1, 2)
+    tagged = df.withColumn("_h", h).withColumn("_pfx", pfx)
+    per = tagged.groupBy(group_col, "_pfx").agg(F.count("*").alias("_n"))
+    cumw = (W.partitionBy(group_col).orderBy("_pfx")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cuts = (per.withColumn("_cum", F.sum("_n").over(cumw))
+               .filter(F.col("_cum") - F.col("_n") < cap)
+               .groupBy(group_col).agg(F.max("_pfx").alias("_cut")))
+    cand = (tagged.join(cuts, group_col)
+                  .filter(F.col("_pfx") <= F.col("_cut")))
+    rankw = W.partitionBy(group_col).orderBy(F.col("_h").asc(),
+                                             F.col(id_col).asc())
+    return (cand.withColumn(out_col, F.row_number().over(rankw))
+                .filter(F.col(out_col) <= cap)
+                .drop("_h", "_pfx", "_cut"))

@@ -252,3 +252,29 @@ def test_temperature_mix_flattens_source_skew(spark, sf_dir):
         assert boost[smallest] > boost[largest]
     for s in raw:
         assert mixed[s] >= raw[s]  # copies >= 1 epoch everywhere
+
+
+def test_capped_by_hash_order_matches_naive_window(spark, sf_dir):
+    # the skew-safe two-phase cap must return EXACTLY the naive
+    # per-group window's answer — including on a skewed grouping
+    # (event_type: 5 groups x ~hundreds of rows, cap far below size)
+    from pyspark.sql import Window, functions as F
+
+    from bigarrays_jl_spark.operators.ordering import capped_by_hash_order
+    from bigarrays_jl_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    got = capped_by_hash_order(e, "event_type", "event_id", 7) \
+        .select("event_type", "event_id", "pick_order")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(),
+                                                 F.col("event_id").asc())
+    want = (e.withColumn("pick_order", F.row_number().over(w))
+             .filter(F.col("pick_order") <= 7)
+             .select("event_type", "event_id", "pick_order"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # cap larger than the group: every row comes back
+    small = e.limit(20)
+    assert capped_by_hash_order(small, "event_type", "event_id",
+                                10**6).count() == 20
