@@ -94,3 +94,21 @@ def files_matching(path: str, col: str, value) -> tuple[int, int]:
                         admit = True
         hits += admit
     return hits, total
+
+
+def write_partitioned(df: DataFrame, path: str, cols: list[str],
+                      expr: dict[str, "F.Column"] | None = None) -> None:
+    """Hive-style directory partitioning — the other half of the layout
+    story next to z-order.  Partition columns become directories
+    (``.../event_date=2026-01-07/``), so a filter on them never opens a
+    single non-matching file: Catalyst resolves `PartitionFilters`
+    against the directory listing alone.  Use for the coarse,
+    low-cardinality access dimension (event date, source shard);
+    z-order the columns WITHIN each partition for the fine-grained
+    dimensions.  ``expr`` derives new partition columns on the way in
+    (e.g. ``{"event_date": F.to_date("ts")}``).
+    """
+    out = df
+    for name, col in (expr or {}).items():
+        out = out.withColumn(name, col)
+    out.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -216,3 +216,27 @@ def test_zorder_value_interleaves_and_bounds(spark):
     # bit interleave: a occupies even bits, b odd bits (j ordering)
     assert rows[(255, 0)] | rows[(0, 255)] == (1 << 16) - 1
     assert rows[(255, 0)] & rows[(0, 255)] == 0
+
+
+def test_hive_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    # date-partitioned event log: a date filter must resolve to
+    # PartitionFilters (directory pruning — no footer even opened),
+    # and the pruned scan must read a strict subset of files
+    from bigarrays_jl_spark.sources.layout import write_partitioned
+    from bigarrays_jl_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    p = str(tmp_path / "by_date")
+    write_partitioned(e, p, ["event_date"],
+                      expr={"event_date": F.to_date("ts")})
+    back = spark.read.parquet(p)
+    one_day = back.select("event_date").distinct().orderBy("event_date") \
+                  .first().event_date
+    q = back.filter(F.col("event_date") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # correctness: partition column round-trips the full row set
+    assert back.count() == e.count()
+    want = e.filter(F.to_date("ts") == one_day).count()
+    assert q.count() == want and want > 0
