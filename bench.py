@@ -134,7 +134,11 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
             gen, schema="cx int, cy int, cz int, key string, payload binary"
         ).write.mode("overwrite").parquet(staged_path)
         staged = spark.read.parquet(staged_path)
-        staged.count()
+        # warm the PAYLOAD pages, not just footers: a bare count() over
+        # parquet reads row-group metadata only, so it would warm
+        # nothing — summing payload lengths forces the binary column
+        # through the page cache
+        staged.agg(F.sum(F.length("payload"))).collect()
         t0 = time.time()
         vol.ingest_chunks(staged)
         w = time.time() - t0

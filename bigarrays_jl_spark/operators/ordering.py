@@ -50,6 +50,15 @@ def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
     lineage-truncation-for-recompute tradeoff as the LSH signature
     tables in dedup.py; project ``df`` down to the needed columns before
     calling so the checkpoint holds only what the rank needs.
+
+    Two costs are inherent and worth knowing at cluster scale: (1) this
+    function runs driver-side actions (the probe and per-bucket totals)
+    at CONSTRUCTION time — the offsets must become literals — so merely
+    building the plan scans the input once; (2) ``localCheckpoint`` is
+    executor-local, so losing an executor loses its blocks without
+    lineage to recompute — on a long-lived cluster with dynamic
+    allocation, swap in ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` (reliable storage) at the cost of one write.
     """
     n_buckets = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
@@ -128,8 +137,12 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
            .agg(F.count("*").alias("c"),
                 F.count(F.when(F.col(value).isNull(), 1)).alias("nn"),
                 F.count(F.when(F.col(tiebreak).isNull(), 1)).alias("tn"),
-                F.max((F.col("__g") != null_g)
-                      & F.col("__g").contains(sep)).alias("sep_g"))
+                # checked on the RAW column (NULL groups yield NULL and
+                # drop out of max), so a group string literally equal to
+                # the '\x1fNULL' sentinel is flagged too instead of
+                # silently merging with the NULL group
+                F.max(F.col(group).cast("string").contains(sep))
+                 .alias("sep_g"))
            .collect())
     if any(r["nn"] for r in per):
         raise ValueError(
@@ -205,10 +218,15 @@ def capped_by_hash_order(df: DataFrame, group_col: str, id_col: str,
     cuts = (per.withColumn("_cum", F.sum("_n").over(cumw))
                .filter(F.col("_cum") - F.col("_n") < cap)
                .groupBy(group_col).agg(F.max("_pfx").alias("_cut")))
-    cand = (tagged.join(cuts, group_col)
+    # null-SAFE equi-join: windows put NULL groups in their own
+    # partition, so the cutoff join must match them too — a plain
+    # equi-join would silently drop the whole NULL-group stratum
+    # (the exact trap grouped_ntile's sentinel exists to prevent)
+    cuts = cuts.withColumnRenamed(group_col, "_g")
+    cand = (tagged.join(cuts, F.col(group_col).eqNullSafe(F.col("_g")))
                   .filter(F.col("_pfx") <= F.col("_cut")))
     rankw = W.partitionBy(group_col).orderBy(F.col("_h").asc(),
                                              F.col(id_col).asc())
     return (cand.withColumn(out_col, F.row_number().over(rankw))
                 .filter(F.col(out_col) <= cap)
-                .drop("_h", "_pfx", "_cut"))
+                .drop("_h", "_pfx", "_cut", "_g"))

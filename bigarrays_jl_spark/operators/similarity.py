@@ -717,6 +717,11 @@ def _pq_sub(e: DataFrame, m: int = PQ_M) -> DataFrame:
     # subexpressions out of higher-order-function lambdas, so an inline
     # norm inside the transform would re-run the 64-element fold once
     # per output element
+    if SQ_DIM % m != 0:
+        raise ValueError(
+            f"pq_m={m} must divide the embedding dim {SQ_DIM}; a "
+            f"non-divisor would silently drop the last {SQ_DIM % m} "
+            "dimensions from every vector")
     normed = e.select("vec_id", "embedding",
                       F.sqrt(_norm2(F.col("embedding"))).alias("nrm"))
     subdim = SQ_DIM // m

@@ -40,6 +40,11 @@ def zorder_col(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> F.Column:
                       for c in cols for f in (F.min, F.max)]).first()
     scaled = []
     for c in cols:
+        if bounds[f"min_{c}"] is None:
+            raise ValueError(
+                f"zorder_col: column {c!r} has no non-NULL values "
+                "(empty input or all-NULL column) — no bounds to "
+                "normalize against")
         lo = float(bounds[f"min_{c}"])
         hi = float(bounds[f"max_{c}"])
         span = (hi - lo) or 1.0

@@ -15,11 +15,13 @@ events beyond the horizon are dropped deterministically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,10 +38,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    raw_schema = _SCHEMA_CACHE.get(path)
+    # cache key includes the file's (mtime, size) so a dataset rewritten
+    # in place with a different ts physical type re-infers instead of
+    # serving the stale schema into the wrong conversion branch
+    try:
+        st = os.stat(path)
+        ck = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        ck = (path, None, None)
+    raw_schema = _SCHEMA_CACHE.get(ck)
     if raw_schema is None:
         raw_schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = raw_schema
+        # drop superseded entries for THIS path (schemas are tiny, but
+        # a long-lived process rewriting the dataset shouldn't leak)
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[ck] = raw_schema
     raw = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))

@@ -148,10 +148,28 @@ def _fs_create_exclusive(spark: SparkSession, path: str, data: bytes) -> bool:
     fs = jpath.getFileSystem(conf)
     try:
         out = fs.create(jpath, False)  # overwrite=False → throws if present
+    except Exception as e:
+        # only "already exists" means the lock is genuinely taken; a
+        # transient IO/permission error must not masquerade as a
+        # concurrent writer (it would misdirect the operator to
+        # break_lock() a lock nobody holds)
+        name = type(e).__name__
+        msg = str(e)
+        if "AlreadyExists" in name or "AlreadyExists" in msg \
+                or "already exists" in msg.lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(data))
+        out.close()
     except Exception:
-        return False
-    out.write(bytearray(data))
-    out.close()
+        # a half-written lock must not stay behind blocking every future
+        # writer: best-effort delete before propagating
+        with contextlib.suppress(Exception):
+            out.close()
+        with contextlib.suppress(Exception):
+            fs.delete(jpath, False)
+        raise
     return True
 
 def _locked_writer(get_lock_target=None):
@@ -890,10 +908,38 @@ class Volume:
         """Fold overwrite history once it crosses ``auto_compact_epochs``
         (epochs are 0-based, so epoch e means e+1 write generations).
         Called by the epoch-bumping writers while they still hold the
-        write lock — compact() re-enters it as a no-op."""
+        write lock — compact() re-enters it as a no-op.
+
+        Rewrites only when overwrite history actually EXISTS: epochs
+        count write *generations*, so a bulk append workload (disjoint
+        ingest batches, no key written twice) would otherwise trigger a
+        full multi-mip rewrite every ``t`` batches — quadratic total IO
+        at volume scale for zero benefit.  At the threshold a key-only
+        duplicate probe (column-pruned scan, no payload bytes) decides:
+        duplicates → compact; none → remember the checked depth and
+        re-probe ``t`` epochs later.  The epoch counter itself cannot be
+        reset without a rewrite (stored rows keep their epoch numbers;
+        restarting the counter would invert last-writer-wins)."""
         t = self.auto_compact_epochs
-        if t is not None and self._current_epoch() + 1 >= t:
-            self.compact()
+        if t is None:
+            return
+        e = self._current_epoch()
+        if e + 1 < t:
+            return
+        checked = getattr(self, "_dup_checked_epoch", -(10 ** 9))
+        if e - checked < t:
+            return
+        for m in range(len(self.info.scales)):
+            if not _fs_exists(self.spark, self._mip_dir(m)):
+                continue
+            has_dup = (self.chunks_df(m).groupBy("key")
+                       .count().filter(F.col("count") > 1)
+                       .limit(1).count() > 0)
+            if has_dup:
+                self.compact()
+                self._dup_checked_epoch = -(10 ** 9)
+                return
+        self._dup_checked_epoch = e
 
     @_locked_writer()
     def compact(self) -> None:

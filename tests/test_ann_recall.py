@@ -108,3 +108,12 @@ def test_pq_production_codebook_recall_on_clustered_embeddings(spark, clustered_
              for r in ann_cosine_topk(spark, clustered_dir).collect()}
     got = ann_pq_topk(spark, clustered_dir, pq_k=64, iters=2)
     assert _recall(got, truth) >= 0.9     # measured 1.0
+
+
+def test_pq_rejects_non_divisor_subspace_count(spark, sf_dir):
+    import pytest as _pytest
+
+    from bigarrays_jl_spark.operators.similarity import ann_pq_topk
+
+    with _pytest.raises(ValueError, match="must divide"):
+        ann_pq_topk(spark, sf_dir, pq_m=3)

@@ -278,3 +278,31 @@ def test_capped_by_hash_order_matches_naive_window(spark, sf_dir):
     small = e.limit(20)
     assert capped_by_hash_order(small, "event_type", "event_id",
                                 10**6).count() == 20
+
+
+def test_capped_by_hash_order_keeps_null_group(spark):
+    # NULL groups form their own partition in the naive window; the
+    # cutoff join must be null-SAFE or the whole NULL stratum vanishes
+    from bigarrays_jl_spark.operators.ordering import capped_by_hash_order
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else None) for i in range(30)],
+        "id long, g string")
+    got = capped_by_hash_order(df, "g", "id", 5)
+    counts = {r.g: r.n for r in
+              got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, None: 5}, counts
+
+
+def test_grouped_ntile_rejects_sentinel_collision_group(spark):
+    # a group string literally equal to the internal NULL sentinel must
+    # raise, not silently merge with the NULL group
+    import pytest as _pytest
+
+    from bigarrays_jl_spark.operators.ordering import grouped_ntile
+
+    df = spark.createDataFrame(
+        [("\x1fNULL", float(i), i) for i in range(10)],
+        "g string, v double, t long")
+    with _pytest.raises(ValueError, match="separator"):
+        grouped_ntile(spark, df, 2, "g", "v", "t").collect()

@@ -240,3 +240,14 @@ def test_hive_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
     assert back.count() == e.count()
     want = e.filter(F.to_date("ts") == one_day).count()
     assert q.count() == want and want > 0
+
+
+def test_zorder_rejects_empty_and_all_null_bounds(spark):
+    from bigarrays_jl_spark.sources.layout import zorder_col
+
+    empty = spark.createDataFrame([], "a int, b int")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zorder_col(empty, ["a", "b"])
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="'a'"):
+        zorder_col(allnull, ["a", "b"])

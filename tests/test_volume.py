@@ -412,3 +412,37 @@ def test_compact_folds_every_mip(spark, tmp_path):
     expect = np.rint((b[0::2, 0::2, :].astype(np.float64) + b[1::2, 0::2, :]
                       + b[0::2, 1::2, :] + b[1::2, 1::2, :]) / 4.0).astype(np.uint8)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_auto_compact_skips_append_only_workload(spark):
+    # epochs count write GENERATIONS; disjoint appends must not trigger
+    # the full rewrite (quadratic IO at scale) — only real overwrite
+    # history does
+    import numpy as np
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 8, 8]}]})
+    vol = Volume.scratch(spark, info)
+    vol.auto_compact_epochs = 4
+    for i in range(6):  # 6 disjoint chunks: append-only, never overwrite
+        vol.write(np.full((8, 8, 8), i + 1, dtype=np.uint8), (8 * i, 0, 0))
+    # past the threshold yet NOT compacted: epoch history retained
+    assert vol._current_epoch() >= 4
+    eps = {r.epoch for r in vol.chunks_df(0).select("epoch").collect()}
+    assert len(eps) > 1, "append-only history must not be rewritten"
+    # an actual overwrite at the threshold still folds everything
+    for _ in range(5):
+        vol.write(np.full((8, 8, 8), 99, dtype=np.uint8), (0, 0, 0))
+    eps = {r.epoch for r in vol.chunks_df(0).select("epoch").collect()}
+    assert eps == {0}, f"overwrite history should compact, got {eps}"
+    got = vol[0:48, 0:8, 0:8]
+    want = np.concatenate(
+        [np.full((8, 8, 8), v, dtype=np.uint8)
+         for v in (99, 2, 3, 4, 5, 6)], axis=0)
+    np.testing.assert_array_equal(got, want)
