@@ -636,6 +636,108 @@ WHERE pick_order <= {CLUSTER_CAP}
 """
 
 
+# --------------------------------------------------------------------------
+# events_windowed_topk — top event types per hourly window
+# --------------------------------------------------------------------------
+# The "trending now" rollup: hourly tumbling buckets × event type counts,
+# rank-3 inside each bucket.  One partial-agg shuffle keyed by (bucket,
+# type); the rank window partitions by bucket over the AGGREGATED rows
+# (≤ |types| per bucket), so its input is bounded by type cardinality —
+# never raw events.
+
+def events_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    counts = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                        "event_type")
+               .agg(F.count("*").alias("n")))
+    w = W.partitionBy("bucket").orderBy(F.col("n").desc(), "event_type")
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("bucket", "event_type", "n", "rank"))
+
+
+EVENTS_WINDOWED_TOPK_SQL = """
+WITH c AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT bucket, event_type, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, event_type) AS rank
+  FROM c)
+SELECT bucket, event_type, n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# text_bigram_logprob — bigram-LM perplexity proxy
+# --------------------------------------------------------------------------
+# The 2-gram upgrade of text_unigram_logprob: per-doc mean -ln p(w2|w1)
+# under corpus bigram MLE (p = c(w1,w2)/Σ_w c(w1,w)).  Catches locally
+# implausible token SEQUENCES that unigram frequency cannot (scrambled
+# text scores fluent under a unigram LM).  Same float discipline: each
+# bigram's -ln p rounds to 9 decimals into DECIMAL(28,9), so the doc
+# mean is bit-reproducible under any partitioning/summation order.
+#
+# Scale shape: the exploded bigram table materializes once (lazy
+# checkpoint) and feeds both the count aggregation and the per-doc
+# join; the prefix counts derive from the bigram counts (groupBy over
+# the VOCABULARY, not the corpus) — two vocabulary-bounded shuffles
+# plus one term-keyed join, no windows.
+
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import tokens as _tokens
+    d = fan_out(spark, load(spark, sf, "documents"))
+    t = _tokens("text")
+    bigr = F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (d.select("doc_id", F.explode(bigr).alias("p"))
+              .select("doc_id", F.col("p.w1").alias("w1"),
+                      F.col("p.w2").alias("w2"))
+              .localCheckpoint(eager=False))
+    cbg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    cw1 = cbg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    nll = (cbg.join(cw1, "w1")
+              .select("w1", "w2",
+                      F.round(-F.log(F.col("cbg").cast("double")
+                                     / F.col("cw1").cast("double")), 9)
+                       .cast("decimal(28,9)").alias("nll")))
+    return (pairs.join(nll, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.round((F.sum("nll") / F.count("*")).cast("double"), 4)
+                  .alias("avg_nll")))
+
+
+TEXT_BIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+p AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2),
+cbg AS (SELECT w1, w2, count(*) AS cbg FROM p GROUP BY 1, 2),
+cw1 AS (SELECT w1, sum(cbg) AS cw1 FROM cbg GROUP BY 1),
+nll AS (
+  SELECT w1, w2,
+         CAST(round(-ln(CAST(cbg AS DOUBLE) / CAST(cw1 AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS nll
+  FROM cbg JOIN cw1 USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(nll) / count(*) AS DOUBLE), 4) AS avg_nll
+FROM p JOIN nll USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -648,6 +750,8 @@ QUERIES = {
     "q45_late_sole_supplier": q45_late_sole_supplier,
     "text_quality_classifier": text_quality_classifier,
     "sample_cluster_balanced": sample_cluster_balanced,
+    "events_windowed_topk": events_windowed_topk,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 ORACLES = {
@@ -662,4 +766,6 @@ ORACLES = {
     "q45_late_sole_supplier": Q45_LATE_SOLE_SUPPLIER_SQL,
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_SQL,
+    "events_windowed_topk": EVENTS_WINDOWED_TOPK_SQL,
+    "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
 }

@@ -229,8 +229,10 @@ def test_extension_ops_no_single_partition(spark, sf_dir):
     # retention / transitions / ngram-topk: every window partitions by a
     # bounded key (user_id, event_type, lang) — no whole-table funnel
     from bigarrays_jl_spark.operators.extensions import (
-        events_retention, events_transitions, text_ngram_topk)
-    for op in (events_retention, events_transitions, text_ngram_topk):
+        events_retention, events_transitions, events_windowed_topk,
+        text_bigram_logprob, text_ngram_topk)
+    for op in (events_retention, events_transitions, text_ngram_topk,
+               events_windowed_topk, text_bigram_logprob):
         plan = simple_plan(op(spark, sf_dir))
         assert "SinglePartition" not in plan, plan
 
