@@ -22,6 +22,7 @@ A ``Box`` is ``((x0, x1), (y0, y1), (z0, z1))`` with half-open
 
 from __future__ import annotations
 
+import operator
 import re
 from collections.abc import Iterator, Sequence
 
@@ -183,11 +184,18 @@ def normalize_index(idx, vol: Box) -> Box:
         if isinstance(i, slice):
             if i.step not in (None, 1):
                 raise IndexError("strided cutouts are not supported")
-            lo = vol[axis][0] if i.start is None else i.start
-            hi = vol[axis][1] if i.stop is None else i.stop
+            lo = vol[axis][0] if i.start is None else operator.index(i.start)
+            hi = vol[axis][1] if i.stop is None else operator.index(i.stop)
             out.append((lo, hi))
-        elif isinstance(i, int):
-            out.append((i, i + 1))
-        else:
+        elif isinstance(i, bool):
             raise IndexError(f"unsupported index type: {type(i)}")
+        else:
+            try:
+                # operator.index admits any integer-like (numpy scalars —
+                # the natural product of np.argmax etc. — included)
+                v = operator.index(i)
+            except TypeError:
+                raise IndexError(
+                    f"unsupported index type: {type(i)}") from None
+            out.append((v, v + 1))
     return tuple(out)

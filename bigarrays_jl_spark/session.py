@@ -13,7 +13,9 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# NOTE: read at call time inside get_spark() — an import-time snapshot
+# would silently diverge from local[$SPARK_GRAFT_CPUS] when the harness
+# sets the env var after importing this module.
 
 
 def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -> SparkSession:
@@ -61,7 +63,7 @@ def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(map=cloud_conf)
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -54,6 +54,27 @@ from bigarrays_jl_spark.infos import Info, InfoScale
 # by value) before importing.  On a cluster, --py-files replaces it.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _encode_batches_fn(enc: str):
+    """Executor-side codec encode over chunk batches — the one shared
+    implementation behind ``write()`` and ``ingest_chunks`` (a fix to
+    the encode path must not need applying twice).  Returns a closure
+    (cloudpickle ships it by value, with the sys.path bootstrap for
+    workers that lack the repo on PYTHONPATH)."""
+    _root = _REPO_ROOT
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+        if _root not in sys.path:
+            sys.path.insert(0, _root)
+        from bigarrays_jl_spark import codecs as _codecs
+        codec = _codecs.get_codec(enc)
+        for b in it:
+            b["payload"] = b["payload"].map(codec.encode)
+            yield b
+
+    return encode_batches
+
 CHUNK_SCHEMA = "cx int, cy int, cz int, key string, enc string, epoch bigint, payload binary"
 
 
@@ -244,7 +265,12 @@ class Volume:
         """Open by URL — any scheme Spark's Hadoop FS supports, replacing
         the reference's per-protocol backend dispatch (src/type.jl:37-50)."""
         info = Info.from_json(_fs_read_bytes(spark, root.rstrip("/") + "/info"))
-        return cls(spark, root, info, mip=mip, fill_missing=fill_missing)
+        vol = cls(spark, root, info, mip=mip, fill_missing=fill_missing)
+        # roll back any rewrite that crashed between its rename pair
+        # (live dir missing, .old generation present) — see _rewrite_mip
+        for m in range(len(info.scales)):
+            vol._recover_mip(m)
+        return vol
 
     def commit_info(self) -> None:
         """Write the info JSON back to storage (src/type.jl:335-339)."""
@@ -459,41 +485,42 @@ class Volume:
 
         epoch = self._next_epoch()
         enc = sc.encoding
-        pdf = pd.DataFrame(rows, columns=["cx", "cy", "cz", "key", "payload"])
-        # A driver-array write carries few, FAT rows; at the default
-        # Arrow batch size (10k rows) the whole write lands in ONE batch
-        # → one partition → single-threaded encode+write, and one giant
-        # Arrow batch also serializes slower than several small ones.
-        # Split the Arrow conversion so the DataFrame arrives pre-split
-        # across codec workers with no shuffle.  (Distributed bulk
-        # ingest takes ingest_chunks, where partitioning comes from the
-        # source.)
-        n_parts = max(1, min(len(rows), 16))
-        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        old_batch = self.spark.conf.get(batch_key)
-        self.spark.conf.set(batch_key, str(-(-len(rows) // n_parts)))
-        try:
-            df = self.spark.createDataFrame(
-                pdf, schema="cx int, cy int, cz int, key string, payload binary")
-        finally:
-            self.spark.conf.set(batch_key, old_batch)
+        # A driver-array write carries few, FAT rows.  Spark's Arrow
+        # conversion slices a pandas frame across defaultParallelism
+        # partitions — EXCEPT when the frame exceeds
+        # spark.sql.session.localRelationCacheThreshold (64 MB default):
+        # above it the conversion plans as a single-partition cached
+        # local relation and the whole codec stage runs SERIAL (measured
+        # 5× slower on an 84 MB write).  So slice the rows driver-side
+        # to stay under the threshold; each slice converts parallel and
+        # unionAll preserves partitioning — no shuffle, no
+        # session-global conf mutation (an earlier maxRecordsPerBatch
+        # set/restore raced concurrent Arrow work on other threads), no
+        # parallelize() (which embeds payloads in task binaries).
+        # Distributed bulk ingest takes ingest_chunks, where
+        # partitioning comes from the source.
+        schema = "cx int, cy int, cz int, key string, payload binary"
+        cols = ["cx", "cy", "cz", "key", "payload"]
+        max_bytes = 48 * 1024 * 1024
+        slices, cur, size = [], [], 0
+        for r in rows:
+            cur.append(r)
+            size += len(r[4])
+            if size >= max_bytes:
+                slices.append(cur)
+                cur, size = [], 0
+        if cur:
+            slices.append(cur)
+        df = functools.reduce(
+            DataFrame.unionAll,
+            [self.spark.createDataFrame(pd.DataFrame(s, columns=cols),
+                                        schema=schema) for s in slices])
         df = (df.withColumn("enc", F.lit(enc))
                 .withColumn("epoch", F.lit(epoch).cast("bigint"))
                 .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))
 
-        _root = _REPO_ROOT
-
-        def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import sys
-            if _root not in sys.path:
-                sys.path.insert(0, _root)
-            from bigarrays_jl_spark import codecs as _codecs
-            codec = _codecs.get_codec(enc)
-            for b in it:
-                b["payload"] = b["payload"].map(codec.encode)
-                yield b
-
-        self._write_chunks(df.mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
+        self._write_chunks(
+            df.mapInPandas(_encode_batches_fn(enc), schema=CHUNK_SCHEMA))
         self._maybe_auto_compact()
 
     @_locked_writer()
@@ -508,23 +535,11 @@ class Volume:
         """
         epoch = self._next_epoch()
         enc = self.scale.encoding
-        _root = _REPO_ROOT
-
-        def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import sys
-            if _root not in sys.path:
-                sys.path.insert(0, _root)
-            from bigarrays_jl_spark import codecs as _codecs
-            codec = _codecs.get_codec(enc)
-            for b in it:
-                b["payload"] = b["payload"].map(codec.encode)
-                yield b
-
         out = (df.select("cx", "cy", "cz", "key",
                          F.lit(enc).alias("enc"),
                          F.lit(epoch).cast("bigint").alias("epoch"),
                          "payload")
-                 .mapInPandas(encode_batches, schema=CHUNK_SCHEMA))
+                 .mapInPandas(_encode_batches_fn(enc), schema=CHUNK_SCHEMA))
         self._write_chunks(out)
         self._maybe_auto_compact()
 
@@ -596,6 +611,12 @@ class Volume:
     # python-slice sugar: vol[x0:x1, y0:y1, z0:z1] = arr / arr = vol[...]
     def __setitem__(self, idx, arr: np.ndarray) -> None:
         box = ix.normalize_index(idx, self.vol_box)
+        shape = tuple(hi - lo for lo, hi in box)
+        if tuple(arr.shape[:3]) != shape:
+            raise ValueError(
+                f"assignment shape mismatch: slice spans {shape} but the "
+                f"array is {tuple(arr.shape[:3])} — a silent partial "
+                "write would corrupt the unstated region")
         self.write(arr, tuple(lo for lo, _ in box))
 
     def __getitem__(self, idx) -> np.ndarray:
@@ -775,11 +796,21 @@ class Volume:
     # -- maintenance (src/type.jl:285-339) ------------------------------------
 
     def num_chunks(self, request: ix.Box | None = None) -> int:
-        """Chunks intersecting ``request`` (closed-form — src/type.jl:285-292)."""
+        """Chunks intersecting ``request`` — genuinely closed-form
+        (src/type.jl:285-292): after clamping to the volume, every chunk
+        id in the per-axis id range intersects, so the count is the
+        product of the range lengths — O(1), not an O(total chunks)
+        driver-side enumeration (4e8 chunk objects at 100 TB scale)."""
         sc = self.scale
-        req = request or self.vol_box
-        return sum(1 for _ in ix.iter_chunk_slices(
-            req, sc.voxel_offset, sc.volume_size, sc.chunk_size))
+        req = ix.intersect_box(request or self.vol_box, self.vol_box)
+        if ix.box_is_empty(req):
+            return 0
+        anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
+        n = 1
+        for (lo, hi), a, c in zip(req, anchor, sc.chunk_size):
+            i0, i1 = ix.chunk_id_range(lo, hi, a, c)
+            n *= max(0, i1 - i0)
+        return n
 
     def lattice_df(self, request: ix.Box | None = None) -> DataFrame:
         """Generated DataFrame of every chunk id intersecting ``request``
@@ -858,6 +889,12 @@ class Volume:
                 f"lattice; got src={src_sc.chunk_size}@{src_sc.voxel_offset}"
                 f"/{src_sc.volume_size} vs dst={dst_sc.chunk_size}@"
                 f"{dst_sc.voxel_offset}/{dst_sc.volume_size}")
+        if self.info.num_channels != dest.info.num_channels:
+            raise ValueError(
+                "map_blocks requires matching channel counts: payloads "
+                f"sized for {self.info.num_channels} channel(s) would "
+                f"corrupt a {dest.info.num_channels}-channel dest "
+                "(reads there reshape against ITS channel count)")
         nc = self.info.num_channels
         src_dtype = self.info.data_type
         dst_dtype = dest.info.data_type
@@ -917,17 +954,29 @@ class Volume:
         at volume scale for zero benefit.  At the threshold a key-only
         duplicate probe (column-pruned scan, no payload bytes) decides:
         duplicates → compact; none → remember the checked depth and
-        re-probe ``t`` epochs later.  The epoch counter itself cannot be
-        reset without a rewrite (stored rows keep their epoch numbers;
-        restarting the counter would invert last-writer-wins)."""
+        re-probe ``t`` epochs later.  The checked depth persists beside
+        the epoch counter (``_dup_checked``): pipelines that open a
+        FRESH Volume handle per batch (the normal one-job-per-batch
+        shape) must not re-pay the probe on every append past the
+        threshold.  The epoch counter itself cannot be reset without a
+        rewrite (stored rows keep their epoch numbers; restarting the
+        counter would invert last-writer-wins)."""
         t = self.auto_compact_epochs
         if t is None:
             return
         e = self._current_epoch()
         if e + 1 < t:
             return
-        checked = getattr(self, "_dup_checked_epoch", -(10 ** 9))
-        if e - checked < t:
+        ck_path = self.root + "/_dup_checked"
+        checked = getattr(self, "_dup_checked_epoch", None)
+        if checked is None and _fs_exists(self.spark, ck_path):
+            try:
+                checked = int(_fs_read_bytes(self.spark, ck_path)
+                              .decode().strip())
+            except (ValueError, OSError):
+                checked = None
+        if checked is not None and e - checked < t:
+            self._dup_checked_epoch = checked
             return
         for m in range(len(self.info.scales)):
             if not _fs_exists(self.spark, self._mip_dir(m)):
@@ -937,9 +986,11 @@ class Volume:
                        .limit(1).count() > 0)
             if has_dup:
                 self.compact()
-                self._dup_checked_epoch = -(10 ** 9)
+                self._dup_checked_epoch = None
+                _fs_delete(self.spark, ck_path)
                 return
         self._dup_checked_epoch = e
+        _fs_write_bytes(self.spark, ck_path, str(e).encode())
 
     @_locked_writer()
     def compact(self) -> None:
@@ -966,22 +1017,51 @@ class Volume:
         _fs_write_bytes(self.spark, self.root + "/_epoch", b"0")
 
     def _rewrite_mip(self, df: DataFrame, mip: int | None = None) -> None:
+        """Replace a mip directory via rename-swap, never delete-then-
+        rename: the live data is moved aside to ``.old`` (one atomic
+        rename), the rewrite renamed into place (second rename), THEN
+        the old generation deleted — a crash between the renames leaves
+        a complete ``.old`` that :meth:`_recover_mip` (run at open and
+        before every rewrite) rolls back, instead of a window where the
+        dataset's only copy lives in a ``.tmp`` no reader looks at."""
+        self._recover_mip(mip)  # roll back any earlier crashed swap first
         tmp = self._mip_dir(mip) + ".tmp"
         self._write_chunks(df, mip=mip, mode="overwrite", path=tmp)
         final = self._mip_dir(mip)
+        old = final + ".old"
         if _is_local(final):
             import shutil
-            fp = _strip_file_scheme(final)
-            shutil.rmtree(fp, ignore_errors=True)
-            os.rename(_strip_file_scheme(tmp), fp)
+            fp, op, tp = (_strip_file_scheme(p) for p in (final, old, tmp))
+            shutil.rmtree(op, ignore_errors=True)
+            if os.path.exists(fp):
+                os.rename(fp, op)
+            os.rename(tp, fp)
+            shutil.rmtree(op, ignore_errors=True)
         else:  # pragma: no cover - cloud path
             jvm = self.spark._jvm
             conf = self.spark._jsc.hadoopConfiguration()
-            src = jvm.org.apache.hadoop.fs.Path(tmp)
-            dst = jvm.org.apache.hadoop.fs.Path(final)
+            P = jvm.org.apache.hadoop.fs.Path
+            src, dst, aside = P(tmp), P(final), P(old)
             fs = dst.getFileSystem(conf)
-            fs.delete(dst, True)
+            fs.delete(aside, True)
+            if fs.exists(dst):
+                fs.rename(dst, aside)
             fs.rename(src, dst)
+            fs.delete(aside, True)
+
+    def _recover_mip(self, mip: int | None = None) -> None:
+        """If a prior rewrite crashed between its two renames (live dir
+        missing, ``.old`` present), restore the old generation."""
+        final = self._mip_dir(mip)
+        old = final + ".old"
+        if _fs_exists(self.spark, old) and not _fs_exists(self.spark, final):
+            if _is_local(final):
+                os.rename(_strip_file_scheme(old), _strip_file_scheme(final))
+            else:  # pragma: no cover - cloud path
+                jvm = self.spark._jvm
+                conf = self.spark._jsc.hadoopConfiguration()
+                P = jvm.org.apache.hadoop.fs.Path
+                P(old).getFileSystem(conf).rename(P(old), P(final))
 
     # -- mip pyramid build (extension of A5: the reference generates only
     #    *metadata* for mips; we also produce the pixels) --------------------
@@ -1085,8 +1165,13 @@ class Volume:
             raw = tuple(_ix.chunk_global_range(c, a, s)
                         for c, a, s in zip((tcx, tcy, tcz), dst_anchor, dst_chunk))
             cbox = _ix.intersect_box(raw, dst_vol)
+            if _ix.box_is_empty(cbox):
+                return pd.DataFrame(
+                    {c: [] for c in
+                     ("cx", "cy", "cz", "key", "enc", "epoch", "payload")})
             shape = _ix.box_shape(cbox)
             buf = _np.zeros((*shape, nc), dtype=dt, order="F")
+            wrote_any = False
             for _, r in pdf.iterrows():
                 block = _np.frombuffer(r.data, dtype=dt).reshape(
                     (r.sx, r.sy, r.sz, nc), order="F")
@@ -1097,6 +1182,16 @@ class Volume:
                 if ex <= 0 or ey <= 0 or ez <= 0:
                     continue
                 buf[ox:ox + ex, oy:oy + ey, oz:oz + ez, :] = block[:ex, :ey, :ez, :]
+                wrote_any = True
+            if not wrote_any:
+                # every contributing block fell outside the target box
+                # (size-1 edge chunks reduce to empty, or placement past
+                # the halved dst volume): emitting a chunk here would
+                # materialize spurious zeros where NO source data exists,
+                # breaking fill_missing=False semantics at mip+1
+                return pd.DataFrame(
+                    {c: [] for c in
+                     ("cx", "cy", "cz", "key", "enc", "epoch", "payload")})
             out = buf[..., 0] if nc == 1 else buf
             codec = _codecs.get_codec(enc)
             return pd.DataFrame({

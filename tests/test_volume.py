@@ -446,3 +446,82 @@ def test_auto_compact_skips_append_only_workload(spark):
         [np.full((8, 8, 8), v, dtype=np.uint8)
          for v in (99, 2, 3, 4, 5, 6)], axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_setitem_rejects_shape_mismatch(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 16, 16]}]})
+    vol = Volume.scratch(spark, info)
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        vol[0:16, 0:8, 0:8] = np.zeros((8, 8, 8), dtype=np.uint8)
+
+
+def test_numpy_integer_indices(spark):
+    import numpy as np
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [8, 8, 8]}]})
+    vol = Volume.scratch(spark, info)
+    a = np.arange(8 * 8 * 8, dtype=np.uint8).reshape(8, 8, 8) % 251
+    vol.write(a, (0, 0, 0))
+    z = np.int64(3)  # the natural product of np.argmax etc.
+    got = vol[0:8, np.int32(2), z]
+    np.testing.assert_array_equal(got[:, 0, 0], a[:, 2, 3])
+
+
+def test_num_chunks_closed_form_matches_lattice(spark):
+    from bigarrays_jl_spark import indexes as ix
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[8, 8, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [-4, 0, 3], "size": [20, 17, 30]}]})
+    vol = Volume.scratch(spark, info)
+    sc = vol.scale
+    for req in (None, ((-4, 16), (0, 17), (3, 33)), ((0, 1), (0, 1), (3, 4)),
+                ((-100, -50), (0, 1), (3, 4)), ((5, 13), (8, 9), (10, 29))):
+        want = sum(1 for _ in ix.iter_chunk_slices(
+            ix.intersect_box(req or vol.vol_box, vol.vol_box),
+            sc.voxel_offset, sc.volume_size, sc.chunk_size)) if req != (
+                (-100, -50), (0, 1), (3, 4)) else 0
+        assert vol.num_chunks(req) == want, req
+
+
+def test_downsample_emits_no_spurious_zero_chunks(spark):
+    # only the edge chunk [64,65) on x is written; its 2x2x1 reduction
+    # lands at gx0=32, outside the halved dst volume [0,32) — the
+    # assemble stage must emit NOTHING, not a stored all-zero chunk
+    # (which would break fill_missing=False at mip+1)
+    import numpy as np
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "raw", "chunk_sizes": [[64, 64, 64]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [65, 64, 64]}]})
+    vol = Volume.scratch(spark, info)
+    vol.write(np.full((1, 64, 64), 200, dtype=np.uint8), (64, 0, 0))
+    vol.downsample(from_mip=0)
+    assert vol.chunks_df(1).count() == 0, \
+        "no source data maps inside the dst volume, so mip1 must be empty"
