@@ -375,9 +375,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     pairs = sim_lsh_pairs(spark, sf)  # (vec_a, vec_b, cosine >= threshold)
     docs = load(spark, sf, "documents").select("doc_id", "source")
     da, db = docs.alias("da"), docs.alias("db")
-    # pair table is tiny after the cosine filter; the doc joins broadcast
-    return (pairs.join(F.broadcast(da), F.col("da.doc_id") == F.col("vec_a"))
-                 .join(F.broadcast(db), F.col("db.doc_id") == F.col("vec_b"))
+    # the pair table is the tiny side after the cosine filter — IT
+    # broadcasts into the (corpus-sized) documents scans, never the
+    # other way around: broadcasting docs would ship the whole corpus
+    # through the driver at scale
+    j1 = da.join(F.broadcast(pairs), F.col("da.doc_id") == F.col("vec_a"))
+    return (db.join(F.broadcast(j1), F.col("db.doc_id") == F.col("vec_b"))
                  .select(F.col("vec_a").alias("keep_id"),
                          F.col("vec_b").alias("dup_id"),
                          "cosine",

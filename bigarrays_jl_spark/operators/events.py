@@ -27,7 +27,8 @@ def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
              .agg(F.count("*").alias("n_events"),
-                  F.round(F.sum("value"), 2).alias("total_value"))
+                  F.round(F.sum(F.col("value").cast("decimal(25,10)"))
+                           .cast("double"), 2).alias("total_value"))
              .select(F.col("w.start").alias("window_start"), "event_type",
                      "n_events", "total_value"))
 
@@ -35,7 +36,8 @@ def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 EVENTS_TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2)
+         AS total_value
 FROM events GROUP BY 1, 2
 """
 

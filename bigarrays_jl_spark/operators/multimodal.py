@@ -86,17 +86,21 @@ def mm_byte_features(spark: SparkSession, sf: str) -> DataFrame:
         for b in it:
             payloads = b["payload"]
             n_bytes = payloads.map(len)
-            first = payloads.map(lambda p: int(p[0]))
+            # empty payloads yield NULL features (matching the SQL
+            # oracle's NULL on payload[1] / x/0) instead of crashing
+            # the batch with IndexError/ZeroDivisionError
+            first = payloads.map(lambda p: int(p[0]) if len(p) else None)
             # mean×10⁴ as exact integer arithmetic — immune to float
             # rounding-mode differences between engines
             mean_e4 = payloads.map(
                 lambda p: int(np.frombuffer(p, dtype=np.uint8)
-                              .astype(np.int64).sum()) * 10000 // len(p))
+                              .astype(np.int64).sum()) * 10000 // len(p)
+                if len(p) else None)
             yield pd.DataFrame({
                 "doc_id": b["doc_id"],
                 "n_bytes": n_bytes.astype("int64"),
-                "first_byte": first.astype("int32"),
-                "mean_byte_e4": mean_e4.astype("int64"),
+                "first_byte": first.astype("Int32"),
+                "mean_byte_e4": mean_e4.astype("Int64"),
             })
 
     return m.mapInPandas(
@@ -176,8 +180,10 @@ WITH t AS (
           FROM UNNEST(range(0, octet_length(encode(text)), {THUMB_BLOCK})) u(i))
          AS thumb
   FROM documents)
-SELECT doc_id, CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_bytes,
-       md5(thumb) AS thumb_md5
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(thumb, ''))) AS BIGINT)
+         AS thumb_bytes,
+       md5(coalesce(thumb, '')) AS thumb_md5
 FROM t
 """
 

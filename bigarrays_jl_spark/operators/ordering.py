@@ -173,14 +173,24 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     w = W.partitionBy("__g", "__bkt").orderBy(value, tiebreak)
     rank = F.row_number().over(w) + F.element_at(off_map, okey)
     total = F.element_at(tot_map, gkey)
+    return (bucketed.withColumn("tile", rank_to_tile(rank, total, n_tiles))
+            .drop("__bkt", "__g"))
+
+
+def rank_to_tile(rank, total, n_tiles: int):
+    """The SQL ``ntile`` split as a Column expression: ranks 1..total map
+    to tiles 1..n_tiles with the first ``total % n_tiles`` tiles one row
+    larger — the one shared implementation behind grouped_ntile and
+    distributed_ntile (the q==0 / max(q,1) edge cases live here ONCE).
+    ``rank``/``total`` are Columns (wrap ints in ``F.lit``)."""
     q = F.floor(total / n_tiles)
     rem = total % n_tiles
     big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
     # when q == 0, big == total so the first branch covers every rank
     tile = F.when(rank <= big, F.floor((rank - 1) / (q + 1))) \
-            .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))))
-    return (bucketed.withColumn("tile", (tile + 1).cast("int"))
-            .drop("__bkt", "__g"))
+            .otherwise(rem + F.floor((rank - big - 1)
+                                     / F.greatest(q, F.lit(1))))
+    return (tile + 1).cast("int")
 
 
 def capped_by_hash_order(df: DataFrame, group_col: str, id_col: str,

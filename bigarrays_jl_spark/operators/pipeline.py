@@ -33,12 +33,16 @@ from bigarrays_jl_spark.sources.tables import load
 # check.
 #
 # Scale shape: the eval split is small by construction, so its distinct
-# shingle set broadcasts; train-side shingles are generated map-side
-# (higher-order transform, no explode-then-shuffle of the corpus) and
-# probe the broadcast hash table — ONE shuffle total (the per-doc
-# count), never a corpus-sized shingle join.  At a 100 TB corpus the
-# eval set is still ~GB — if it ever outgrows broadcast, the same plan
-# degrades gracefully to a shuffled semi-join on the shingle hash.
+# shingle set broadcasts; train-side per-doc shingle DEDUP happens
+# map-side (array_distinct over the shingle array — duplicates only
+# exist within one document, so no dropDuplicates shuffle of the
+# corpus), and the shingled table materializes once (lazy checkpoint,
+# same discipline as dedup.sh_all) so the eval and train branches don't
+# re-scan + re-shingle the corpus.  Wide stages: the eval-side distinct
+# (eval split only) and the per-doc count — the train corpus itself
+# crosses ONE shuffle.  At a 100 TB corpus the eval set is still ~GB —
+# if it ever outgrows broadcast, the same plan degrades gracefully to a
+# shuffled semi-join on the shingle hash.
 # --------------------------------------------------------------------------
 
 DECON_NGRAM = 8
@@ -46,10 +50,14 @@ DECON_NGRAM = 8
 
 def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", tokens().alias("t"))
-    sh = d.select("doc_id",
-                  F.explode(shingle_array("t", DECON_NGRAM)).alias("s"))
-    ev = sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct()
-    tr = sh.filter(F.col("doc_id") % 10 != 0).dropDuplicates(["doc_id", "s"])
+    arr = (d.select("doc_id",
+                    F.array_distinct(
+                        shingle_array("t", DECON_NGRAM)).alias("ss"))
+            .localCheckpoint(eager=False))
+    ev = (arr.filter(F.col("doc_id") % 10 == 0)
+             .select(F.explode("ss").alias("s")).distinct())
+    tr = (arr.filter(F.col("doc_id") % 10 != 0)
+             .select("doc_id", F.explode("ss").alias("s")))
     return (tr.join(F.broadcast(ev), "s")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_shared_ngrams")))
