@@ -175,7 +175,12 @@ def main() -> None:
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            # noop sink: fully evaluates every output column (a bare
+            # count() lets Catalyst prune projection-only compute, so a
+            # map-side query would be timed as a column-free row count)
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            n = df.count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)

@@ -57,7 +57,8 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " / size(array_union(a, b)), 6) END"),
     "ba_hash_bucket": (
         "(k STRING) RETURNS BIGINT",
-        "RETURN conv(substring(md5(k), 1, 4), 16, 10) % 100"),
+        "RETURN CAST(conv(substring(md5(k), 1, 4), 16, 10) AS BIGINT)"
+        " % 100"),
 }
 
 

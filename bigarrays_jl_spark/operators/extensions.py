@@ -165,6 +165,28 @@ SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """
 
 
+
+def _assign_clusters(e: DataFrame) -> DataFrame:
+    """(vec_id, cluster): nearest-seed assignment shared by
+    semdedup_prune and sample_cluster_balanced — argmax cosine against
+    the SEM_K lowest-vec_id seeds, ties to the lowest seed id.  ONE
+    implementation so a tie-break or rounding change can never
+    desynchronize the two operators' cluster views."""
+    seeds = (e.filter(F.col("vec_id") < SEM_K)
+              .select(F.col("vec_id").alias("seed"),
+                      F.col("embedding").alias("se")))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("se"))
+        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
+        6)
+    # argmax cosine, ties to the lowest seed id: min over (-cos, seed)
+    return (e.crossJoin(F.broadcast(seeds))
+             .select("vec_id", (-cos).alias("nc"), "seed")
+             .groupBy("vec_id")
+             .agg(F.min(F.struct("nc", "seed")).alias("m"))
+             .select("vec_id", F.col("m.seed").alias("cluster")))
+
+
 # --------------------------------------------------------------------------
 # semdedup_prune — SemDeDup: embedding-cluster semantic deduplication
 # --------------------------------------------------------------------------
@@ -189,19 +211,7 @@ SEM_TAU = 0.2    # in-cluster cosine above this = semantic duplicate
 
 def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    seeds = (e.filter(F.col("vec_id") < SEM_K)
-              .select(F.col("vec_id").alias("seed"),
-                      F.col("embedding").alias("se")))
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("se"))
-        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
-        6)
-    # argmax cosine, ties to the lowest seed id: min over (-cos, seed)
-    assigned = (e.crossJoin(F.broadcast(seeds))
-                 .select("vec_id", (-cos).alias("nc"), "seed")
-                 .groupBy("vec_id")
-                 .agg(F.min(F.struct("nc", "seed")).alias("m"))
-                 .select("vec_id", F.col("m.seed").alias("cluster")))
+    assigned = _assign_clusters(e)
     av = assigned.join(e, "vec_id")
     a = av.select(F.col("vec_id").alias("va"), "cluster",
                   F.col("embedding").alias("ea"))
@@ -224,8 +234,8 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SEM_COS = ("round({d} / (sqrt({na}) * sqrt({nb})), 6)").format
-SEMDEDUP_PRUNE_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+# the SQL twin of _assign_clusters, shared verbatim by both consumers
+_ASSIGN_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
           WHERE vec_id < {SEM_K}),
 scored AS (
@@ -239,7 +249,10 @@ assigned AS (
     SELECT vec_id, seed,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY c DESC, seed) AS rn
-    FROM scored) WHERE rn = 1),
+    FROM scored) WHERE rn = 1)"""
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH {_ASSIGN_CTES},
 av AS (SELECT a.vec_id, a.cluster, e.embedding
        FROM assigned a JOIN e USING (vec_id)),
 dropped AS (
@@ -493,12 +506,15 @@ def q45_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
         & (F.col("a.l_suppkey") != F.col("c.l_suppkey")), "left_anti")
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
-    res = (sole.groupBy("l_suppkey")
-               .agg(F.countDistinct("l_orderkey").alias("numwait"))
-               .join(F.broadcast(s),
-                     F.col("l_suppkey") == F.col("s_suppkey")))
-    return (res.select("s_name", "numwait")
-               .orderBy(F.col("numwait").desc(), "s_name")
+    # aggregate AFTER the name join, grouped by s_name exactly like the
+    # oracle: two suppliers sharing a name must merge into one row (a
+    # per-suppkey agg would emit two and diverge); numwait stays a
+    # countDistinct so the merge is exact
+    res = (sole.join(F.broadcast(s),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .groupBy("s_name")
+               .agg(F.countDistinct("l_orderkey").alias("numwait")))
+    return (res.orderBy(F.col("numwait").desc(), "s_name")
                .limit(20))
 
 
@@ -594,38 +610,13 @@ CLUSTER_CAP = 25
 
 def sample_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    seeds = (e.filter(F.col("vec_id") < SEM_K)
-              .select(F.col("vec_id").alias("seed"),
-                      F.col("embedding").alias("se")))
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("se"))
-        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
-        6)
-    assigned = (e.crossJoin(F.broadcast(seeds))
-                 .select("vec_id", (-cos).alias("nc"), "seed")
-                 .groupBy("vec_id")
-                 .agg(F.min(F.struct("nc", "seed")).alias("m"))
-                 .select("vec_id", F.col("m.seed").alias("cluster")))
+    assigned = _assign_clusters(e)
     return (capped_by_hash_order(assigned, "cluster", "vec_id", CLUSTER_CAP)
             .select("vec_id", "cluster", "pick_order"))
 
 
 SAMPLE_CLUSTER_BALANCED_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
-          WHERE vec_id < {SEM_K}),
-scored AS (
-  SELECT vec_id, seed,
-         {_SEM_COS(d=_DOT_SQL.format(a='embedding', b='se'),
-                   na=_NORM2_SQL.format(a='embedding'),
-                   nb=_NORM2_SQL.format(a='se'))} AS c
-  FROM e, seeds),
-assigned AS (
-  SELECT vec_id, seed AS cluster FROM (
-    SELECT vec_id, seed,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY c DESC, seed) AS rn
-    FROM scored) WHERE rn = 1)
+WITH {_ASSIGN_CTES}
 SELECT vec_id, cluster, CAST(pick_order AS INT) AS pick_order FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY cluster

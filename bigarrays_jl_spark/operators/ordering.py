@@ -73,8 +73,16 @@ def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
     bucket = F.size(F.filter(barr, lambda b: F.col(value) > b))
     bucketed = df.withColumn("__bkt", bucket)
 
-    per = {r["__bkt"]: r["s"] for r in
-           bucketed.groupBy("__bkt").agg(F.sum(weight).alias("s")).collect()}
+    stats = (bucketed.groupBy("__bkt")
+             .agg(F.sum(weight).alias("s"),
+                  F.count(F.when(F.col(value).isNull(), 1)).alias("nn"))
+             .collect())
+    if any(r["nn"] for r in stats):
+        raise ValueError(
+            f"distributed_prefix_sum requires non-null {value!r} (Spark "
+            "orders NULLs first asc, DuckDB last — NULL rows would rank "
+            "differently per engine); coalesce a sentinel before calling")
+    per = {r["__bkt"]: r["s"] for r in stats}
     offsets, acc = {}, 0
     for b in sorted(per):
         offsets[b] = acc

@@ -35,10 +35,24 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's parquet scans."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    for m in re.finditer(r"PushedFilters: \[(.*?)\](?:,|$)", plan, re.M):
         body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+        # split on TOP-LEVEL commas only: a nested filter such as
+        # In(l_shipmode, [MAIL,SHIP]) must stay one entry
+        depth, cur = 0, []
+        for ch in body:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                if "".join(cur).strip():
+                    out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
     return out
 
 

@@ -48,11 +48,16 @@ def zorder_col(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> F.Column:
         lo = float(bounds[f"min_{c}"])
         hi = float(bounds[f"max_{c}"])
         span = (hi - lo) or 1.0
+        # coalesce INSIDE least: least() skips NULL operands, so a
+        # NULL value would otherwise inherit the cap (top bucket) —
+        # the documented contract is bucket 0
         q = F.least(
             F.lit((1 << bits) - 1),
-            F.floor((F.col(c).cast("double") - lo) / span * (1 << bits))
-             .cast("bigint"))
-        scaled.append(F.coalesce(q, F.lit(0)))
+            F.coalesce(
+                F.floor((F.col(c).cast("double") - lo) / span * (1 << bits))
+                 .cast("bigint"),
+                F.lit(0)))
+        scaled.append(q)
     # interleave: output bit (i*n_cols + j) = bit i of column j
     n = len(cols)
     parts = [

@@ -43,6 +43,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp[us]; enable the legacy long read, then apply the
         # nanos→micros truncation ONLY when ts actually arrives as long
         # (the same truncation DuckDB applies when it loads TIMESTAMP_NS).
+        # DELIBERATELY session-sticky (not restored): plans are lazy, so
+        # a set/restore here would flip the flag out from under a later
+        # action on this same DataFrame.  Engine-wide policy: nanos
+        # parquet columns read as long everywhere in this session —
+        # other readers see bigint nanos instead of an
+        # unreadable-type error.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

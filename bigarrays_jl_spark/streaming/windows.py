@@ -73,7 +73,10 @@ def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFram
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 # decimal partials, same as the batch twin (231cc96):
+                 # a double fold is partition/trigger-order dependent
+                 F.round(F.sum(F.col("value").cast("decimal(25,10)"))
+                          .cast("double"), 2).alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "total_value"))
 

@@ -83,10 +83,12 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
     s, o = keyed([tuple(r) for r in srows], sorder), keyed(orows, oorder)
     if len(s) != len(o):
         return False, f"row counts differ: {len(s)}/{len(o)}"
-    skeys = [k for k, _ in s]
-    if len(set(skeys)) != len(skeys):
-        return False, ("ambiguous row alignment: tolerance oracles need a "
-                       "unique non-numeric key per row")
+    for side, rows_ in (("spark", s), ("oracle", o)):
+        keys = [k for k, _ in rows_]
+        if len(set(keys)) != len(keys):
+            return False, (f"ambiguous row alignment ({side} side): "
+                           "tolerance oracles need a unique non-numeric "
+                           "key per row")
     for (sk, sc_), (ok_, oc_) in zip(s, o):
         if sk != ok_:
             return False, f"group keys differ: {sk} vs {ok_}"
