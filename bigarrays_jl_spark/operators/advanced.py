@@ -92,10 +92,17 @@ def q26_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     # decimal accumulation: quantity/price/discount all carry <=2dp, so
     # DECIMAL(18,2) sums are exact and partition-order independent (a
     # raw double F.sum could flip a half-cent boundary vs the oracle's
-    # sequential fold at a different partitioning)
+    # sequential fold at a different partitioning).  The OUTPUT column
+    # is double (q36 pattern): a decimal-typed result column formats as
+    # "506627.00" in Spark vs float "506627.0" through DuckDB→pandas,
+    # which diverges any string-canonicalizing comparator even when the
+    # values are identical.  Decimal partials internal, double out.
     return (long.groupBy("l_returnflag", "metric")
-                .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
-                     F.count("*").alias("n")))
+                .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("_t"),
+                     F.count("*").alias("n"))
+                .select("l_returnflag", "metric",
+                        F.round(F.col("_t").cast("double"), 2).alias("total"),
+                        "n"))
 
 
 Q26_SQL = """
@@ -103,7 +110,8 @@ WITH long AS (
   SELECT l_returnflag, 'quantity' AS metric, l_quantity AS v FROM lineitem
   UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
   UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem)
-SELECT l_returnflag, metric, sum(CAST(v AS DECIMAL(18,2))) AS total,
+SELECT l_returnflag, metric,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
        count(*) AS n
 FROM long GROUP BY 1, 2
 """
@@ -273,18 +281,49 @@ SELECT user_id, event_type, day, event_id FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
-# q31 — approximate aggregates (HLL + approx quantile).  Sketches are
-# engine-specific, so there is no cross-engine oracle: registered as a
-# rows-only check, with the exact counterparts in q13/q25 as the
-# accuracy reference.
+# q31 — approximate aggregates (HLL + approx quantile).  The raw sketch
+# values are engine-specific, so they can't be hash-compared — but the
+# sketches' ACCURACY CONTRACT is deterministic: Spark's HLL++ and GK
+# quantile are seedless (same data → same estimate), so
+# |approx − exact| ≤ tol·exact is a stable boolean both engines agree
+# on (the oracle asserts TRUE because the contract is the spec).  The
+# output carries the exact values plus those booleans — fully
+# hash-comparable, no raw sketch cells.
+#   Q31_HLL_TOL: approx_count_distinct's default rsd is 0.05 (1σ), so a
+#   5% gate would flip on ordinary 1-2σ estimation error; 15% ≈ 3σ.
+#   The quantile gate stays at 5%: percentile_approx picks a real
+#   element, and adjacent-element gaps are ≪5% at any SF here.
 # --------------------------------------------------------------------------
+
+Q31_HLL_TOL = 0.15
+Q31_P50_TOL = 0.05
+
 
 def q31_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
-    return (l.groupBy("l_returnflag")
-             .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                  F.countDistinct("l_partkey").alias("exact_parts"),
-                  F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50")))
+    g = (l.groupBy("l_returnflag")
+          .agg(F.approx_count_distinct("l_partkey").alias("_acd"),
+               F.countDistinct("l_partkey").alias("exact_parts"),
+               F.percentile_approx("l_extendedprice", 0.5).alias("_ap50"),
+               F.percentile("l_extendedprice", 0.5).alias("_ep50")))
+    return g.select(
+        "l_returnflag", "exact_parts",
+        F.round(F.col("_ep50"), 2).alias("exact_p50"),
+        (F.abs(F.col("_acd") - F.col("exact_parts"))
+         <= F.lit(Q31_HLL_TOL) * F.col("exact_parts")).alias("cd_within_tol"),
+        (F.abs(F.col("_ap50") - F.col("_ep50"))
+         <= F.lit(Q31_P50_TOL) * F.abs(F.col("_ep50")))
+         .alias("p50_within_tol"))
+
+
+Q31_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+       TRUE AS cd_within_tol,
+       TRUE AS p50_within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -306,17 +345,26 @@ def volume_cutout_sum(spark: SparkSession, sf: str) -> DataFrame:
                     "voxel_offset": [0, 0, 0], "size": [64, 64, 64]}]})
     # one scratch volume per process, keyed by PID: repeated invocations
     # (driver grading, benches, test reruns) reuse it instead of leaking
-    # a fresh mkdtemp + paying the ingest write per call
+    # a fresh mkdtemp + paying the ingest write per call.  Reuse keys on
+    # a SENTINEL written only after the chunk write completed — `info`
+    # alone exists as soon as Volume.create returns, so keying on it
+    # would silently reopen a half-ingested volume after a crash (or a
+    # PID-colliding process) and return wrong sums instead of rebuilding
     root = os.path.join(tempfile.gettempdir(),
                         f"bigarrays_volq_{os.getpid()}", "vol")
-    if os.path.exists(os.path.join(root, "info")):
+    sentinel = os.path.join(os.path.dirname(root), "INGEST_COMPLETE")
+    if os.path.exists(sentinel):
         vol = Volume.open(spark, root)
     else:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)  # partial earlier attempt
         vol = Volume.create(spark, root, info)
         x, y, z = np.meshgrid(np.arange(64), np.arange(64), np.arange(64),
                               indexing="ij")
         arr = ((x * 31 + y * 7 + z) % 256).astype(np.uint8)
         vol.write(arr, (0, 0, 0))
+        with open(sentinel, "w") as f:
+            f.write("ok")
     vox = vol.voxels(((8, 40), (16, 48), (0, 32)))
     return (vox.groupBy("z")
                .agg(F.sum("value").cast("bigint").alias("sum_v"),
@@ -734,7 +782,7 @@ ORACLES = {
     "q28_ntile": Q28_SQL,
     "q29_bucketed_range_join": Q29_SQL,
     "q30_dedup_rows": Q30_SQL,
-    # q31_approx_aggs: sketches are engine-specific → rows-only check
+    "q31_approx_aggs": Q31_SQL,
     "q32_left_outer": Q32_SQL,
     "q33_full_outer": Q33_SQL,
     "q34_cross_join": Q34_SQL,
@@ -748,19 +796,6 @@ ORACLES = {
     "volume_cutout_sum": VOLUME_CUTOUT_SUM_SQL,
 }
 
-# q31's sketches (HLL, GK quantile) are engine-specific, so no exact
-# cross-engine oracle exists — but their *accuracy contract* is
-# checkable: every approximate cell must land within ±5% of the exact
-# DuckDB answer.  tools/check_oracle.py grades this tolerance oracle;
-# the driver still records q31 as rows-only.
-Q31_EXACT_SQL = """
-SELECT l_returnflag,
-       count(DISTINCT l_partkey) AS approx_parts,
-       count(DISTINCT l_partkey) AS exact_parts,
-       median(l_extendedprice) AS approx_p50
-FROM lineitem GROUP BY l_returnflag
-"""
-
-TOLERANCE_ORACLES = {
-    "q31_approx_aggs": (Q31_EXACT_SQL, 0.05),
-}
+# (r7: q31 moved to a full hash oracle — the sketch cells were replaced
+# by deterministic accuracy booleans, see Q31_SQL above — so this module
+# no longer needs a TOLERANCE_ORACLES escape hatch.)

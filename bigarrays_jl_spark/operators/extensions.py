@@ -166,6 +166,16 @@ SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 
 
 
+def _guarded_cos(a, b):
+    """round(cos(a, b), 6) with a -2.0 sentinel when either norm is 0
+    (NULL/zero embeddings): keeps Spark and the DuckDB twin agreeing on
+    degenerate vectors instead of diverging on NULL-vs-NaN semantics."""
+    na, nb = _norm2(a), _norm2(b)
+    return F.when((na > 0) & (nb > 0),
+                  F.round(_dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), 6)
+                  ).otherwise(F.lit(-2.0))
+
+
 def _assign_clusters(e: DataFrame) -> DataFrame:
     """(vec_id, cluster): nearest-seed assignment shared by
     semdedup_prune and sample_cluster_balanced — argmax cosine against
@@ -175,10 +185,14 @@ def _assign_clusters(e: DataFrame) -> DataFrame:
     seeds = (e.filter(F.col("vec_id") < SEM_K)
               .select(F.col("vec_id").alias("seed"),
                       F.col("embedding").alias("se")))
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("se"))
-        / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("se")))),
-        6)
+    # zero-norm guard: a degenerate (all-zero / NULL) embedding makes the
+    # cosine 0/0 — Spark (non-ANSI) yields NULL while DuckDB's IEEE float
+    # path yields NaN, and the two engines then SORT those opposite ways
+    # (Spark min(struct) puts NULL fields first; DuckDB ORDER BY c DESC
+    # puts NaN first).  _guarded_cos pins both engines to the same
+    # sentinel (-2.0, below any real cosine) so a degenerate vector can
+    # never win an argmax or pass a threshold on either side.
+    cos = _guarded_cos(F.col("embedding"), F.col("se"))
     # argmax cosine, ties to the lowest seed id: min over (-cos, seed)
     return (e.crossJoin(F.broadcast(seeds))
              .select("vec_id", (-cos).alias("nc"), "seed")
@@ -218,9 +232,7 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     b = av.select(F.col("vec_id").alias("vb"),
                   F.col("cluster").alias("cb"),
                   F.col("embedding").alias("eb"))
-    pair_cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))), 6)
+    pair_cos = _guarded_cos(F.col("ea"), F.col("eb"))
     dropped = (a.join(b, (F.col("cluster") == F.col("cb"))
                       & (F.col("va") < F.col("vb")))
                 .filter(pair_cos >= SEM_TAU)
@@ -233,7 +245,10 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
                      .alias("kept")))
 
 
-_SEM_COS = ("round({d} / (sqrt({na}) * sqrt({nb})), 6)").format
+# SQL twin of _guarded_cos: identical -2.0 sentinel on zero norms
+_SEM_COS = ("CASE WHEN {na} > 0 AND {nb} > 0 "
+            "THEN round({d} / (sqrt({na}) * sqrt({nb})), 6) "
+            "ELSE -2.0 END").format
 # the SQL twin of _assign_clusters, shared verbatim by both consumers
 _ASSIGN_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
@@ -284,12 +299,15 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     t = d.select("doc_id", toks.alias("ts"))
     n = F.size("ts")
-    mean_len = F.round(
+    # empty-document guard: on n = 0 Spark's non-ANSI x/0 yields NULL
+    # while DuckDB's IEEE float path yields NaN/Inf — gate the division
+    # on n > 0 in BOTH twins so empty/whitespace-only docs agree (NULL)
+    mean_len = F.when(n > 0, F.round(
         F.aggregate("ts", F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + F.length(x)).cast("double") / n, 4)
-    alpha = F.round(
+                    lambda acc, x: acc + F.length(x)).cast("double") / n, 4))
+    alpha = F.when(n > 0, F.round(
         F.size(F.filter("ts", lambda x: x.rlike("[a-zA-Z]")))
-         .cast("double") / n, 4)
+         .cast("double") / n, 4))
     nstop = F.size(F.filter("ts", lambda x: x.isin(*GOPHER_STOPWORDS)))
     m = t.select("doc_id", n.alias("n_words"),
                  mean_len.alias("mean_word_len"),
@@ -312,11 +330,13 @@ WITH t AS (
   FROM documents),
 m AS (
   SELECT doc_id, CAST(len(ts) AS INT) AS n_words,
-         round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
-               / len(ts), 4) AS mean_word_len,
-         round(CAST(len(list_filter(ts,
-                 x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-               / len(ts), 4) AS alpha_frac,
+         CASE WHEN len(ts) > 0 THEN
+           round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+                 / len(ts), 4) END AS mean_word_len,
+         CASE WHEN len(ts) > 0 THEN
+           round(CAST(len(list_filter(ts,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                 / len(ts), 4) END AS alpha_frac,
          CAST(len(list_filter(ts, x -> x IN ({_GOPHER_STOP_SQL}))) AS INT)
            AS n_stopwords
   FROM t)
@@ -456,9 +476,12 @@ def q44_correlated_avg(spark: SparkSession, sf: str) -> DataFrame:
     j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
            .join(per, "l_partkey")
            .filter(qty * 5 * F.col("cnt") < F.col("sum_qty")))
+    # decimal partials internal, double output (q36 pattern): a
+    # decimal-typed result column string-formats differently across the
+    # two engines' client paths even when values match exactly
     return j.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-         .alias("total_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double"), 2).alias("total_price"),
         F.count("*").alias("n_li"))
 
 
@@ -467,7 +490,8 @@ WITH per AS (
   SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
          count(*) AS cnt
   FROM lineitem GROUP BY l_partkey)
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price,
        count(*) AS n_li
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q44_BRAND}'
@@ -567,7 +591,9 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     raw_sum = F.aggregate("ts", F.lit(0).cast("bigint"),
                           lambda acc, x: acc + wt(x))
     raw = raw_sum.cast("double") / (100.0 * n)
-    score = F.round(raw / (1 + F.abs(raw)), 6)
+    # empty-doc guard: n = 0 makes raw 0/0 (Spark NULL, DuckDB NaN) —
+    # gate on n > 0 so both twins emit NULL score for empty documents
+    score = F.when(n > 0, F.round(raw / (1 + F.abs(raw)), 6))
     return t.select("doc_id", n.alias("n_toks"),
                     raw_sum.alias("raw_sum"),
                     score.alias("score"),
@@ -582,14 +608,17 @@ WITH t AS (
   FROM documents),
 m AS (
   SELECT doc_id, CAST(len(ts) AS INT) AS n_toks,
-         CAST(list_sum(list_transform(ts,
+         -- coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate
+         -- fold returns its 0 initializer — pin both to 0
+         CAST(coalesce(list_sum(list_transform(ts,
              x -> ('0x' || substr(md5(x), 1, 4))::BIGINT
-                  % {CLS_BUCKETS} % 201 - 100)) AS BIGINT) AS raw_sum
+                  % {CLS_BUCKETS} % 201 - 100)), 0) AS BIGINT) AS raw_sum
   FROM t)
 SELECT doc_id, n_toks, raw_sum,
-       round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
-             / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
-         AS score,
+       CASE WHEN n_toks > 0 THEN
+         round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
+               / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
+       END AS score,
        (raw_sum > 0) AS cls_pass
 FROM m
 """
@@ -729,6 +758,73 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# layout_zorder_scan — the clustered-layout CONSUMER
+# --------------------------------------------------------------------------
+# Reads lineitem through its recommended clustered layout
+# (sources.tables.CLUSTERED_LAYOUTS: z-order on (l_partkey, l_suppkey))
+# and answers a selective part-range revenue question.  The answer is
+# layout-independent — the oracle runs the identical SQL on the flat
+# parquet — but the SCAN is not: on the z-ordered files the pushed
+# l_partkey range skips most row groups (reader-level min/max pruning),
+# which tests/test_plans.py::test_layout_zorder_scan_drops_row_groups
+# pins by comparing scan-node numOutputRows against a flat control.
+# At 100 TB this is the difference between scanning a shard and
+# scanning the table; the one-time layout cost is the range shuffle in
+# write_zorder.  Scratch materialization is PID-keyed + sentinel-gated
+# (the volume_cutout_sum pattern) so repeated grading invocations reuse
+# the layout instead of re-clustering per call.
+
+# a SELECTIVE part range: bit-interleaving gives l_partkey every other
+# z-bit, so 16 range-partitioned files cut the partkey domain into
+# quarters — a range inside one quarter (52..62 is ≤6% of the domain at
+# every SF; partkeys start at 1) prunes ≥3/4 of the files' row groups.
+# A range spanning half the domain would straddle the top partkey bit
+# and prune nothing: selectivity is what layout monetizes.
+LAYOUT_SCAN_PART_LO, LAYOUT_SCAN_PART_HI = 52, 62
+
+
+def _clustered_lineitem_path(spark: SparkSession, sf: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    from bigarrays_jl_spark.sources.tables import materialize_clustered
+    tag = os.path.basename(sf.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"bigarrays_zli_{os.getpid()}_{tag}")
+    path = os.path.join(base, "lineitem_z")
+    sentinel = os.path.join(base, "LAYOUT_COMPLETE")
+    if not os.path.exists(sentinel):
+        shutil.rmtree(base, ignore_errors=True)
+        # 16 files → 4 leading z-bits → partkey quartile granularity
+        materialize_clustered(spark, sf, "lineitem", path, n_files=16)
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    return path
+
+
+def layout_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
+    z = spark.read.parquet(_clustered_lineitem_path(spark, sf))
+    return (z.filter(F.col("l_partkey").between(LAYOUT_SCAN_PART_LO,
+                                                LAYOUT_SCAN_PART_HI))
+             .groupBy("l_returnflag")
+             .agg(F.count("*").alias("n_li"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,2)")).cast("double"), 2)
+                   .alias("revenue")))
+
+
+LAYOUT_ZORDER_SCAN_SQL = f"""
+SELECT l_returnflag, count(*) AS n_li,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN {LAYOUT_SCAN_PART_LO} AND {LAYOUT_SCAN_PART_HI}
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -743,6 +839,7 @@ QUERIES = {
     "sample_cluster_balanced": sample_cluster_balanced,
     "events_windowed_topk": events_windowed_topk,
     "text_bigram_logprob": text_bigram_logprob,
+    "layout_zorder_scan": layout_zorder_scan,
 }
 
 ORACLES = {
@@ -759,4 +856,5 @@ ORACLES = {
     "sample_cluster_balanced": SAMPLE_CLUSTER_BALANCED_SQL,
     "events_windowed_topk": EVENTS_WINDOWED_TOPK_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
+    "layout_zorder_scan": LAYOUT_ZORDER_SCAN_SQL,
 }

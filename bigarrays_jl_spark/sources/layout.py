@@ -100,7 +100,11 @@ def files_matching(path: str, col: str, value) -> tuple[int, int]:
                 cc = row_group.column(ci)
                 if cc.path_in_schema == col and cc.statistics is not None:
                     st = cc.statistics
-                    if st.min <= value <= st.max:
+                    # stats objects can exist with has_min_max=False
+                    # (some binary/NaN columns); a scanner that cannot
+                    # prove exclusion must ADMIT the file, same as a
+                    # real reader
+                    if not st.has_min_max or st.min <= value <= st.max:
                         admit = True
         hits += admit
     return hits, total

@@ -93,6 +93,57 @@ def register_views(spark: SparkSession, sf_dir: str,
                 stacklevel=2)
 
 
+# Recommended physical layout per big table — the layout step a 100 TB
+# deployment runs once at ingest.  Dims (region/nation/customer/supplier/
+# part) are broadcast-sized and deliberately absent: a clustering pass
+# on a table that never row-group-prunes is pure write amplification.
+#   - lineitem: z-order on the two selective probe dimensions; a filter
+#     on EITHER part or supplier then skips most row groups.
+#   - orders: z-order on (custkey, orderkey) — the customer-centric
+#     probe plus the natural join key.
+#   - events: hive-partition by event date — the coarse, low-cardinality
+#     access dimension; date filters prune at the DIRECTORY level
+#     (PartitionFilters) before any footer is opened.
+CLUSTERED_LAYOUTS: dict[str, dict] = {
+    # column ORDER matters: zorder_col assigns the LAST column the most
+    # significant interleaved bit, and range-partition file boundaries
+    # are row-count quantiles — they align with the bit cells of a
+    # near-continuous domain (partkey) far better than with a lumpy
+    # 10-value one (suppkey).  High-cardinality dimension last ⇒ its
+    # top bits dominate file boundaries ⇒ deepest pruning on the most
+    # selective probe.
+    "lineitem": {"zorder": ["l_suppkey", "l_partkey"]},
+    "orders": {"zorder": ["o_custkey", "o_orderkey"]},
+    "events": {"partition": ["event_date"],
+               "expr": lambda F: {"event_date": F.to_date("ts")}},
+}
+
+
+def materialize_clustered(spark: SparkSession, sf_dir: str, name: str,
+                          path: str, n_files: int = 8) -> None:
+    """Write testdata table ``name`` to ``path`` in its recommended
+    clustered layout (CLUSTERED_LAYOUTS): z-order for multi-dimensional
+    row-group skipping, hive partitioning for directory pruning.  The
+    consumer-facing layout step — see operators.extensions.
+    layout_zorder_scan for a registry query reading through it and
+    tests/test_plans.py for the scan-drops-row-groups proof."""
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.sources import layout as _layout
+
+    spec = CLUSTERED_LAYOUTS.get(name)
+    if spec is None:
+        raise ValueError(
+            f"no clustered layout recommended for {name!r} "
+            f"(broadcast-sized dim); known: {sorted(CLUSTERED_LAYOUTS)}")
+    df = load(spark, sf_dir, name)
+    if "zorder" in spec:
+        _layout.write_zorder(df, path, spec["zorder"], n_files=n_files)
+    else:
+        _layout.write_partitioned(df, path, spec["partition"],
+                                  expr=spec["expr"](F))
+
+
 def write_bucketed(spark: SparkSession, sf_dir: str, name: str, table: str,
                    keys: list[str], n_buckets: int = 8) -> None:
     """Materialize a testdata table as a bucketed+sorted managed table.

@@ -149,6 +149,61 @@ def streaming_corpus_dedup(docs: DataFrame,
             .select("doc_id", "source", "fp"))
 
 
+def streaming_incremental_dedup(docs: DataFrame, index_path: str,
+                                out_path: str, checkpoint_path: str):
+    """Production ingest-dedup bridge: foreachBatch + the
+    dedup_incremental anti-join against a DURABLE fingerprint index.
+
+    ``streaming_corpus_dedup`` bounds its memory by forgetting
+    fingerprints past the watermark horizon; a real crawl pipeline
+    instead keeps a PERSISTENT index (a parquet/Delta table of 16-byte
+    fingerprints) so a document re-crawled months later is still
+    rejected.  Each micro-batch:
+
+      1. self-dedups (per-fingerprint min doc_id — the same keep rule
+         as dedup_fingerprint),
+      2. anti-joins the standing index (the dedup_incremental shape:
+         the index holds DISTINCT fingerprints, never the corpus),
+      3. appends admitted docs to ``out_path`` and their fingerprints
+         to ``index_path``.
+
+    Scale shape: the anti-join shuffles on the fingerprint hash (or
+    broadcasts the micro-batch — Spark picks, the batch is the small
+    side); index growth is one 16-byte row per ADMITTED doc, and no
+    step ever rescans previously-deduped data.  Admitted rows carry
+    ``batch_id`` so a replayed micro-batch (foreachBatch is
+    at-least-once after a restart) is reconcilable downstream; the
+    index itself is replay-safe because re-appended fingerprints are
+    deduplicated by the very anti-join they feed.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from bigarrays_jl_spark.functions import fingerprint
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        best = (batch_df.withColumn("fp", fingerprint())
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.min_by("source", "doc_id").alias("source")))
+        try:
+            idx = spark.read.parquet(index_path).select("fp")
+        except Exception:  # first batch: no index yet
+            idx = None
+        fresh = best if idx is None else best.join(idx, "fp", "left_anti")
+        # one evaluation, two consumers: avoid recomputing the anti-join
+        fresh = fresh.localCheckpoint(eager=True)
+        (fresh.withColumn("batch_id", F.lit(batch_id))
+              .select("doc_id", "source", "fp", "batch_id")
+              .write.mode("append").parquet(out_path))
+        fresh.select("fp").write.mode("append").parquet(index_path)
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

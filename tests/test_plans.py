@@ -265,3 +265,73 @@ def test_q45_top20_is_take_ordered(spark, sf_dir):
     df = q45_late_sole_supplier(spark, sf_dir)
     assert uses_take_ordered(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def _scan_metrics(df):
+    """Execute ``df`` and return the summed metrics of its parquet Scan
+    nodes (numFiles / numOutputRows) from the EXECUTED plan — the
+    reader-level truth about how much data the scan actually produced
+    after row-group min/max pruning.  Recurses through the AQE wrappers
+    (AdaptiveSparkPlan holds the final plan behind executedPlan();
+    QueryStage nodes behind plan()) because collectLeaves() treats them
+    as leaves."""
+    df.collect()
+
+    agg = {}
+
+    def walk(node):
+        name = node.nodeName()
+        if name.startswith("Scan"):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                agg[kv._1()] = agg.get(kv._1(), 0) + kv._2().value()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return agg
+
+
+def test_layout_zorder_scan_drops_row_groups(spark, sf_dir, tmp_path):
+    # the clustered-layout CONSUMER proof: the same selective filter,
+    # run over the recommended z-ordered lineitem layout vs an
+    # arrival-order control, must produce identical answers while the
+    # z-ordered SCAN emits strictly fewer rows from the reader
+    # (row-group min/max pruning on the pushed range) — fewer rows out
+    # of the scan node = row groups dropped before any CPU was spent
+    from bigarrays_jl_spark.operators.extensions import (
+        LAYOUT_SCAN_PART_HI, LAYOUT_SCAN_PART_LO, _clustered_lineitem_path)
+    from bigarrays_jl_spark.plans.explain import pushed_filters
+    from bigarrays_jl_spark.sources.tables import load
+
+    zpath = _clustered_lineitem_path(spark, sf_dir)
+    flat = str(tmp_path / "flat_lineitem")
+    load(spark, sf_dir, "lineitem").repartition(8).write.parquet(flat)
+
+    def q(path):
+        return (spark.read.parquet(path)
+                .filter(F.col("l_partkey").between(LAYOUT_SCAN_PART_LO,
+                                                   LAYOUT_SCAN_PART_HI))
+                .agg(F.count("*").alias("n"),
+                     F.sum("l_quantity").alias("s")))
+
+    # the range predicate must reach the parquet reader for stats
+    # pruning to exist at all
+    pf = " ".join(pushed_filters(q(zpath)))
+    assert "l_partkey" in pf, f"range not pushed: {pf}"
+
+    mz, mf = _scan_metrics(q(zpath)), _scan_metrics(q(flat))
+    rz, rf = q(zpath).collect()[0], q(flat).collect()[0]
+    assert (rz.n, rz.s) == (rf.n, rf.s) and rz.n > 0  # layout ≠ answer
+    total = load(spark, sf_dir, "lineitem").count()
+    assert mf["numOutputRows"] == total, (
+        "control layout should prune nothing")
+    assert mz["numOutputRows"] < mf["numOutputRows"] // 2, (
+        f"z-ordered scan should drop most row groups: "
+        f"{mz['numOutputRows']} vs control {mf['numOutputRows']}")

@@ -247,3 +247,52 @@ def test_streaming_restart_recovers_dedup_state_and_new_data(spark, tmp_path):
     run_once()
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == list(range(15)), got
+
+
+def test_streaming_incremental_dedup_matches_batch_twin(spark, sf_dir, tmp_path):
+    # the durable-index ingest bridge: corpus docs stream in first
+    # (seeding the fingerprint index), then "today's crawl" (doc_id%5==4,
+    # the dedup_incremental convention) arrives as a second micro-batch.
+    # The admitted set for that second batch must equal the batch
+    # operator dedup_incremental — same keep rule, same anti-join, one
+    # run streaming and one run batch.
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.dedup import dedup_incremental
+    from bigarrays_jl_spark.streaming.windows import \
+        streaming_incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    corpus.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    q = streaming_incremental_dedup(stream, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        n_phase1 = spark.read.parquet(out).count()
+        assert n_phase1 > 0
+        # phase 2: today's crawl lands as one new file → one micro-batch
+        batch.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # index holds exactly the distinct fingerprints of everything seen
+    from bigarrays_jl_spark.functions import fingerprint
+    want_fps = {r.fp for r in
+                d.select(fingerprint().alias("fp")).distinct().collect()}
+    got_fps = {r.fp for r in spark.read.parquet(idx).distinct().collect()}
+    assert got_fps == want_fps
+
+    # the second batch's admissions == the batch twin, row for row
+    admitted = spark.read.parquet(out)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    got = {(r.doc_id, r.fp) for r in admitted.collect()
+           if r.doc_id in batch_ids}
+    want = {(r.doc_id, r.fp)
+            for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == want
