@@ -139,6 +139,14 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
         # nothing — summing payload lengths forces the binary column
         # through the page cache
         staged.agg(F.sum(F.length("payload"))).collect()
+        # scan-only throughput of the (now warm) staged table: the floor
+        # of what ANY ingest over this source can achieve.  Reported so
+        # a VM-contention window is self-evident in the artifact — if
+        # dist_scan is itself far below nominal disk/page-cache speed,
+        # a low dist_ingest number is environmental, not a plan problem.
+        t0 = time.time()
+        staged.agg(F.sum(F.length("payload"))).collect()
+        s = time.time() - t0
         t0 = time.time()
         vol.ingest_chunks(staged)
         w = time.time() - t0
@@ -146,7 +154,8 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
         total = vol.voxels().agg(F.sum("value").alias("s")).collect()[0].s
         r = time.time() - t0
         assert total > 0
-        return {"dist_ingest_mb_s": round(mb / w, 2),
+        return {"dist_scan_mb_s": round(mb / s, 2),
+                "dist_ingest_mb_s": round(mb / w, 2),
                 "dist_read_mb_s": round(mb / r, 2)}
 
 
@@ -172,7 +181,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
-        best, n = None, 0
+        # row count reported for sanity is computed ONCE, OUTSIDE the
+        # timed window (it is a full second evaluation of the query;
+        # counting inside the window would double every timing) — it
+        # doubles as a per-query warm-up pass
+        n = fn(spark, sf_dir).count()
+        best = None
         for _ in range(2):
             t0 = time.time()
             # noop sink: fully evaluates every output column (a bare
@@ -180,21 +194,22 @@ def main() -> None:
             # map-side query would be timed as a column-free row count)
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            n = df.count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    # best-of-2 for the volume paths too: the first full-size pass pays
+    # best-of-N for the volume paths too: the first full-size pass pays
     # JVM C2 compilation of the parquet writer + Arrow codec paths that
-    # a long-lived cluster has already amortized
-    def best_of_2(fn):
-        a, b = fn(spark), fn(spark)
-        return {k: max(a[k], b[k]) for k in a}
+    # a long-lived cluster has already amortized; N=3 on the distributed
+    # paths (the numbers of record) so one VM-contention spike can't
+    # define the artifact
+    def best_of(fn, n=2):
+        runs = [fn(spark) for _ in range(n)]
+        return {k: max(r[k] for r in runs) for k in runs[0]}
 
-    vol_stats = best_of_2(run_volume_bench)
-    vol_stats.update(best_of_2(run_volume_distributed_bench))
+    vol_stats = best_of(run_volume_bench, 2)
+    vol_stats.update(best_of(run_volume_distributed_bench, 3))
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
