@@ -152,23 +152,32 @@ FROM aug GROUP BY 1
 # join → candidate pairs with estimated Jaccard (shared sigs / 8)
 # --------------------------------------------------------------------------
 
-def _bands(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, sig, b, band): map-side minhash signatures exploded to
-    their LSH bands — the shared front-end of discovery (minhash pairs)
-    and verification (ngram Jaccard candidates)."""
-    aug = _augmented(spark, sf)
-    toks = fan_out(spark, aug.select("doc_id", tokens().alias("t"))
-                   .filter(F.size("t") >= 3))
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig, b, band) for any (doc_id, text) DataFrame — the
+    map-side minhash+band front-end, reusable by batch operators AND the
+    streaming ingest bridge (streaming/windows.py applies it per
+    micro-batch against a durable band index).  Docs under 3 tokens
+    drop out (no shingles)."""
+    toks = (docs.select("doc_id", tokens().alias("t"))
+                .filter(F.size("t") >= 3))
     shingled = toks.withColumn("sh_arr", shingle_array("t"))
     sig = shingled.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
     # band signature = md5 of its 2 member hashes; explode to (doc, band)
-    bands = sig.select("doc_id", "sig", F.explode(F.array(*[
+    return sig.select("doc_id", "sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("b"),
                  F.md5(F.concat_ws("|",
                                    F.element_at("sig", 2 * b + 1),
                                    F.element_at("sig", 2 * b + 2))).alias("band"))
         for b in range(N_BANDS)])).alias("e")).select(
         "doc_id", "sig", F.col("e.b").alias("b"), F.col("e.band").alias("band"))
+
+
+def _bands(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, sig, b, band): the shared front-end of discovery
+    (minhash pairs) and verification (ngram Jaccard candidates), over
+    the augmented corpus."""
+    aug = _augmented(spark, sf)
+    bands = band_signatures(fan_out(spark, aug))
     # materialize the signature table ONCE (lazy localCheckpoint →
     # executor storage on first use): every consumer self-joins it, and
     # without this both join sides re-run the corpus-wide

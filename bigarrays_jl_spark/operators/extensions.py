@@ -825,6 +825,180 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# text_dup_ngrams — Gopher duplicate-n-gram repetition filter
+# --------------------------------------------------------------------------
+# Rae et al. 2021 (Gopher §A1.1) reject documents whose duplicate
+# 2-gram / 3-gram fraction exceeds 0.20 / 0.18 — the repetition family
+# next to text_repetition's top-token dominance.  Token-count variant
+# (the paper's is character-weighted): dup_frac = 1 − distinct/total
+# over the shared shingle canon.  Pure map-side higher-order
+# expressions — zero shuffles, inherits the scan's partitioning; at
+# 100 TB this runs at I/O speed like the other Gopher gates.
+
+DUP_2GRAM_MAX, DUP_3GRAM_MAX = 0.20, 0.18
+
+
+def text_dup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import shingle_array, tokens
+    d = fan_out(spark, load(spark, sf, "documents"))
+    t = d.select("doc_id", tokens("text").alias("ts"))
+    out = t
+    cols = ["doc_id"]
+    flags = []
+    for n, cap in ((2, DUP_2GRAM_MAX), (3, DUP_3GRAM_MAX)):
+        g = shingle_array("ts", n)
+        tot = F.size(g)
+        uniq = F.size(F.array_distinct(g))
+        # n>0 guard: an under-n-token doc has no shingles — NULL frac in
+        # both twins (Spark x/0 is NULL; DuckDB would yield NaN)
+        frac = F.when(tot > 0,
+                      F.round(F.lit(1.0) - uniq.cast("double") / tot, 6))
+        out = (out.withColumn(f"n_{n}grams", tot)
+                  .withColumn(f"dup_{n}gram_frac", frac))
+        cols += [f"n_{n}grams", f"dup_{n}gram_frac"]
+        # short docs (NULL frac) pass: no evidence of repetition
+        flags.append(F.coalesce(F.col(f"dup_{n}gram_frac") <= cap,
+                                F.lit(True)))
+    rep_pass = flags[0]
+    for fl in flags[1:]:
+        rep_pass = rep_pass & fl
+    return out.select(*cols, rep_pass.alias("rep_pass"))
+
+
+_DUP_SH_SQL = ("CASE WHEN len(ts) >= {n} THEN list_transform("
+               "range(1, len(ts) - {n} + 2), i -> {parts}) "
+               "ELSE [] END").format
+_DUP_PARTS = {2: "ts[i] || ' ' || ts[i+1]",
+              3: "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"}
+
+TEXT_DUP_NGRAMS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         {_DUP_SH_SQL(n=2, parts=_DUP_PARTS[2])} AS g2,
+         {_DUP_SH_SQL(n=3, parts=_DUP_PARTS[3])} AS g3
+  FROM t),
+m AS (
+  SELECT doc_id,
+         CAST(len(g2) AS INT) AS n_2grams,
+         CASE WHEN len(g2) > 0 THEN round(
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+         END AS dup_2gram_frac,
+         CAST(len(g3) AS INT) AS n_3grams,
+         CASE WHEN len(g3) > 0 THEN round(
+           1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+         END AS dup_3gram_frac
+  FROM g)
+SELECT doc_id, n_2grams, dup_2gram_frac, n_3grams, dup_3gram_frac,
+       (coalesce(dup_2gram_frac <= {DUP_2GRAM_MAX}, TRUE)
+        AND coalesce(dup_3gram_frac <= {DUP_3GRAM_MAX}, TRUE)) AS rep_pass
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# dsir_importance — DSIR hashed n-gram importance weighting
+# --------------------------------------------------------------------------
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how target-like its hashed
+# n-gram features are — log w(d) = Σ_f c_f(d)·(ln p_target(f) −
+# ln p_raw(f)) over B hash buckets of unigrams+bigrams, Laplace-
+# smoothed.  Target distribution here = the English slice of the
+# corpus (a stand-in for "high-quality domain"); production swaps in
+# Wikipedia/books counts — same plan, different literals.
+#
+# Float discipline is the text_unigram_logprob canon: each bucket's
+# log-ratio is rounded to 9 decimals into DECIMAL(28,9), per-doc sums
+# accumulate exactly (integer counts × exact decimals), one final
+# double round — bit-identical across engines and partitionings.
+#
+# Scale shape: feature explode → ONE (doc, bucket) count agg keyed by
+# high-cardinality doc_id; the bucket-ratio table is B=512 rows —
+# broadcast — so scoring is a map-side join + doc-keyed agg.  At
+# 100 TB the ratio table is fit on a sample (DSIR's own design) and
+# the corpus pass stays a single scan.  The deterministic `selected`
+# gate (log_w > 0 ⇔ more target-like than raw) replaces the paper's
+# Gumbel resampling, which is sampling noise on top of this exact core.
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import shingle_array, tokens
+    d = fan_out(spark, load(spark, sf, "documents"))
+    t = d.select("doc_id", "lang", tokens("text").alias("ts"))
+    feats = t.select(
+        "doc_id", "lang",
+        F.explode(F.concat(F.col("ts"), shingle_array("ts", 2))).alias("f"))
+    b = feats.withColumn(
+        "bk", F.conv(F.substring(F.md5("f"), 1, 4), 16, 10)
+              .cast("bigint") % DSIR_BUCKETS)
+    stats = b.groupBy("bk").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+         .alias("c_tgt"))
+    tot = stats.agg(F.sum("c_raw").alias("t_raw"),
+                    F.sum("c_tgt").alias("t_tgt"))
+    ratio = (stats.crossJoin(F.broadcast(tot))
+             .select("bk", F.round(
+                 F.log((F.col("c_tgt") + 1).cast("double")
+                       / (F.col("t_tgt") + DSIR_BUCKETS).cast("double"))
+                 - F.log((F.col("c_raw") + 1).cast("double")
+                         / (F.col("t_raw") + DSIR_BUCKETS).cast("double")), 9)
+                 # (18,9) not (28,9): the cf×lr product must stay inside
+                 # 38-digit decimal precision on BOTH engines — a wider
+                 # operand makes Spark silently reduce the product's
+                 # SCALE (allowPrecisionLoss), rounding differently than
+                 # DuckDB's promotion rules.  |lr| < 25 fits (18,9).
+                 .cast("decimal(18,9)").alias("lr")))
+    doc_b = b.groupBy("doc_id", "bk").agg(F.count("*").alias("cf"))
+    return (doc_b.join(F.broadcast(ratio), "bk")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("cf").cast("decimal(10,0)")
+                               * F.col("lr")).cast("double"), 6)
+                  .alias("log_w"))
+            .select("doc_id", "log_w", (F.col("log_w") > 0).alias("selected")))
+
+
+DSIR_IMPORTANCE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, f
+  FROM t, UNNEST(list_concat(ts,
+         CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i+1]) ELSE [] END)) AS u(f)),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 4))::BIGINT % {DSIR_BUCKETS} AS bk
+  FROM feats),
+stats AS (
+  SELECT bk, count(*) AS c_raw,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS c_tgt
+  FROM b GROUP BY bk),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM stats),
+ratio AS (
+  SELECT bk, CAST(round(
+      ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + {DSIR_BUCKETS} AS DOUBLE))
+    - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + {DSIR_BUCKETS} AS DOUBLE)),
+    9) AS DECIMAL(18,9)) AS lr
+  FROM stats, tot),
+doc_b AS (SELECT doc_id, bk, count(*) AS cf FROM b GROUP BY 1, 2),
+w AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(cf AS DECIMAL(10,0)) * lr) AS DOUBLE), 6)
+           AS log_w
+  FROM doc_b JOIN ratio USING (bk) GROUP BY doc_id)
+SELECT doc_id, log_w, (log_w > 0) AS selected FROM w
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -840,6 +1014,8 @@ QUERIES = {
     "events_windowed_topk": events_windowed_topk,
     "text_bigram_logprob": text_bigram_logprob,
     "layout_zorder_scan": layout_zorder_scan,
+    "text_dup_ngrams": text_dup_ngrams,
+    "dsir_importance": dsir_importance,
 }
 
 ORACLES = {
@@ -857,4 +1033,6 @@ ORACLES = {
     "events_windowed_topk": EVENTS_WINDOWED_TOPK_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "layout_zorder_scan": LAYOUT_ZORDER_SCAN_SQL,
+    "text_dup_ngrams": TEXT_DUP_NGRAMS_SQL,
+    "dsir_importance": DSIR_IMPORTANCE_SQL,
 }

@@ -941,6 +941,90 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# ann_ivf_pq_topk — IVF cell pruning × PQ ADC codes: the full IVF-PQ
+# index (FAISS's IVFPQ), composing the two independent levers already
+# built: routing reads full-precision coarse centroids to pick each
+# query's cell; the cell scan then touches ONLY the PQ codes, scored by
+# ADC lookup-table sums.  At 100 TB the per-query cost is
+# (1/nlist of the corpus) × (PQ_M lookups per vector) — cell pruning
+# multiplies with 64× code compression, and the full-precision corpus
+# is never read at query time.
+# Plan shape: routed pairs broadcast → label-pruned code scan →
+# broadcast LUT join → (qid, vec_id) partial-dot agg.  No exchange
+# touches more than the probed cells' code rows.
+# --------------------------------------------------------------------------
+
+def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    sub, cent, codes = _pq_fit(spark, sf)
+    e, routed = _ivf_routed(spark, sf, nprobe=1)
+    codesl = codes.join(e.select("vec_id", "label"), "vec_id")
+    q = (sub.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qs")))
+    lut = (q.join(F.broadcast(cent), "s")
+           .select("qid", "s", "cell",
+                   F.round(_dot(F.col("qs"), F.col("centroid")), 9)
+                    .cast("decimal(28,9)").alias("pd")))
+    # prune FIRST (cell membership), pay the LUT lookup only on
+    # surviving code rows
+    pruned = (codesl.join(F.broadcast(routed.select("qid", "probe")),
+                          codesl["label"] == F.col("probe"))
+              .filter(F.col("vec_id") != F.col("qid")))
+    scored = (pruned.join(F.broadcast(lut), ["qid", "s", "cell"])
+              .groupBy("qid", "probe", "vec_id")
+              .agg(F.round(F.sum("pd").cast("double"), 6).alias("approx_dot")))
+    w = W.partitionBy("qid").orderBy(F.col("approx_dot").desc(),
+                                     F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("qid", "probe", "vec_id", "approx_dot", "rank"))
+
+
+ANN_IVF_PQ_SQL = f"""
+WITH {_pq_ctes()},
+q AS (SELECT vec_id AS qid, s, sv AS qs FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT qid, c.s, c.cell,
+         CAST(round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                i -> qs[i] * centroid[i])), 9) AS DECIMAL(28,9)) AS pd
+  FROM q JOIN cent{PQ_ITERS} c ON c.s = q.s),
+iexpl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+idims AS (SELECT label, pos, avg(v) AS m FROM iexpl GROUP BY label, pos),
+icent AS (SELECT label, list(m ORDER BY pos) AS centroid
+          FROM idims GROUP BY label),
+iq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT qid, probe FROM (
+    SELECT qid, label AS probe,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round({_DOT_SQL.format(a='qe', b='centroid')}
+                   / (sqrt({_NORM2_SQL.format(a='qe')})
+                      * sqrt({_NORM2_SQL.format(a='centroid')})), 6) DESC,
+             label) AS r
+    FROM iq, icent) WHERE r = 1),
+scored AS (
+  SELECT routed.qid, routed.probe, codes.vec_id,
+         round(CAST(sum(pd) AS DOUBLE), 6) AS approx_dot
+  FROM codes
+  JOIN embeddings lbl ON lbl.vec_id = codes.vec_id
+  JOIN routed ON lbl.label = routed.probe
+  JOIN lut ON lut.qid = routed.qid AND lut.s = codes.s
+          AND lut.cell = codes.cell
+  WHERE codes.vec_id <> routed.qid
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT qid, probe, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY approx_dot DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, probe, vec_id, approx_dot, CAST(rank AS INT) AS rank FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -953,6 +1037,7 @@ QUERIES = {
     "sim_lsh_pairs": sim_lsh_pairs,
     "sim_label_centroid_norm": sim_label_centroid_norm,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
 }
 
 ORACLES = {
@@ -967,4 +1052,5 @@ ORACLES = {
     "sim_lsh_pairs": SIM_LSH_PAIRS_SQL,
     "sim_label_centroid_norm": SIM_LABEL_CENTROID_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
+    "ann_ivf_pq_topk": ANN_IVF_PQ_SQL,
 }

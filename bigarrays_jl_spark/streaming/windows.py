@@ -204,6 +204,67 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
             .start())
 
 
+def streaming_minhash_neardup(docs: DataFrame, index_path: str,
+                              out_path: str, checkpoint_path: str,
+                              threshold: float = 0.5):
+    """Near-dup screening at ingest: foreachBatch + a DURABLE band-
+    signature index — the LSH analog of ``streaming_incremental_dedup``
+    (which catches exact/normalized duplicates only).
+
+    Each micro-batch computes minhash band signatures with the SAME
+    map-side front-end as the batch operators
+    (``operators.dedup.band_signatures`` — one canon, so streaming and
+    batch can never disagree on what counts as similar), probes the
+    standing index with a banded equi-join, emits (batch doc, corpus
+    doc, est_jaccard ≥ threshold) matches, and appends the batch's own
+    signatures to the index.
+
+    Scale shape: probing costs O(batch × bands) rows against the index
+    join — never corpus × corpus — and the index grows by bands-per-doc
+    compact rows per batch; this is ``dedup_incremental_minhash``'s
+    plan run continuously.  Matches carry ``batch_id`` for replay
+    reconciliation (foreachBatch is at-least-once across restarts);
+    index re-appends from a replayed batch add duplicate signature rows,
+    which change no match results (the est_jaccard max is idempotent) —
+    compact the index offline if replays accumulate.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from bigarrays_jl_spark.operators.dedup import (N_HASHES,
+                                                    band_signatures)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = (band_signatures(batch_df.select("doc_id", "text"))
+                 .localCheckpoint(eager=True))  # one signature pass
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            idx = None
+        if idx is not None:
+            shared = F.size(F.filter(
+                F.zip_with(F.col("a.sig"), F.col("i.sig"),
+                           lambda x, y: x == y), lambda m: m))
+            (bands.alias("a")
+             .join(idx.alias("i"), (F.col("a.b") == F.col("i.b"))
+                   & (F.col("a.band") == F.col("i.band")))
+             .select(F.col("a.doc_id").alias("batch_doc"),
+                     F.col("i.doc_id").alias("corpus_doc"),
+                     shared.alias("shared"))
+             .groupBy("batch_doc", "corpus_doc")
+             .agg(F.round(F.max("shared") / F.lit(float(N_HASHES)), 4)
+                   .alias("est_jaccard"))
+             .filter(F.col("est_jaccard") >= threshold)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+        bands.write.mode("append").parquet(index_path)
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

@@ -335,3 +335,28 @@ def test_layout_zorder_scan_drops_row_groups(spark, sf_dir, tmp_path):
     assert mz["numOutputRows"] < mf["numOutputRows"] // 2, (
         f"z-ordered scan should drop most row groups: "
         f"{mz['numOutputRows']} vs control {mf['numOutputRows']}")
+
+
+def test_new_curation_ops_plan_shapes(spark, sf_dir):
+    # dsir: the B=512 bucket-ratio table must broadcast into the doc
+    # scoring join; no stage may funnel to a single partition
+    from bigarrays_jl_spark.operators.extensions import (dsir_importance,
+                                                         text_dup_ngrams)
+    df = dsir_importance(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # exactly ONE SinglePartition is sanctioned: the global-totals fold
+    # over the B=512-row bucket-stats table (bounded by the bucket
+    # count, not the corpus) — the corpus-side path must have none
+    assert simple_plan(df).count("SinglePartition") <= 1
+    # dup-ngram filter is pure map-side: no SinglePartition anywhere
+    assert "SinglePartition" not in simple_plan(text_dup_ngrams(spark, sf_dir))
+
+
+def test_ann_ivf_pq_broadcasts_and_no_cartesian(spark, sf_dir):
+    # IVF x PQ composition: routing pairs + ADC lookup table both
+    # broadcast into the pruned code scan; a CartesianProduct anywhere
+    # means the composition degenerated into an all-pairs scan
+    from bigarrays_jl_spark.operators.similarity import ann_ivf_pq_topk
+    df = ann_ivf_pq_topk(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)

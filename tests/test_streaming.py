@@ -296,3 +296,39 @@ def test_streaming_incremental_dedup_matches_batch_twin(spark, sf_dir, tmp_path)
     want = {(r.doc_id, r.fp)
             for r in dedup_incremental(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_minhash_neardup_matches_batch_twin(spark, sf_dir, tmp_path):
+    # LSH near-dup ingest bridge: the corpus (originals) streams in
+    # first, seeding the band-signature index; the mutant set (the
+    # dedup module's doc_id+1000000 near-duplicates) arrives as a
+    # second micro-batch.  The matches emitted for that batch must
+    # equal dedup_incremental_minhash — the batch operator computing
+    # the same batch x corpus screen in one shot.
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.dedup import (_augmented,
+                                                    dedup_incremental_minhash)
+    from bigarrays_jl_spark.streaming.windows import streaming_minhash_neardup
+
+    aug = _augmented(spark, sf_dir)
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    aug.filter(F.col("doc_id") < 1000000).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(aug.schema).parquet(src)
+    q = streaming_minhash_neardup(stream, idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # mutants land as one new file -> one micro-batch
+        (aug.filter(F.col("doc_id") >= 1000000)
+            .coalesce(1).write.mode("append").parquet(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.batch_doc, r.corpus_doc, float(r.est_jaccard))
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.batch_id, r.corpus_id, float(r.est_jaccard))
+            for r in dedup_incremental_minhash(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
