@@ -999,6 +999,93 @@ SELECT doc_id, log_w, (log_w > 0) AS selected FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# mine_bitext_pairs — margin-based parallel-text mining
+# --------------------------------------------------------------------------
+# The CCMatrix/LASER curation shape (Schwenk et al. 2021): pair each
+# non-English document with its nearest English document in embedding
+# space, and accept only pairs whose top-1 cosine CLEARS the runner-up
+# by a margin — absolute-margin variant (cos1 − cos2), which avoids the
+# ratio form's sign instability near zero.  Candidates are pruned to
+# the source doc's coarse cell (the embeddings' label column — the same
+# IVF structure the ann_* family routes through), so the search is
+# O(Σ_cell |non-en|·|en|) per cell, never corpus × corpus; at 100 TB
+# the cells come from the fitted quantizer and the en side of each cell
+# broadcasts or shuffles on the cell key.  Degenerate embeddings hit
+# the _guarded_cos sentinel and can never win a pairing.
+
+BITEXT_MIN_COS = 0.2     # top-1 must be at least this similar
+BITEXT_MARGIN = 0.01     # ... and clear the runner-up by this much
+
+
+def mine_bitext_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    ed = (e.join(d, e.vec_id == d.doc_id)
+           .select("vec_id", "lang", "label", "embedding"))
+    src = (ed.filter(F.col("lang") != "en")
+             .select(F.col("vec_id").alias("src_id"),
+                     F.col("lang").alias("src_lang"), "label",
+                     F.col("embedding").alias("se")))
+    tgt = (ed.filter(F.col("lang") == "en")
+             .select(F.col("vec_id").alias("tgt_id"), "label",
+                     F.col("embedding").alias("te")))
+    scored = (src.join(tgt, "label")
+              .withColumn("c", _guarded_cos(F.col("se"), F.col("te"))))
+    w = W.partitionBy("src_id").orderBy(F.col("c").desc(), "tgt_id")
+    top2 = (scored.withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") <= 2))
+    best = (top2.groupBy("src_id", "src_lang")
+            .agg(F.max(F.when(F.col("r") == 1, F.col("tgt_id")))
+                  .alias("tgt_id"),
+                 F.max(F.when(F.col("r") == 1, F.col("c"))).alias("cos_top1"),
+                 F.max(F.when(F.col("r") == 2, F.col("c"))).alias("_cos2")))
+    margin = F.round(F.col("cos_top1") - F.col("_cos2"), 6)
+    # a sole candidate (no runner-up) has nothing to clear: margin NULL,
+    # acceptance falls to the absolute-cosine gate alone — both twins
+    return best.select(
+        "src_id", "src_lang", "tgt_id", "cos_top1",
+        margin.alias("margin"),
+        ((F.col("cos_top1") >= BITEXT_MIN_COS)
+         & F.coalesce(margin >= BITEXT_MARGIN, F.lit(True)))
+         .alias("accepted"))
+
+
+MINE_BITEXT_PAIRS_SQL = f"""
+WITH ed AS (
+  SELECT e.vec_id, d.lang, e.label, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+src AS (SELECT vec_id AS src_id, lang AS src_lang, label, embedding AS se
+        FROM ed WHERE lang <> 'en'),
+tgt AS (SELECT vec_id AS tgt_id, label, embedding AS te
+        FROM ed WHERE lang = 'en'),
+scored AS (
+  SELECT src_id, src_lang, tgt_id,
+         {_SEM_COS(d=_DOT_SQL.format(a='se', b='te'),
+                   na=_NORM2_SQL.format(a='se'),
+                   nb=_NORM2_SQL.format(a='te'))} AS c
+  FROM src JOIN tgt USING (label)),
+top2 AS (
+  SELECT * FROM (
+    SELECT src_id, src_lang, tgt_id, c,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY c DESC, tgt_id) AS r
+    FROM scored) WHERE r <= 2),
+best AS (
+  SELECT src_id, src_lang,
+         max(CASE WHEN r = 1 THEN tgt_id END) AS tgt_id,
+         max(CASE WHEN r = 1 THEN c END) AS cos_top1,
+         max(CASE WHEN r = 2 THEN c END) AS cos2
+  FROM top2 GROUP BY 1, 2)
+SELECT src_id, src_lang, tgt_id, cos_top1,
+       round(cos_top1 - cos2, 6) AS margin,
+       (cos_top1 >= {BITEXT_MIN_COS}
+        AND coalesce(round(cos_top1 - cos2, 6) >= {BITEXT_MARGIN}, TRUE))
+         AS accepted
+FROM best
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1016,6 +1103,7 @@ QUERIES = {
     "layout_zorder_scan": layout_zorder_scan,
     "text_dup_ngrams": text_dup_ngrams,
     "dsir_importance": dsir_importance,
+    "mine_bitext_pairs": mine_bitext_pairs,
 }
 
 ORACLES = {
@@ -1035,4 +1123,5 @@ ORACLES = {
     "layout_zorder_scan": LAYOUT_ZORDER_SCAN_SQL,
     "text_dup_ngrams": TEXT_DUP_NGRAMS_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
+    "mine_bitext_pairs": MINE_BITEXT_PAIRS_SQL,
 }

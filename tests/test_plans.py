@@ -360,3 +360,12 @@ def test_ann_ivf_pq_broadcasts_and_no_cartesian(spark, sf_dir):
     df = ann_ivf_pq_topk(spark, sf_dir)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_bitext_mining_cell_pruned_no_cartesian(spark, sf_dir):
+    # candidate generation must be the label-cell equi-join — a
+    # cartesian/BNL product means the mining degenerated to all-pairs
+    from bigarrays_jl_spark.operators.extensions import mine_bitext_pairs
+    plan = simple_plan(mine_bitext_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -332,3 +332,50 @@ def test_streaming_minhash_neardup_matches_batch_twin(spark, sf_dir, tmp_path):
     want = {(r.batch_id, r.corpus_id, float(r.est_jaccard))
             for r in dedup_incremental_minhash(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_incremental_dedup_survives_restart(spark, sf_dir, tmp_path):
+    # the durable-index bridge must continue, not restart, after the
+    # query is stopped: a NEW query on the same checkpoint must skip
+    # already-processed files (no re-admission of corpus docs) and the
+    # final admitted set must still match the batch twin
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.dedup import dedup_incremental
+    from bigarrays_jl_spark.streaming.windows import \
+        streaming_incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    corpus.coalesce(1).write.parquet(src)
+
+    q1 = streaming_incremental_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    n_after_phase1 = spark.read.parquet(out).count()
+
+    # restart from the same checkpoint; only the new file is processed
+    batch.coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_incremental_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    admitted = spark.read.parquet(out)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    corpus_admissions = admitted.filter(
+        ~F.col("doc_id").isin(list(batch_ids))).count()
+    assert corpus_admissions == n_after_phase1, "corpus docs re-admitted"
+    got = {(r.doc_id, r.fp) for r in admitted.collect()
+           if r.doc_id in batch_ids}
+    want = {(r.doc_id, r.fp)
+            for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == want
