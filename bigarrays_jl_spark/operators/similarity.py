@@ -955,8 +955,10 @@ WHERE rank <= {TOP_K}
 # touches more than the probed cells' code rows.
 # --------------------------------------------------------------------------
 
-def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    sub, cent, codes = _pq_fit(spark, sf)
+def ann_ivf_pq_topk(spark: SparkSession, sf: str,
+                    pq_k: int = PQ_K, iters: int = PQ_ITERS,
+                    pq_m: int = PQ_M) -> DataFrame:
+    sub, cent, codes = _pq_fit(spark, sf, pq_k, iters, pq_m)
     e, routed = _ivf_routed(spark, sf, nprobe=1)
     codesl = codes.join(e.select("vec_id", "label"), "vec_id")
     q = (sub.filter(F.col("vec_id") < N_QUERIES)
