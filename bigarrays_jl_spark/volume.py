@@ -941,6 +941,152 @@ class Volume:
         dest._write_chunks(
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
+    def rechunk(self, dest: "Volume") -> None:
+        """Migrate this volume's data into ``dest``'s chunk lattice — the
+        chunk-size-migration maintenance op (e.g. 64³ → 128³ before a
+        read-heavy phase, or the reverse for finer cutout granularity).
+
+        ``dest`` must share voxel_offset/volume_size/dtype/channels but
+        may use ANY chunk size whose lattice NESTS with the source's
+        (each axis divides one way or the other, same lattice anchor):
+
+        - **split** (every dest axis divides the source's): one
+          ``mapInPandas`` over the chunk table — each source chunk
+          decodes once and emits its sub-chunks.  NO shuffle; at 100 TB
+          this is a single scan + write.
+        - **merge** (every source axis divides the dest's): chunk ids
+          regroup to dest ids via JVM floor-division columns, ONE
+          shuffle keyed by dest chunk id, and applyInPandas assembles
+          each dest chunk (absent source chunks leave zeros — the P6
+          missing-data background).
+
+        Mixed per-axis split/merge does not nest and raises — route
+        through ``dest.ingest_voxels(self.voxels())`` for arbitrary
+        relayouts (voxel-explode cost, fully general).
+        """
+        src_sc, dst_sc = self.scale, dest.scale
+        if (tuple(src_sc.voxel_offset) != tuple(dst_sc.voxel_offset)
+                or tuple(src_sc.volume_size) != tuple(dst_sc.volume_size)):
+            raise ValueError(
+                "rechunk requires matching voxel_offset/volume_size; got "
+                f"src={src_sc.voxel_offset}/{src_sc.volume_size} vs "
+                f"dst={dst_sc.voxel_offset}/{dst_sc.volume_size}")
+        if (self.info.data_type != dest.info.data_type
+                or self.info.num_channels != dest.info.num_channels):
+            raise ValueError(
+                "rechunk requires matching dtype/channels (use map_blocks "
+                "for dtype changes on a shared lattice)")
+        scs, dcs = tuple(src_sc.chunk_size), tuple(dst_sc.chunk_size)
+        src_anchor = ix.lattice_anchor(src_sc.voxel_offset, scs)
+        dst_anchor = ix.lattice_anchor(dst_sc.voxel_offset, dcs)
+        splits = all(s % d == 0 for s, d in zip(scs, dcs))
+        merges = all(d % s == 0 for d, s in zip(dcs, scs))
+        if not (splits or merges) or src_anchor != dst_anchor:
+            raise ValueError(
+                f"rechunk lattices don't nest: src chunks {scs} "
+                f"(anchor {src_anchor}) vs dst {dcs} (anchor "
+                f"{dst_anchor}); every axis must divide one way or the "
+                "other — use dest.ingest_voxels(self.voxels()) for "
+                "arbitrary relayouts")
+
+        nc = self.info.num_channels
+        dtype_str = self.info.data_type
+        dst_enc = dst_sc.encoding
+        vol = self.vol_box
+        epoch = dest._next_epoch()
+        _root = _REPO_ROOT
+        dst_off, dst_size = dst_sc.voxel_offset, dst_sc.volume_size
+
+        def _decode(enc, payload, shape, _np, _codecs):
+            full = (*shape, nc)
+            arr = _np.frombuffer(
+                _codecs.get_codec(enc).decode(bytes(payload)),
+                dtype=_np.dtype(dtype_str))
+            return arr.reshape(full, order="F") if nc > 1 else \
+                arr.reshape(shape, order="F")[..., _np.newaxis]
+
+        def _encode(out, _np, _codecs):
+            o = out[..., 0] if nc == 1 else out
+            return _codecs.get_codec(dst_enc).encode(
+                _np.asfortranarray(o).tobytes(order="F"))
+
+        if splits and scs != dcs:
+            def split_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import sys
+                if _root not in sys.path:
+                    sys.path.insert(0, _root)
+                import numpy as _np
+                from bigarrays_jl_spark import codecs as _codecs
+                from bigarrays_jl_spark import indexes as _ix
+                for b in it:
+                    rows = {k: [] for k in
+                            ("cx", "cy", "cz", "key", "enc", "epoch",
+                             "payload")}
+                    for key, enc, payload in zip(b["key"], b["enc"],
+                                                 b["payload"]):
+                        sbox = _ix.parse_chunk_key(key)
+                        arr = _decode(enc, payload, _ix.box_shape(sbox),
+                                      _np, _codecs)
+                        # every dst chunk ∩ volume nests inside this src
+                        # chunk (divisible sizes + shared anchor)
+                        for cs in _ix.iter_chunk_slices(
+                                sbox, dst_off, dst_size, dcs):
+                            db = cs.cutout_box
+                            sub = arr[tuple(
+                                slice(lo - s0, hi - s0)
+                                for (lo, hi), (s0, _) in zip(db, sbox))]
+                            rows["cx"].append(cs.cid[0])
+                            rows["cy"].append(cs.cid[1])
+                            rows["cz"].append(cs.cid[2])
+                            rows["key"].append(cs.key)
+                            rows["enc"].append(dst_enc)
+                            rows["epoch"].append(_np.int64(epoch))
+                            rows["payload"].append(
+                                _encode(_np.ascontiguousarray(sub), _np,
+                                        _codecs))
+                    yield pd.DataFrame(rows)
+
+            out = self._latest(self.chunks_df()).mapInPandas(
+                split_fn, CHUNK_SCHEMA)
+        else:
+            ratios = [d // s for d, s in zip(dcs, scs)]
+            keyed = self._latest(self.chunks_df()).select(
+                F.floor(F.col("cx") / ratios[0]).cast("int").alias("dcx"),
+                F.floor(F.col("cy") / ratios[1]).cast("int").alias("dcy"),
+                F.floor(F.col("cz") / ratios[2]).cast("int").alias("dcz"),
+                "key", "enc", "payload")
+
+            def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                import sys
+                if _root not in sys.path:
+                    sys.path.insert(0, _root)
+                import numpy as _np
+                from bigarrays_jl_spark import codecs as _codecs
+                from bigarrays_jl_spark import indexes as _ix
+                cid = (int(pdf.dcx.iloc[0]), int(pdf.dcy.iloc[0]),
+                       int(pdf.dcz.iloc[0]))
+                raw = tuple(_ix.chunk_global_range(c, a, s)
+                            for c, a, s in zip(cid, dst_anchor, dcs))
+                dbox = _ix.intersect_box(raw, vol)
+                buf = _np.zeros((*_ix.box_shape(dbox), nc),
+                                dtype=_np.dtype(dtype_str), order="F")
+                for key, enc, payload in zip(pdf.key, pdf.enc, pdf.payload):
+                    sbox = _ix.parse_chunk_key(key)
+                    arr = _decode(enc, payload, _ix.box_shape(sbox),
+                                  _np, _codecs)
+                    sl = tuple(slice(lo - d0, hi - d0)
+                               for (lo, hi), (d0, _) in zip(sbox, dbox))
+                    buf[sl] = arr
+                return pd.DataFrame({
+                    "cx": [cid[0]], "cy": [cid[1]], "cz": [cid[2]],
+                    "key": [_ix.chunk_key(dbox)], "enc": [dst_enc],
+                    "epoch": [epoch], "payload": [_encode(buf, _np,
+                                                          _codecs)]})
+
+            out = keyed.groupBy("dcx", "dcy", "dcz").applyInPandas(
+                merge_fn, CHUNK_SCHEMA)
+        dest._write_chunks(out)
+
     def _maybe_auto_compact(self) -> None:
         """Fold overwrite history once it crosses ``auto_compact_epochs``
         (epochs are 0-based, so epoch e means e+1 write generations).

@@ -525,3 +525,53 @@ def test_downsample_emits_no_spurious_zero_chunks(spark):
     vol.downsample(from_mip=0)
     assert vol.chunks_df(1).count() == 0, \
         "no source data maps inside the dst volume, so mip1 must be empty"
+
+
+def _rc_info(chunk, size=(24, 16, 8), dtype="uint8"):
+    return Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": dtype,
+        "scales": [{"encoding": "gzip", "chunk_sizes": [list(chunk)],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": list(size)}]})
+
+
+def test_rechunk_split_roundtrip(spark, tmp_path):
+    # 8x8x4 -> 4x4x2: pure map path (each source chunk emits its
+    # sub-chunks), boundary chunks included (size 24x16x8 is not a
+    # multiple of anything interesting but clamps identically)
+    src = Volume.create(spark, str(tmp_path / "rs_src"), _rc_info((8, 8, 4)))
+    a = rand_u8((24, 16, 8))
+    src.write(a, (0, 0, 0))
+    dst = Volume.create(spark, str(tmp_path / "rs_dst"), _rc_info((4, 4, 2)))
+    src.rechunk(dst)
+    out, _ = dst.cutout(((0, 24), (0, 16), (0, 8)))
+    np.testing.assert_array_equal(out, a)
+    assert dst.num_chunks() < dst.chunks_df().count() + 1  # table written
+    assert dst.chunks_df().count() == 6 * 4 * 4
+
+
+def test_rechunk_merge_roundtrip_with_missing_chunks(spark, tmp_path):
+    # 4x4x2 -> 8x8x4: grouped-assembly path; leave part of the volume
+    # unwritten so absent source chunks must zero-fill in the dest
+    src = Volume.create(spark, str(tmp_path / "rm_src"), _rc_info((4, 4, 2)))
+    a = rand_u8((16, 16, 8))
+    src.write(a, (0, 0, 0))        # covers x<16 only; x in [16,24) missing
+    dst = Volume.create(spark, str(tmp_path / "rm_dst"), _rc_info((8, 8, 4)))
+    src.rechunk(dst)
+    out, _ = dst.cutout(((0, 24), (0, 16), (0, 8)))
+    want = np.zeros((24, 16, 8), dtype=np.uint8)
+    want[:16] = a
+    np.testing.assert_array_equal(out, want)
+
+
+def test_rechunk_rejects_non_nesting_lattice(spark, tmp_path):
+    src = Volume.create(spark, str(tmp_path / "rx_src"), _rc_info((8, 8, 4)))
+    # 6 neither divides nor is divided by 8 on x
+    dst = Volume.create(spark, str(tmp_path / "rx_dst"), _rc_info((6, 8, 4)))
+    with pytest.raises(ValueError, match="nest"):
+        src.rechunk(dst)
+    # mixed split/merge (16 on x = merge, 4 on y = split) must also raise
+    dst2 = Volume.create(spark, str(tmp_path / "rx_dst2"),
+                         _rc_info((16, 4, 4)))
+    with pytest.raises(ValueError, match="nest"):
+        src.rechunk(dst2)
