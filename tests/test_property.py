@@ -203,3 +203,32 @@ def test_grouped_ntile_rejects_null_tiebreak_and_sep_group(spark):
         [(1, "en\x1fx", 1.0), (2, "fr", 2.0)], "id int, g string, v double")
     with pytest.raises(ValueError, match="separator"):
         grouped_ntile(spark, df2, 2, "g", "v", "id").collect()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 4), st.integers(-20, 20),
+       st.integers(1, 80))
+def test_rechunk_split_nesting_invariant(dst_c, ratio, offset, size):
+    # the invariant Volume.rechunk's shuffle-free split path relies on:
+    # with dividing chunk sizes and a shared lattice anchor, every dest
+    # chunk box ∩ volume lies wholly inside exactly ONE (clamped) source
+    # chunk box — so a source chunk can emit each sub-chunk from its own
+    # payload alone, no neighbor access, no shuffle
+    from bigarrays_jl_spark import indexes as ix
+    src_c = dst_c * ratio
+    anchor_s = ix.lattice_anchor([offset], [src_c])[0]
+    anchor_d = ix.lattice_anchor([offset], [dst_c])[0]
+    if anchor_s != anchor_d:
+        return  # rechunk rejects these lattices up front
+    vol_lo, vol_hi = offset, offset + size
+    for dc in range(ix.chunk_id(vol_lo, anchor_d, dst_c),
+                    ix.chunk_id(vol_hi - 1, anchor_d, dst_c) + 1):
+        d_lo, d_hi = ix.chunk_global_range(dc, anchor_d, dst_c)
+        d_lo, d_hi = max(d_lo, vol_lo), min(d_hi, vol_hi)
+        if d_hi <= d_lo:
+            continue
+        owners = {ix.chunk_id(g, anchor_s, src_c)
+                  for g in (d_lo, d_hi - 1)}
+        assert len(owners) == 1, (
+            f"dest chunk [{d_lo},{d_hi}) straddles source chunks "
+            f"{owners} (src_c={src_c}, dst_c={dst_c}, offset={offset})")
