@@ -1086,6 +1086,103 @@ FROM best
 """
 
 
+# --------------------------------------------------------------------------
+# events_anomaly_zscore — per-type z-score outlier flagging
+# --------------------------------------------------------------------------
+# The monitoring/data-quality shape: per-event-type mean and stddev from
+# exact DECIMAL power sums (the q42 canon — both engines fold the same
+# integers, so mean/std are bit-identical doubles), broadcast back into
+# one scan, flag |z| > 3.  Population stddev (n divisor) to match the
+# power-sum identity exactly.  Scale: the stats table is |event types|
+# rows (broadcast); the flagging pass is map-side — one agg + one scan
+# at any event-log size.  The ~5-value groupBy is salted-agg territory
+# at 100 TB (q36); kept plain here to keep the oracle 1:1 — swapping in
+# the salted two-phase changes no output.
+
+ANOMALY_Z = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select("event_id", "event_type", "value")
+    d = lambda c: F.sum(c.cast("decimal(28,6)"))  # noqa: E731
+    v = F.col("value")
+    stats = (e.groupBy("event_type")
+             .agg(F.count("*").alias("n"), d(v).alias("sx"),
+                  d(v * v).alias("sxx"))
+             .select("event_type",
+                     (F.col("sx").cast("double") / F.col("n")).alias("mean"),
+                     F.sqrt(F.col("sxx").cast("double") / F.col("n")
+                            - F.pow(F.col("sx").cast("double") / F.col("n"),
+                                    2)).alias("std")))
+    # std=0 guard (a constant-valued type): Spark's x/0 is NULL, DuckDB's
+    # is ±Inf — pin both twins to NULL z / not-anomalous
+    z = F.when(F.col("std") > 0,
+               F.round((v - F.col("mean")) / F.col("std"), 4))
+    return (e.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type",
+                    F.round(v, 2).alias("value"),
+                    z.alias("z"),
+                    F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False))
+                     .alias("is_anomaly")))
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type),
+st AS (
+  SELECT event_type, sx / n AS mean,
+         sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+  FROM s)
+SELECT event_id, e.event_type, round(value, 2) AS value,
+       CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS z,
+       coalesce(CASE WHEN std > 0
+                THEN abs(round((value - mean) / std, 4)) > {ANOMALY_Z}
+                END, FALSE) AS is_anomaly
+FROM events e JOIN st ON e.event_type = st.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# text_vocab_growth — per-source vocabulary statistics (Heaps'-law view)
+# --------------------------------------------------------------------------
+# Corpus diagnostics a curation pipeline tracks per source: token total,
+# distinct-type count, and type-token ratio — the inputs to a Heaps'
+# K·n^β vocabulary-growth fit and a cheap lexical-diversity quality
+# signal (boilerplate-heavy sources show depressed TTR).  One explode →
+# one (source, token)-keyed distinct agg; integers exact, one terminal
+# division.  At 100 TB the distinct runs as partial aggregation on the
+# (source, token) hash — no single-task stage.
+
+def text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import tokens
+    d = fan_out(spark, load(spark, sf, "documents"))
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    per = (tok.groupBy("source")
+           .agg(F.count("*").alias("n_tokens"),
+                F.countDistinct("t").alias("n_types")))
+    return per.select(
+        "source", "n_tokens", "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+         .alias("type_token_ratio"))
+
+
+TEXT_VOCAB_GROWTH_SQL = r"""
+WITH tok AS (
+  SELECT source, t
+  FROM (SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        FROM documents), UNNEST(ts) AS u(t))
+SELECT source, count(*) AS n_tokens,
+       count(DISTINCT t) AS n_types,
+       round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6)
+         AS type_token_ratio
+FROM tok GROUP BY source
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1104,6 +1201,8 @@ QUERIES = {
     "text_dup_ngrams": text_dup_ngrams,
     "dsir_importance": dsir_importance,
     "mine_bitext_pairs": mine_bitext_pairs,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "text_vocab_growth": text_vocab_growth,
 }
 
 ORACLES = {
@@ -1124,4 +1223,6 @@ ORACLES = {
     "text_dup_ngrams": TEXT_DUP_NGRAMS_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "mine_bitext_pairs": MINE_BITEXT_PAIRS_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_SQL,
+    "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
 }
