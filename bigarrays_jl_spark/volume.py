@@ -941,6 +941,78 @@ class Volume:
         dest._write_chunks(
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
+    def fsck(self, mip: int | None = None) -> DataFrame:
+        """Distributed integrity audit of the stored chunk table —
+        the maintenance op you run before trusting a long-lived dataset
+        (the missing-chunk listing's payload-level counterpart).
+
+        One map-side pass over the chunk table; per LATEST chunk row it
+        returns ``(key, enc, ok, error)`` where ``ok`` requires:
+
+        - the key parses and its box is the clamped box of a chunk on
+          this mip's lattice (catches foreign/misplaced keys);
+        - the chunk-id columns agree with the key (catches index/key
+          drift that would break pruning);
+        - the payload decodes and its byte length matches the key's
+          box shape × dtype × channels (catches truncation, codec
+          corruption, wrong-dtype writes).
+
+        Scale shape: inherits the scan's partitioning, no shuffle
+        beyond `_latest`'s (skipped entirely for uncompacted
+        write-once data); nothing touches the driver — filter
+        ``ok = false`` and count/collect as needed.
+        """
+        m = self.mip if mip is None else mip
+        sc = self.info.scale(m)
+        nc = self.info.num_channels
+        dtype_str = self.info.data_type
+        anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
+        chunk_size = tuple(sc.chunk_size)
+        vol = ix.volume_box(sc.voxel_offset, sc.volume_size)
+        _root = _REPO_ROOT
+
+        def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
+            import numpy as _np
+            from bigarrays_jl_spark import codecs as _codecs
+            from bigarrays_jl_spark import indexes as _ix
+            itemsize = _np.dtype(dtype_str).itemsize
+            for b in it:
+                oks, errs = [], []
+                for cx, cy, cz, key, enc, payload in zip(
+                        b["cx"], b["cy"], b["cz"], b["key"], b["enc"],
+                        b["payload"]):
+                    err = None
+                    try:
+                        box = _ix.parse_chunk_key(key)
+                        cid = (int(cx), int(cy), int(cz))
+                        raw = tuple(_ix.chunk_global_range(c, a, s)
+                                    for c, a, s in
+                                    zip(cid, anchor, chunk_size))
+                        want_box = _ix.intersect_box(raw, vol)
+                        if box != want_box:
+                            err = (f"key {key} != lattice box "
+                                   f"{want_box} for cid {cid}")
+                        else:
+                            data = _codecs.get_codec(enc).decode(
+                                bytes(payload))
+                            want = (_np.prod(_ix.box_shape(box))
+                                    * nc * itemsize)
+                            if len(data) != want:
+                                err = (f"payload {len(data)} B != "
+                                       f"expected {int(want)} B")
+                    except Exception as e:  # noqa: BLE001
+                        err = f"{type(e).__name__}: {e}"
+                    oks.append(err is None)
+                    errs.append(err)
+                yield pd.DataFrame({"key": b["key"], "enc": b["enc"],
+                                    "ok": oks, "error": errs})
+
+        return self._latest(self.chunks_df(m)).mapInPandas(
+            audit, "key string, enc string, ok boolean, error string")
+
     def rechunk(self, dest: "Volume") -> None:
         """Migrate this volume's data into ``dest``'s chunk lattice — the
         chunk-size-migration maintenance op (e.g. 64³ → 128³ before a

@@ -575,3 +575,32 @@ def test_rechunk_rejects_non_nesting_lattice(spark, tmp_path):
                          _rc_info((16, 4, 4)))
     with pytest.raises(ValueError, match="nest"):
         src.rechunk(dst2)
+
+
+def test_fsck_clean_and_corrupted(spark, tmp_path):
+    import gzip
+
+    vol = Volume.create(spark, str(tmp_path / "fsck"), _rc_info((8, 8, 4)))
+    a = rand_u8((24, 16, 8))
+    vol.write(a, (0, 0, 0))
+    clean = vol.fsck()
+    assert clean.count() == 12 and clean.filter("NOT ok").count() == 0
+
+    # corrupt one chunk (truncated payload) and misplace another
+    # (key that is not this lattice's clamped box for its cid), at a
+    # later epoch so _latest surfaces exactly these rows
+    bad = spark.createDataFrame(
+        [(0, 0, 0, "0-8_0-8_0-4", "gzip", 99,
+          gzip.compress(b"\x00" * 10)),          # 10 B != 8*8*4
+         (1, 0, 0, "0-8_0-8_0-4", "gzip", 99,    # foreign key for cid(1,0,0)
+          gzip.compress(b"\x00" * (8 * 8 * 4)))],
+        "cx int, cy int, cz int, key string, enc string, epoch bigint, "
+        "payload binary")
+    vol._write_chunks(bad)
+    # epoch tracker: _latest consults _current_epoch; bump via marker
+    vol._next_epoch()
+    report = {r.key + f"@{r.ok}": r.error for r in vol.fsck().collect()}
+    flagged = vol.fsck().filter("NOT ok").collect()
+    assert len(flagged) == 2, report
+    errs = " | ".join(r.error for r in flagged)
+    assert "B != expected" in errs and "lattice box" in errs
