@@ -1183,6 +1183,49 @@ FROM tok GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# events_rolling_dau — daily actives + exact 7-day rolling distinct users
+# --------------------------------------------------------------------------
+# The engagement dashboard pair (DAU / WAU-rolling).  Rolling DISTINCT
+# cannot reaggregate from per-day counts (users overlap across days),
+# so the exact plan pre-shrinks to distinct (day, user) pairs — the
+# only corpus-sized shuffle — then fans each pair out to the ≤7 target
+# days it covers via a broadcast range join against the tiny day
+# dimension, and counts distinct per target day.  At 100 TB the
+# (day, user) distinct is bounded by activity (not events), the
+# fan-out is a constant 7, and the day dimension broadcasts at any
+# horizon.
+
+def events_rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    du = (e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+           .localCheckpoint(eager=False))  # reused by both aggregates
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    rolling = (du.join(F.broadcast(days.select(F.col("day").alias("d"))),
+                       (F.col("day") <= F.col("d"))
+                       & (F.col("day") >= F.date_sub(F.col("d"), 6)))
+               .groupBy("d")
+               .agg(F.countDistinct("user_id").alias("rolling_7d_users")))
+    return (dau.join(rolling, dau.day == rolling.d)
+               .select("day", "dau", "rolling_7d_users"))
+
+
+EVENTS_ROLLING_DAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT day AS d FROM du),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+rolling AS (
+  SELECT d, count(DISTINCT user_id) AS rolling_7d_users
+  FROM du JOIN days ON du.day <= d AND du.day >= d - INTERVAL 6 DAY
+  GROUP BY d)
+SELECT day, dau, rolling_7d_users
+FROM dau JOIN rolling ON dau.day = rolling.d
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1203,6 +1246,7 @@ QUERIES = {
     "mine_bitext_pairs": mine_bitext_pairs,
     "events_anomaly_zscore": events_anomaly_zscore,
     "text_vocab_growth": text_vocab_growth,
+    "events_rolling_dau": events_rolling_dau,
 }
 
 ORACLES = {
@@ -1225,4 +1269,5 @@ ORACLES = {
     "mine_bitext_pairs": MINE_BITEXT_PAIRS_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_SQL,
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
+    "events_rolling_dau": EVENTS_ROLLING_DAU_SQL,
 }

@@ -229,12 +229,15 @@ def test_extension_ops_no_single_partition(spark, sf_dir):
     # retention / transitions / ngram-topk: every window partitions by a
     # bounded key (user_id, event_type, lang) — no whole-table funnel
     from bigarrays_jl_spark.operators.extensions import (
-        events_retention, events_transitions, events_windowed_topk,
-        text_bigram_logprob, text_ngram_topk)
+        events_anomaly_zscore, events_retention, events_transitions,
+        events_windowed_topk, mine_bitext_pairs, text_bigram_logprob,
+        text_dup_ngrams, text_ngram_topk, text_vocab_growth)
     for op in (events_retention, events_transitions, text_ngram_topk,
-               events_windowed_topk, text_bigram_logprob):
+               events_windowed_topk, text_bigram_logprob,
+               events_anomaly_zscore, text_vocab_growth, text_dup_ngrams,
+               mine_bitext_pairs):
         plan = simple_plan(op(spark, sf_dir))
-        assert "SinglePartition" not in plan, plan
+        assert "SinglePartition" not in plan, (op.__name__, plan)
 
 
 def test_semdedup_broadcasts_seeds_no_cartesian(spark, sf_dir):
