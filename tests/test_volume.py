@@ -604,3 +604,23 @@ def test_fsck_clean_and_corrupted(spark, tmp_path):
     assert len(flagged) == 2, report
     errs = " | ".join(r.error for r in flagged)
     assert "B != expected" in errs and "lattice box" in errs
+
+
+def test_rechunk_multichannel_roundtrip(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 2, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 8, 8]}]})
+    src = Volume.create(spark, str(tmp_path / "rc2_src"), info)
+    a = rand_u8((16, 8, 8, 2))
+    src.write(a, (0, 0, 0))
+    dinfo = Info.from_dict({
+        "num_channels": 2, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[4, 4, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [16, 8, 8]}]})
+    dst = Volume.create(spark, str(tmp_path / "rc2_dst"), dinfo)
+    src.rechunk(dst)
+    out, _ = dst.cutout(((0, 16), (0, 8), (0, 8)))
+    np.testing.assert_array_equal(out, a)
