@@ -70,5 +70,24 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, digits: int = 6) -> Column:
-    """Cosine similarity rounded for cross-engine float parity."""
+    """Cosine similarity rounded for cross-engine float parity.
+
+    On a ZERO-NORM vector this is 0/0 — Spark (non-ANSI) yields NULL
+    while DuckDB's IEEE path yields NaN, and the engines then sort those
+    opposite ways.  Use ``guarded_cosine`` for corpora that may contain
+    degenerate (all-zero / NULL) embeddings; this unguarded form is for
+    paths whose inputs are known non-degenerate (the ann_*/sim_* demo
+    corpus) where the extra CASE would be dead weight per comparison."""
     return F.round(dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b))), digits)
+
+
+def guarded_cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """``cosine`` with a -2.0 sentinel when either norm is 0: both
+    engines agree on degenerate vectors (below any real cosine, so they
+    can never win an argmax or pass a similarity threshold).  SQL twin:
+    CASE WHEN na > 0 AND nb > 0 THEN round(dot/(sqrt(na)*sqrt(nb)), d)
+    ELSE -2.0 END."""
+    na, nb = norm2(a), norm2(b)
+    return F.when((na > 0) & (nb > 0),
+                  F.round(dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), digits)
+                  ).otherwise(F.lit(-2.0))

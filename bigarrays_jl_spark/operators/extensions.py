@@ -166,14 +166,9 @@ SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 
 
 
-def _guarded_cos(a, b):
-    """round(cos(a, b), 6) with a -2.0 sentinel when either norm is 0
-    (NULL/zero embeddings): keeps Spark and the DuckDB twin agreeing on
-    degenerate vectors instead of diverging on NULL-vs-NaN semantics."""
-    na, nb = _norm2(a), _norm2(b)
-    return F.when((na > 0) & (nb > 0),
-                  F.round(_dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), 6)
-                  ).otherwise(F.lit(-2.0))
+# zero-norm-guarded cosine lives in the shared expression canon
+# (functions/expressions.py) beside the unguarded `cosine`
+from bigarrays_jl_spark.functions import guarded_cosine as _guarded_cos
 
 
 def _assign_clusters(e: DataFrame) -> DataFrame:
@@ -790,7 +785,11 @@ def _clustered_lineitem_path(spark: SparkSession, sf: str) -> str:
     import tempfile
 
     from bigarrays_jl_spark.sources.tables import materialize_clustered
-    tag = os.path.basename(sf.rstrip("/")) or "sf"
+    # key on a hash of the FULL sf path: two dirs sharing a basename
+    # (/runA/sf0.1 vs /runB/sf0.1) must not reuse each other's layout —
+    # a stale-sentinel hit would answer over the wrong dataset
+    import hashlib
+    tag = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(),
                         f"bigarrays_zli_{os.getpid()}_{tag}")
     path = os.path.join(base, "lineitem_z")
@@ -1106,14 +1105,20 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").select("event_id", "event_type", "value")
     d = lambda c: F.sum(c.cast("decimal(28,6)"))  # noqa: E731
     v = F.col("value")
+    # variance canon (q42): m*m MULTIPLICATION (pow(x,2) may differ from
+    # x*x by an ulp and break engine parity), and greatest(...,0) clamps
+    # the catastrophic-cancellation case (near-constant type, sxx/n ≈
+    # m²) so sqrt can never yield NaN — a NaN std would PASS a bare
+    # std>0 guard on both engines (NaN compares greater) and flag every
+    # row of a constant type anomalous
+    m = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
+                     F.lit(0.0))
     stats = (e.groupBy("event_type")
              .agg(F.count("*").alias("n"), d(v).alias("sx"),
                   d(v * v).alias("sxx"))
-             .select("event_type",
-                     (F.col("sx").cast("double") / F.col("n")).alias("mean"),
-                     F.sqrt(F.col("sxx").cast("double") / F.col("n")
-                            - F.pow(F.col("sx").cast("double") / F.col("n"),
-                                    2)).alias("std")))
+             .select("event_type", m.alias("mean"),
+                     F.sqrt(var).alias("std")))
     # std=0 guard (a constant-valued type): Spark's x/0 is NULL, DuckDB's
     # is ±Inf — pin both twins to NULL z / not-anomalous
     z = F.when(F.col("std") > 0,
@@ -1134,7 +1139,7 @@ WITH s AS (
   FROM events GROUP BY event_type),
 st AS (
   SELECT event_type, sx / n AS mean,
-         sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+         sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS std
   FROM s)
 SELECT event_id, e.event_type, round(value, 2) AS value,
        CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS z,

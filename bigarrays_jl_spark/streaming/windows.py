@@ -149,6 +149,21 @@ def streaming_corpus_dedup(docs: DataFrame,
             .select("doc_id", "source", "fp"))
 
 
+def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a durable-index parquet dir, returning None ONLY when the
+    path does not exist yet (legitimate first batch).  Any other failure
+    (throttling, corrupt file, permissions) propagates so foreachBatch
+    fails the micro-batch and the checkpoint retries it — treating those
+    as "no index" would silently disable dedup for the batch."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def streaming_incremental_dedup(docs: DataFrame, index_path: str,
                                 out_path: str, checkpoint_path: str):
     """Production ingest-dedup bridge: foreachBatch + the
@@ -186,10 +201,13 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
                 .groupBy("fp")
                 .agg(F.min("doc_id").alias("doc_id"),
                      F.min_by("source", "doc_id").alias("source")))
-        try:
-            idx = spark.read.parquet(index_path).select("fp")
-        except Exception:  # first batch: no index yet
-            idx = None
+        # missing-path = first batch; any OTHER read error must FAIL the
+        # batch (checkpoint retries it) — swallowing a transient index
+        # read failure would skip the anti-join and silently re-admit
+        # every already-seen doc in this micro-batch
+        idx = _read_index_or_none(spark, index_path)
+        if idx is not None:
+            idx = idx.select("fp")
         fresh = best if idx is None else best.join(idx, "fp", "left_anti")
         # one evaluation, two consumers: avoid recomputing the anti-join
         fresh = fresh.localCheckpoint(eager=True)
@@ -237,10 +255,9 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
         spark = batch_df.sparkSession
         bands = (band_signatures(batch_df.select("doc_id", "text"))
                  .localCheckpoint(eager=True))  # one signature pass
-        try:
-            idx = spark.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
-            idx = None
+        # missing-path only; real I/O errors fail the batch for retry
+        # (see streaming_incremental_dedup)
+        idx = _read_index_or_none(spark, index_path)
         if idx is not None:
             shared = F.size(F.filter(
                 F.zip_with(F.col("a.sig"), F.col("i.sig"),

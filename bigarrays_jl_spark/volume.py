@@ -75,6 +75,23 @@ def _encode_batches_fn(enc: str):
 
     return encode_batches
 
+def decode_chunk_payload(enc: str, payload, shape, nc: int, dtype):
+    """Chunk payload bytes → ``(x, y, z, c)`` F-order ndarray with the
+    channel axis ALWAYS present — the payload-decode canon shared by
+    ``map_blocks`` and ``rechunk`` (a change to the payload layout must
+    not need applying in multiple hand-rolled copies; the cutout
+    assembly path keeps its own fused decode+slice for the hot read).
+    Safe to call from executor closures (imports locally)."""
+    import numpy as _np
+
+    from bigarrays_jl_spark import codecs as _codecs
+    arr = _np.frombuffer(_codecs.get_codec(enc).decode(bytes(payload)),
+                         dtype=_np.dtype(dtype))
+    if nc > 1:
+        return arr.reshape((*shape, nc), order="F")
+    return arr.reshape(tuple(shape), order="F")[..., _np.newaxis]
+
+
 CHUNK_SCHEMA = "cx int, cy int, cz int, key string, enc string, epoch bigint, payload binary"
 
 
@@ -909,7 +926,7 @@ class Volume:
             import numpy as _np
             from bigarrays_jl_spark import codecs as _codecs
             from bigarrays_jl_spark import indexes as _ix
-            sdt = _np.dtype(src_dtype)
+            from bigarrays_jl_spark.volume import decode_chunk_payload
             ddt = _np.dtype(dst_dtype)
             out_codec = _codecs.get_codec(dst_enc)
             for b in it:
@@ -917,12 +934,8 @@ class Volume:
                 for key, enc, payload in zip(b["key"], b["enc"], b["payload"]):
                     cbox = _ix.parse_chunk_key(key)
                     shape = _ix.box_shape(cbox)
-                    full = (*shape, nc) if nc > 1 else shape
-                    codec = _codecs.get_codec(enc)
-                    arr = _np.frombuffer(codec.decode(bytes(payload)), dtype=sdt)
-                    arr = arr.reshape(full, order="F")
-                    if nc == 1:
-                        arr = arr[..., _np.newaxis]
+                    arr = decode_chunk_payload(enc, payload, shape, nc,
+                                               src_dtype)
                     out = _np.asarray(fn(arr))
                     if out.shape != arr.shape:
                         raise ValueError(
@@ -1013,6 +1026,7 @@ class Volume:
         return self._latest(self.chunks_df(m)).mapInPandas(
             audit, "key string, enc string, ok boolean, error string")
 
+    @_locked_writer(lambda self, dest: dest)
     def rechunk(self, dest: "Volume") -> None:
         """Migrate this volume's data into ``dest``'s chunk lattice — the
         chunk-size-migration maintenance op (e.g. 64³ → 128³ before a
@@ -1053,13 +1067,18 @@ class Volume:
         dst_anchor = ix.lattice_anchor(dst_sc.voxel_offset, dcs)
         splits = all(s % d == 0 for s, d in zip(scs, dcs))
         merges = all(d % s == 0 for d, s in zip(dcs, scs))
-        if not (splits or merges) or src_anchor != dst_anchor:
+        # divisibility alone guarantees nesting: both lattices anchor at
+        # voxel_offset mod their own chunk size, so every boundary of
+        # the coarser lattice ≡ offset (mod finer size) — i.e. it IS a
+        # finer-lattice boundary (anchors need not be equal; the merge
+        # path maps ids through the anchor offsets explicitly).  Only
+        # mixed per-axis split/merge genuinely fails to nest.
+        if not (splits or merges):
             raise ValueError(
-                f"rechunk lattices don't nest: src chunks {scs} "
-                f"(anchor {src_anchor}) vs dst {dcs} (anchor "
-                f"{dst_anchor}); every axis must divide one way or the "
-                "other — use dest.ingest_voxels(self.voxels()) for "
-                "arbitrary relayouts")
+                f"rechunk lattices don't nest: src chunks {scs} vs dst "
+                f"{dcs}; every axis must divide one way or the other — "
+                "use dest.ingest_voxels(self.voxels()) for arbitrary "
+                "relayouts")
 
         nc = self.info.num_channels
         dtype_str = self.info.data_type
@@ -1070,12 +1089,8 @@ class Volume:
         dst_off, dst_size = dst_sc.voxel_offset, dst_sc.volume_size
 
         def _decode(enc, payload, shape, _np, _codecs):
-            full = (*shape, nc)
-            arr = _np.frombuffer(
-                _codecs.get_codec(enc).decode(bytes(payload)),
-                dtype=_np.dtype(dtype_str))
-            return arr.reshape(full, order="F") if nc > 1 else \
-                arr.reshape(shape, order="F")[..., _np.newaxis]
+            from bigarrays_jl_spark.volume import decode_chunk_payload
+            return decode_chunk_payload(enc, payload, shape, nc, dtype_str)
 
         def _encode(out, _np, _codecs):
             o = out[..., 0] if nc == 1 else out
@@ -1100,7 +1115,8 @@ class Volume:
                         arr = _decode(enc, payload, _ix.box_shape(sbox),
                                       _np, _codecs)
                         # every dst chunk ∩ volume nests inside this src
-                        # chunk (divisible sizes + shared anchor)
+                        # chunk (dividing sizes + shared voxel_offset —
+                        # see the nesting proof at the validation above)
                         for cs in _ix.iter_chunk_slices(
                                 sbox, dst_off, dst_size, dcs):
                             db = cs.cutout_box
@@ -1113,19 +1129,27 @@ class Volume:
                             rows["key"].append(cs.key)
                             rows["enc"].append(dst_enc)
                             rows["epoch"].append(_np.int64(epoch))
+                            # _encode's asfortranarray does the one
+                            # required copy of the non-contiguous slice
                             rows["payload"].append(
-                                _encode(_np.ascontiguousarray(sub), _np,
-                                        _codecs))
+                                _encode(sub, _np, _codecs))
                     yield pd.DataFrame(rows)
 
             out = self._latest(self.chunks_df()).mapInPandas(
                 split_fn, CHUNK_SCHEMA)
         else:
-            ratios = [d // s for d, s in zip(dcs, scs)]
+            # dst id from src id through BOTH anchors (they differ when
+            # voxel_offset is not chunk-aligned):
+            #   dcx = floor((src_anchor + cx*scs - dst_anchor) / dcs)
+            def _dst_id(col, axis):
+                g = (F.col(col) * scs[axis] + (src_anchor[axis]
+                                               - dst_anchor[axis]))
+                return F.floor(g / dcs[axis]).cast("int")
+
             keyed = self._latest(self.chunks_df()).select(
-                F.floor(F.col("cx") / ratios[0]).cast("int").alias("dcx"),
-                F.floor(F.col("cy") / ratios[1]).cast("int").alias("dcy"),
-                F.floor(F.col("cz") / ratios[2]).cast("int").alias("dcz"),
+                _dst_id("cx", 0).alias("dcx"),
+                _dst_id("cy", 1).alias("dcy"),
+                _dst_id("cz", 2).alias("dcz"),
                 "key", "enc", "payload")
 
             def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:

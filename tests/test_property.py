@@ -210,16 +210,17 @@ def test_grouped_ntile_rejects_null_tiebreak_and_sep_group(spark):
        st.integers(1, 80))
 def test_rechunk_split_nesting_invariant(dst_c, ratio, offset, size):
     # the invariant Volume.rechunk's shuffle-free split path relies on:
-    # with dividing chunk sizes and a shared lattice anchor, every dest
-    # chunk box ∩ volume lies wholly inside exactly ONE (clamped) source
-    # chunk box — so a source chunk can emit each sub-chunk from its own
-    # payload alone, no neighbor access, no shuffle
+    # with dividing chunk sizes and a SHARED voxel_offset (anchors need
+    # not be equal — both derive as offset mod their own size, so every
+    # coarse boundary ≡ offset mod the finer size and is itself a fine
+    # boundary), every dest chunk box ∩ volume lies wholly inside
+    # exactly ONE (clamped) source chunk box — a source chunk can emit
+    # each sub-chunk from its own payload alone, no neighbors, no
+    # shuffle
     from bigarrays_jl_spark import indexes as ix
     src_c = dst_c * ratio
     anchor_s = ix.lattice_anchor([offset], [src_c])[0]
     anchor_d = ix.lattice_anchor([offset], [dst_c])[0]
-    if anchor_s != anchor_d:
-        return  # rechunk rejects these lattices up front
     vol_lo, vol_hi = offset, offset + size
     for dc in range(ix.chunk_id(vol_lo, anchor_d, dst_c),
                     ix.chunk_id(vol_hi - 1, anchor_d, dst_c) + 1):

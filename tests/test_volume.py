@@ -624,3 +624,29 @@ def test_rechunk_multichannel_roundtrip(spark, tmp_path):
     src.rechunk(dst)
     out, _ = dst.cutout(((0, 16), (0, 8), (0, 8)))
     np.testing.assert_array_equal(out, a)
+
+
+def test_rechunk_unaligned_offset_both_directions(spark, tmp_path):
+    # voxel_offset 5 with chunk sizes 8 and 4 gives DIFFERENT lattice
+    # anchors (5%8=5 vs 5%4=1) — the lattices still nest through the
+    # shared offset, and both migration directions must round-trip
+    def info(chunk):
+        return Info.from_dict({
+            "num_channels": 1, "type": "image", "data_type": "uint8",
+            "scales": [{"encoding": "gzip", "chunk_sizes": [list(chunk)],
+                        "key": "1_1_1", "resolution": [1, 1, 1],
+                        "voxel_offset": [5, 0, 0], "size": [19, 8, 8]}]})
+    a = rand_u8((19, 8, 8))
+    box = ((5, 24), (0, 8), (0, 8))
+
+    src = Volume.create(spark, str(tmp_path / "ua_src"), info((8, 8, 4)))
+    src.write(a, (5, 0, 0))
+    dst = Volume.create(spark, str(tmp_path / "ua_dst"), info((4, 4, 2)))
+    src.rechunk(dst)                     # split, anchors 5/0/0 vs 1/0/0
+    out, _ = dst.cutout(box)
+    np.testing.assert_array_equal(out, a)
+
+    back = Volume.create(spark, str(tmp_path / "ua_back"), info((8, 8, 4)))
+    dst.rechunk(back)                    # merge, the reverse mapping
+    out2, _ = back.cutout(box)
+    np.testing.assert_array_equal(out2, a)
