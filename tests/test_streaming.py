@@ -379,3 +379,46 @@ def test_streaming_incremental_dedup_survives_restart(spark, sf_dir, tmp_path):
     want = {(r.doc_id, r.fp)
             for r in dedup_incremental(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_minhash_neardup_survives_restart(spark, sf_dir, tmp_path):
+    # same restart contract as the fingerprint bridge: a NEW query on
+    # the same checkpoint must not reprocess the corpus file, and the
+    # post-restart match set must still equal the batch twin
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.dedup import (_augmented,
+                                                    dedup_incremental_minhash)
+    from bigarrays_jl_spark.streaming.windows import streaming_minhash_neardup
+
+    aug = _augmented(spark, sf_dir)
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    aug.filter(F.col("doc_id") < 1000000).coalesce(1).write.parquet(src)
+
+    q1 = streaming_minhash_neardup(
+        spark.readStream.schema(aug.schema).parquet(src), idx, out, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    n_idx_phase1 = spark.read.parquet(idx).count()
+
+    (aug.filter(F.col("doc_id") >= 1000000)
+        .coalesce(1).write.mode("append").parquet(src))
+    q2 = streaming_minhash_neardup(
+        spark.readStream.schema(aug.schema).parquet(src), idx, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # corpus signatures not re-appended on restart
+    n_mutant_bands = (spark.read.parquet(idx)
+                      .filter(F.col("doc_id") >= 1000000).count())
+    assert spark.read.parquet(idx).count() == n_idx_phase1 + n_mutant_bands
+    got = {(r.batch_doc, r.corpus_doc, float(r.est_jaccard))
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.batch_id, r.corpus_id, float(r.est_jaccard))
+            for r in dedup_incremental_minhash(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
