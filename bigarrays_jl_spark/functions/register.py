@@ -50,6 +50,28 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " * sqrt(aggregate(transform(b,"
         "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 6)"),
+    "ba_guarded_cosine": (
+        # the guarded_cosine twin: -2.0 sentinel on zero-norm inputs so
+        # degenerate vectors never win an argmax / pass a threshold
+        "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE",
+        "RETURN CASE WHEN"
+        " aggregate(transform(a,"
+        "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0"
+        " AND aggregate(transform(b,"
+        "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0"
+        " THEN round("
+        " aggregate(zip_with(a, b,"
+        "  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(a,"
+        "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(b,"
+        "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 6)"
+        " ELSE CAST(-2.0 AS DOUBLE) END"),
     "ba_jaccard": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE",
         "RETURN CASE WHEN size(array_union(a, b)) = 0 THEN CAST(1.0 AS DOUBLE)"

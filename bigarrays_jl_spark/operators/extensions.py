@@ -1231,6 +1231,109 @@ FROM dau JOIN rolling ON dau.day = rolling.d
 """
 
 
+# --------------------------------------------------------------------------
+# pipeline_split_report — deterministic train/val/test split accounting
+# --------------------------------------------------------------------------
+# The hash-split every training pipeline needs: md5(doc_id) % 100 →
+# 80/10/10, reproducible across runs and engines (no RNG), stratified
+# accounting per source.  The per-doc assignment is a map-side
+# expression; this query reports the per-(source, split) counts and the
+# within-source fraction so mix drift is auditable.  At 100 TB: one
+# scan, one (source, split) agg (≤ 3·|sources| rows), and a broadcast
+# join for the source totals.
+
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+def pipeline_split_report(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("bigint") % 100)
+    split = (F.when(b < SPLIT_TRAIN_PCT, "train")
+              .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+              .otherwise("test"))
+    per = (d.withColumn("split", split)
+            .groupBy("source", "split").agg(F.count("*").alias("n_docs")))
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("_t"))
+    return (per.join(F.broadcast(tot), "source")
+               .select("source", "split", "n_docs",
+                       F.round(F.col("n_docs").cast("double")
+                               / F.col("_t"), 4).alias("frac")))
+
+
+PIPELINE_SPLIT_REPORT_SQL = f"""
+WITH a AS (
+  SELECT source,
+         CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 % 100 AS b
+        FROM documents)),
+per AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),
+tot AS (SELECT source, sum(n_docs) AS t FROM per GROUP BY source)
+SELECT source, split, n_docs,
+       round(CAST(n_docs AS DOUBLE) / t, 4) AS frac
+FROM per JOIN tot USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# pipeline_mixture_report — per-source funnel through the quality gates
+# --------------------------------------------------------------------------
+# The curation scorecard: for each source, how many documents survive
+# the Gopher rules, the hashed classifier, and the repetition gate —
+# individually and jointly — and how many tokens the surviving mix
+# contributes.  Built by COMPOSING the registry's own gate operators
+# (one semantics, reused — the SQL twin embeds the very same gate SQL
+# as derived tables), joined on doc_id and aggregated per source.
+# Scale: three gate frames derive map-side from the same table; the
+# doc_id equi-joins shuffle on the high-cardinality key; the final agg
+# is |sources| rows.
+
+def pipeline_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import tokens
+    base = (load(spark, sf, "documents")
+            .select("doc_id", "source", F.size(tokens("text"))
+                    .alias("n_toks")))
+    g = text_gopher_rules(spark, sf).select("doc_id", "gopher_pass")
+    c = text_quality_classifier(spark, sf).select("doc_id", "cls_pass")
+    r = text_dup_ngrams(spark, sf).select("doc_id", "rep_pass")
+    j = base.join(g, "doc_id").join(c, "doc_id").join(r, "doc_id")
+    cnt = lambda col: F.sum(F.when(col, 1).otherwise(0))  # noqa: E731
+    keep = F.col("gopher_pass") & F.col("cls_pass") & F.col("rep_pass")
+    return (j.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  cnt(F.col("gopher_pass")).alias("n_gopher"),
+                  cnt(F.col("cls_pass")).alias("n_cls"),
+                  cnt(F.col("rep_pass")).alias("n_rep"),
+                  cnt(keep).alias("n_kept"),
+                  F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+                   .cast("bigint").alias("tokens_kept")))
+
+
+PIPELINE_MIXTURE_REPORT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks
+  FROM documents),
+g AS (SELECT doc_id, gopher_pass FROM ({TEXT_GOPHER_RULES_SQL})),
+c AS (SELECT doc_id, cls_pass FROM ({TEXT_QUALITY_CLASSIFIER_SQL})),
+r AS (SELECT doc_id, rep_pass FROM ({TEXT_DUP_NGRAMS_SQL}))
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS n_gopher,
+       sum(CASE WHEN cls_pass THEN 1 ELSE 0 END) AS n_cls,
+       sum(CASE WHEN rep_pass THEN 1 ELSE 0 END) AS n_rep,
+       sum(CASE WHEN gopher_pass AND cls_pass AND rep_pass
+            THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN gopher_pass AND cls_pass AND rep_pass
+            THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM base JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN r USING (doc_id)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1252,6 +1355,8 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "text_vocab_growth": text_vocab_growth,
     "events_rolling_dau": events_rolling_dau,
+    "pipeline_split_report": pipeline_split_report,
+    "pipeline_mixture_report": pipeline_mixture_report,
 }
 
 ORACLES = {
@@ -1275,4 +1380,6 @@ ORACLES = {
     "events_anomaly_zscore": EVENTS_ANOMALY_ZSCORE_SQL,
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "events_rolling_dau": EVENTS_ROLLING_DAU_SQL,
+    "pipeline_split_report": PIPELINE_SPLIT_REPORT_SQL,
+    "pipeline_mixture_report": PIPELINE_MIXTURE_REPORT_SQL,
 }

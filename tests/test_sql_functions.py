@@ -79,3 +79,28 @@ def test_sql_hash_bucket_matches_pipeline_sampler(spark, sf_dir):
            .select("doc_id", _hash_bucket("doc_id").alias("hb")))
     assert sorted(map(tuple, sql.collect())) == \
         sorted(map(tuple, col.collect()))
+
+
+def test_sql_guarded_cosine_matches_and_sentinels(spark):
+    from bigarrays_jl_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    rows = spark.sql("""
+        SELECT ba_guarded_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+                                 CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS same,
+               ba_guarded_cosine(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+                                 CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS zero
+    """).collect()[0]
+    assert rows.same == 1.0 and rows.zero == -2.0
+    # parity with the Column builder on a real pair
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.functions import guarded_cosine
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [2.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>")
+    col = [r.c for r in df.select(
+        guarded_cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    df.createOrReplaceTempView("gc_pairs")
+    sql = [r.c for r in spark.sql(
+        "SELECT ba_guarded_cosine(a, b) AS c FROM gc_pairs").collect()]
+    assert col == sql
