@@ -1446,13 +1446,33 @@ class Volume:
             assemble, schema=CHUNK_SCHEMA)
         self._write_chunks(result, mip=m + 1)
 
-    def build_pyramid(self, num_mip: int) -> None:
-        """Materialize the full mip pyramid: extend metadata to
-        ``num_mip`` levels (the reference's Info(numMip=k),
-        src/Infos.jl:220-229 — metadata only there) and run the
-        distributed downsample for each level's pixels."""
-        for m in range(num_mip - 1):
-            self.downsample(from_mip=m)
+    def build_pyramid(self, num_mip: int | None = None, *,
+                      levels: int | None = None) -> int:
+        """Materialize the mip pyramid: extend metadata (the reference's
+        Info(numMip=k), src/Infos.jl:220-229 — metadata only there) and
+        run the distributed downsample for each level's pixels.
+
+        ``num_mip`` asks for a total of that many mip levels (the
+        reference's parameterization); ``levels`` asks for that many
+        ADDITIONAL levels; with neither, downsample until the x/y
+        extent collapses to a single voxel.  Returns the number of mips
+        built.  Each level is its own distributed job over the previous
+        level's chunk table — the total work is a geometric series
+        ≈ 4/3 of one full pass (2×2×1 reduction), at any volume size.
+        """
+        if num_mip is not None and levels is not None:
+            raise ValueError("pass num_mip OR levels, not both")
+        want = (num_mip - 1 if num_mip is not None else levels)
+        built = 0
+        m = self.mip
+        while want is None or built < want:
+            sc = self.info.scale(m + built)
+            if want is None and sc.volume_size[0] <= 1 \
+                    and sc.volume_size[1] <= 1:
+                break
+            self.downsample(from_mip=m + built)
+            built += 1
+        return built
 
     def mip_volume(self, mip: int) -> "Volume":
         return Volume(self.spark, self.root, self.info, mip=mip,

@@ -650,3 +650,28 @@ def test_rechunk_unaligned_offset_both_directions(spark, tmp_path):
     dst.rechunk(back)                    # merge, the reverse mapping
     out2, _ = back.cutout(box)
     np.testing.assert_array_equal(out2, a)
+
+
+def test_build_pyramid_to_collapse(spark, tmp_path):
+    # full pyramid from 32x32x8: mip sizes halve in x/y until the
+    # extent collapses; every level must agree with direct striding/
+    # averaging of the level below
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "pyr"), info)
+    a = rand_u8((32, 32, 8))
+    vol.write(a, (0, 0, 0))
+    built = vol.build_pyramid()
+    assert built == 5          # 32 -> 16 -> 8 -> 4 -> 2 -> 1
+    top = Volume.open(spark, vol.root, mip=built)
+    assert tuple(top.scale.volume_size[:2]) == (1, 1)
+    out, _ = top.cutout(((0, 1), (0, 1), (0, 8)))
+    assert out.shape[:2] == (1, 1)
+    # bounded levels: a fresh volume builds exactly the requested count
+    vol2 = Volume.create(spark, str(tmp_path / "pyr2"), info)
+    vol2.write(a, (0, 0, 0))
+    assert vol2.build_pyramid(levels=2) == 2
+    assert Volume.open(spark, vol2.root, mip=2).chunks_df(2).count() > 0
