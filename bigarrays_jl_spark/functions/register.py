@@ -29,17 +29,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "(t STRING) RETURNS STRING",
         "RETURN md5(trim(regexp_replace(lower(t), '[^a-z0-9 ]', '')))"),
     "ba_dot": (
-        "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE",
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
         "RETURN aggregate(zip_with(a, b,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
     "ba_norm2": (
-        "(a ARRAY<FLOAT>) RETURNS DOUBLE",
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
         "RETURN aggregate(transform(a,"
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
     "ba_cosine": (
-        "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE",
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
         "RETURN round("
         " aggregate(zip_with(a, b,"
         "  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -53,7 +53,7 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "ba_guarded_cosine": (
         # the guarded_cosine twin: -2.0 sentinel on zero-norm inputs so
         # degenerate vectors never win an argmax / pass a threshold
-        "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE",
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
         "RETURN CASE WHEN"
         " aggregate(transform(a,"
         "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"

@@ -289,33 +289,39 @@ GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 1000
 
 
-def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
-    d = fan_out(spark, load(spark, sf, "documents"))
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    t = d.select("doc_id", toks.alias("ts"))
-    n = F.size("ts")
-    # empty-document guard: on n = 0 Spark's non-ANSI x/0 yields NULL
-    # while DuckDB's IEEE float path yields NaN/Inf — gate the division
-    # on n > 0 in BOTH twins so empty/whitespace-only docs agree (NULL)
+def _gopher_metrics(text) -> dict:
+    """Named Columns of the Gopher gate over a text column — THE one
+    definition shared by text_gopher_rules and pipeline_mixture_report
+    (the scorecard must never drift from the gate it reports on).
+
+    Empty-document guard: on n = 0 Spark's non-ANSI x/0 yields NULL
+    while DuckDB's IEEE float path yields NaN/Inf — the divisions gate
+    on n > 0 in BOTH twins so empty/whitespace-only docs agree (NULL).
+    """
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    n = F.size(toks)
     mean_len = F.when(n > 0, F.round(
-        F.aggregate("ts", F.lit(0).cast("bigint"),
+        F.aggregate(toks, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + F.length(x)).cast("double") / n, 4))
     alpha = F.when(n > 0, F.round(
-        F.size(F.filter("ts", lambda x: x.rlike("[a-zA-Z]")))
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
          .cast("double") / n, 4))
-    nstop = F.size(F.filter("ts", lambda x: x.isin(*GOPHER_STOPWORDS)))
-    m = t.select("doc_id", n.alias("n_words"),
-                 mean_len.alias("mean_word_len"),
-                 alpha.alias("alpha_frac"), nstop.alias("n_stopwords"))
-    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    ok_len = F.col("mean_word_len").between(3, 10)
-    ok_alpha = F.col("alpha_frac") >= 0.8
-    ok_stop = F.col("n_stopwords") >= 2
-    return m.select(
-        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stopwords",
-        ok_words.alias("ok_words"), ok_len.alias("ok_word_len"),
-        ok_alpha.alias("ok_alpha"), ok_stop.alias("ok_stop"),
-        (ok_words & ok_len & ok_alpha & ok_stop).alias("gopher_pass"))
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    ok_words = n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_len = mean_len.between(3, 10)
+    ok_alpha = alpha >= 0.8
+    ok_stop = nstop >= 2
+    return {"n_words": n, "mean_word_len": mean_len, "alpha_frac": alpha,
+            "n_stopwords": nstop, "ok_words": ok_words,
+            "ok_word_len": ok_len, "ok_alpha": ok_alpha,
+            "ok_stop": ok_stop,
+            "gopher_pass": ok_words & ok_len & ok_alpha & ok_stop}
+
+
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(spark, load(spark, sf, "documents"))
+    g = _gopher_metrics(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in g.items()])
 
 
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
@@ -575,24 +581,28 @@ LIMIT 20
 CLS_BUCKETS = 1024
 
 
-def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    d = fan_out(spark, load(spark, sf, "documents"))
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+def _cls_metrics(text) -> dict:
+    """Named Columns of the hashed-classifier gate over a text column —
+    shared by text_quality_classifier and pipeline_mixture_report.
+    Empty-doc guard: n = 0 makes raw 0/0 (Spark NULL, DuckDB NaN) —
+    the score gates on n > 0 so both twins emit NULL for empty docs."""
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"),
                     lambda t: t != "")
-    wt = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+    wt = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)  # noqa: E731
                     .cast("bigint") % CLS_BUCKETS) % 201 - 100
-    t = d.select("doc_id", toks.alias("ts"))
-    n = F.size("ts")
-    raw_sum = F.aggregate("ts", F.lit(0).cast("bigint"),
+    n = F.size(toks)
+    raw_sum = F.aggregate(toks, F.lit(0).cast("bigint"),
                           lambda acc, x: acc + wt(x))
     raw = raw_sum.cast("double") / (100.0 * n)
-    # empty-doc guard: n = 0 makes raw 0/0 (Spark NULL, DuckDB NaN) —
-    # gate on n > 0 so both twins emit NULL score for empty documents
     score = F.when(n > 0, F.round(raw / (1 + F.abs(raw)), 6))
-    return t.select("doc_id", n.alias("n_toks"),
-                    raw_sum.alias("raw_sum"),
-                    score.alias("score"),
-                    (raw_sum > 0).alias("cls_pass"))
+    return {"n_toks": n, "raw_sum": raw_sum, "score": score,
+            "cls_pass": raw_sum > 0}
+
+
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(spark, load(spark, sf, "documents"))
+    c = _cls_metrics(F.col("text"))
+    return d.select("doc_id", *[col.alias(k) for k, col in c.items()])
 
 
 TEXT_QUALITY_CLASSIFIER_SQL = f"""
@@ -838,31 +848,39 @@ GROUP BY l_returnflag
 DUP_2GRAM_MAX, DUP_3GRAM_MAX = 0.20, 0.18
 
 
-def text_dup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
-    from bigarrays_jl_spark.functions import shingle_array, tokens
-    d = fan_out(spark, load(spark, sf, "documents"))
-    t = d.select("doc_id", tokens("text").alias("ts"))
-    out = t
-    cols = ["doc_id"]
+def _rep_metrics(ts_col: str) -> dict:
+    """Named Columns of the repetition gate over a NAMED token-array
+    column (shingle_array builds a SQL expr, so it needs a column name,
+    not a Column) — shared by text_dup_ngrams and
+    pipeline_mixture_report.  n>0 guard: an under-n-token doc has no
+    shingles — NULL frac in both twins (Spark x/0 is NULL; DuckDB would
+    yield NaN); short docs (NULL frac) pass: no evidence of
+    repetition."""
+    from bigarrays_jl_spark.functions import shingle_array
+    out = {}
     flags = []
     for n, cap in ((2, DUP_2GRAM_MAX), (3, DUP_3GRAM_MAX)):
-        g = shingle_array("ts", n)
+        g = shingle_array(ts_col, n)
         tot = F.size(g)
         uniq = F.size(F.array_distinct(g))
-        # n>0 guard: an under-n-token doc has no shingles — NULL frac in
-        # both twins (Spark x/0 is NULL; DuckDB would yield NaN)
         frac = F.when(tot > 0,
                       F.round(F.lit(1.0) - uniq.cast("double") / tot, 6))
-        out = (out.withColumn(f"n_{n}grams", tot)
-                  .withColumn(f"dup_{n}gram_frac", frac))
-        cols += [f"n_{n}grams", f"dup_{n}gram_frac"]
-        # short docs (NULL frac) pass: no evidence of repetition
-        flags.append(F.coalesce(F.col(f"dup_{n}gram_frac") <= cap,
-                                F.lit(True)))
+        out[f"n_{n}grams"] = tot
+        out[f"dup_{n}gram_frac"] = frac
+        flags.append(F.coalesce(frac <= cap, F.lit(True)))
     rep_pass = flags[0]
     for fl in flags[1:]:
         rep_pass = rep_pass & fl
-    return out.select(*cols, rep_pass.alias("rep_pass"))
+    out["rep_pass"] = rep_pass
+    return out
+
+
+def text_dup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import tokens
+    d = fan_out(spark, load(spark, sf, "documents"))
+    t = d.select("doc_id", tokens("text").alias("ts"))
+    r = _rep_metrics("ts")
+    return t.select("doc_id", *[c.alias(k) for k, c in r.items()])
 
 
 _DUP_SH_SQL = ("CASE WHEN len(ts) >= {n} THEN list_transform("
@@ -1246,19 +1264,31 @@ SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
 
 
 def pipeline_split_report(spark: SparkSession, sf: str) -> DataFrame:
+    # THE bucket canon (pipeline._hash_bucket == ba_hash_bucket SQL fn):
+    # a split assignment must never drift from the samplers' buckets
+    from bigarrays_jl_spark.operators.pipeline import _hash_bucket
     d = load(spark, sf, "documents").select("doc_id", "source")
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16, 10).cast("bigint") % 100)
+    b = _hash_bucket("doc_id")
     split = (F.when(b < SPLIT_TRAIN_PCT, "train")
               .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
               .otherwise("test"))
     per = (d.withColumn("split", split)
-            .groupBy("source", "split").agg(F.count("*").alias("n_docs")))
-    tot = per.groupBy("source").agg(F.sum("n_docs").alias("_t"))
-    return (per.join(F.broadcast(tot), "source")
-               .select("source", "split", "n_docs",
-                       F.round(F.col("n_docs").cast("double")
-                               / F.col("_t"), 4).alias("frac")))
+            .groupBy("source", "split").agg(F.count("*").alias("n")))
+    # dense grid: a (source, split) cell with ZERO docs is exactly the
+    # drift this report audits — it must appear as an explicit 0 row,
+    # not vanish from the output
+    grid = (per.select("source").distinct()
+            .crossJoin(spark.createDataFrame(
+                [("train",), ("val",), ("test",)], "split string")))
+    dense = (grid.join(per, ["source", "split"], "left")
+                 .withColumn("n_docs",
+                             F.coalesce(F.col("n"), F.lit(0))
+                              .cast("bigint")))
+    tot = dense.groupBy("source").agg(F.sum("n_docs").alias("_t"))
+    return (dense.join(F.broadcast(tot), "source")
+                 .select("source", "split", "n_docs",
+                         F.round(F.col("n_docs").cast("double")
+                                 / F.col("_t"), 4).alias("frac")))
 
 
 PIPELINE_SPLIT_REPORT_SQL = f"""
@@ -1271,11 +1301,16 @@ WITH a AS (
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                  % 100 AS b
         FROM documents)),
-per AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),
-tot AS (SELECT source, sum(n_docs) AS t FROM per GROUP BY source)
+per AS (SELECT source, split, count(*) AS n FROM a GROUP BY 1, 2),
+grid AS (SELECT DISTINCT source, s.split
+         FROM per, (VALUES ('train'), ('val'), ('test')) s(split)),
+dense AS (
+  SELECT source, split, CAST(coalesce(n, 0) AS BIGINT) AS n_docs
+  FROM grid LEFT JOIN per USING (source, split)),
+tot AS (SELECT source, sum(n_docs) AS t FROM dense GROUP BY source)
 SELECT source, split, n_docs,
        round(CAST(n_docs AS DOUBLE) / t, 4) AS frac
-FROM per JOIN tot USING (source)
+FROM dense JOIN tot USING (source)
 """
 
 
@@ -1288,29 +1323,35 @@ FROM per JOIN tot USING (source)
 # contributes.  Built by COMPOSING the registry's own gate operators
 # (one semantics, reused — the SQL twin embeds the very same gate SQL
 # as derived tables), joined on doc_id and aggregated per source.
-# Scale: three gate frames derive map-side from the same table; the
-# doc_id equi-joins shuffle on the high-cardinality key; the final agg
-# is |sources| rows.
+# Scale: ONE corpus scan — the gate predicates are the SAME shared
+# expression builders the individual gate operators select from
+# (_gopher_metrics/_cls_metrics/_rep_metrics, one definition each), so
+# all three flags compute as map-side columns in a single projection
+# chain; the only shuffle is the final |sources|-row aggregation.  The
+# SQL twin keeps the join form over the embedded gate SQL — same
+# values, and the textual embedding is its own no-drift proof.
 
 def pipeline_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     from bigarrays_jl_spark.functions import tokens
-    base = (load(spark, sf, "documents")
-            .select("doc_id", "source", F.size(tokens("text"))
-                    .alias("n_toks")))
-    g = text_gopher_rules(spark, sf).select("doc_id", "gopher_pass")
-    c = text_quality_classifier(spark, sf).select("doc_id", "cls_pass")
-    r = text_dup_ngrams(spark, sf).select("doc_id", "rep_pass")
-    j = base.join(g, "doc_id").join(c, "doc_id").join(r, "doc_id")
+    d = fan_out(spark, load(spark, sf, "documents"))
+    stage1 = d.select(
+        "doc_id", "source", tokens("text").alias("ts"),
+        _gopher_metrics(F.col("text"))["gopher_pass"].alias("gopher_pass"),
+        _cls_metrics(F.col("text"))["cls_pass"].alias("cls_pass"))
+    stage2 = stage1.select(
+        "source", "gopher_pass", "cls_pass",
+        F.size("ts").alias("n_toks"),
+        _rep_metrics("ts")["rep_pass"].alias("rep_pass"))
     cnt = lambda col: F.sum(F.when(col, 1).otherwise(0))  # noqa: E731
     keep = F.col("gopher_pass") & F.col("cls_pass") & F.col("rep_pass")
-    return (j.groupBy("source")
-             .agg(F.count("*").alias("n_docs"),
-                  cnt(F.col("gopher_pass")).alias("n_gopher"),
-                  cnt(F.col("cls_pass")).alias("n_cls"),
-                  cnt(F.col("rep_pass")).alias("n_rep"),
-                  cnt(keep).alias("n_kept"),
-                  F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
-                   .cast("bigint").alias("tokens_kept")))
+    return (stage2.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 cnt(F.col("gopher_pass")).alias("n_gopher"),
+                 cnt(F.col("cls_pass")).alias("n_cls"),
+                 cnt(F.col("rep_pass")).alias("n_rep"),
+                 cnt(keep).alias("n_kept"),
+                 F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+                  .cast("bigint").alias("tokens_kept")))
 
 
 PIPELINE_MIXTURE_REPORT_SQL = rf"""

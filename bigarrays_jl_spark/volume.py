@@ -1462,12 +1462,18 @@ class Volume:
         """
         if num_mip is not None and levels is not None:
             raise ValueError("pass num_mip OR levels, not both")
-        want = (num_mip - 1 if num_mip is not None else levels)
+        if num_mip is not None:
+            # reference parameterization: TOTAL level count, anchored at
+            # mip 0 regardless of which mip this handle was opened at
+            # (opening at mip 1 must not shift the whole pyramid up)
+            for m in range(num_mip - 1):
+                self.downsample(from_mip=m)
+            return max(0, num_mip - 1)
         built = 0
         m = self.mip
-        while want is None or built < want:
+        while levels is None or built < levels:
             sc = self.info.scale(m + built)
-            if want is None and sc.volume_size[0] <= 1 \
+            if levels is None and sc.volume_size[0] <= 1 \
                     and sc.volume_size[1] <= 1:
                 break
             self.downsample(from_mip=m + built)

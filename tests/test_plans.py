@@ -372,3 +372,13 @@ def test_bitext_mining_cell_pruned_no_cartesian(spark, sf_dir):
     plan = simple_plan(mine_bitext_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mixture_report_single_scan_no_joins(spark, sf_dir):
+    # the scorecard computes all three gate flags as map-side columns of
+    # ONE documents scan — a Join anywhere means it regressed to the
+    # gate-frame join form (4 scans + 3 corpus-wide shuffles at scale)
+    from bigarrays_jl_spark.operators.extensions import pipeline_mixture_report
+    plan = simple_plan(pipeline_mixture_report(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
