@@ -1375,6 +1375,66 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q46_missed_opportunities — TPC-H Q22 shape (global-sales-opportunity)
+# --------------------------------------------------------------------------
+# "Wealthy customers with no LARGE order": customers whose balance
+# exceeds the average POSITIVE balance AND who never placed an order
+# above Q46_BIG_ORDER, counted per nation.  (TPC-H Q22 uses "no orders
+# at all"; this testdata gives every customer orders, so the anti-join
+# side filters to big-ticket orders to keep the branch non-vacuous —
+# same three-part shape Q22 exercises: an uncorrelated scalar subquery
+# (global average — one tiny broadcast), an anti-join against the fact
+# table, and a grouped money aggregate.)  The average is the
+# decimal-exact mean canon (exact decimal sum → one double division) so
+# the > threshold cut is bit-identical across engines; balances sum via
+# the same canon.  Scale: the filtered orders reduce to DISTINCT
+# o_custkey before the anti-join (≤ customer cardinality, and the
+# o_totalprice predicate pushes to the orders scan); the scalar
+# broadcasts into one customer scan.
+
+Q46_BIG_ORDER = 250000.0
+
+
+def q46_missed_opportunities(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_totalprice") > Q46_BIG_ORDER)
+         .select("o_custkey").distinct())
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_df = pos.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("avg_bal"))
+    rich = (pos.crossJoin(F.broadcast(avg_df))
+               .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    lost = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (lost.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+                  .cast("double").alias("total_bal")))
+
+
+Q46_MISSED_OPPORTUNITIES_SQL = f"""
+WITH pos AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_acctbal > 0.0),
+ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS avg_bal
+  FROM pos)
+SELECT c_nationkey, count(*) AS n_cust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_bal
+FROM pos, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {Q46_BIG_ORDER})
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1398,6 +1458,7 @@ QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "pipeline_split_report": pipeline_split_report,
     "pipeline_mixture_report": pipeline_mixture_report,
+    "q46_missed_opportunities": q46_missed_opportunities,
 }
 
 ORACLES = {
@@ -1423,4 +1484,5 @@ ORACLES = {
     "events_rolling_dau": EVENTS_ROLLING_DAU_SQL,
     "pipeline_split_report": PIPELINE_SPLIT_REPORT_SQL,
     "pipeline_mixture_report": PIPELINE_MIXTURE_REPORT_SQL,
+    "q46_missed_opportunities": Q46_MISSED_OPPORTUNITIES_SQL,
 }

@@ -282,6 +282,58 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
             .start())
 
 
+def streaming_anomaly_stats(events: DataFrame, stats_path: str,
+                            checkpoint_path: str):
+    """Durable per-type moment statistics for z-score anomaly flagging —
+    the streaming feed of ``events_anomaly_zscore``'s stats stage.
+
+    Each micro-batch appends its per-type partials ``(n, Σx, Σx²)`` as
+    DECIMAL-exact sums keyed by ``batch_id``.  Decimal addition is
+    associative, so folding the partials reproduces the batch
+    operator's statistics BIT-EXACTLY regardless of how the stream was
+    chopped into batches — the exactly-mergeable-sufficient-statistics
+    pattern.  Replay safety is structural: a replayed batch appends
+    duplicate ``(event_type, batch_id)`` rows, which the reader
+    (``anomaly_stats_from_partials``) drops by key before folding.
+
+    At scale the partials table grows |types| rows per batch (tiny);
+    compact it by folding old batch ranges offline if horizons are
+    long.  Returns the started StreamingQuery (caller stops it)."""
+    def process_batch(batch_df, batch_id: int) -> None:
+        v = F.col("value")
+        (batch_df.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(v.cast("decimal(28,6)")).alias("sx"),
+              F.sum((v * v).cast("decimal(28,6)")).alias("sxx"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(stats_path))
+
+    return (events.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
+def anomaly_stats_from_partials(spark: SparkSession,
+                                stats_path: str) -> DataFrame:
+    """(event_type, mean, std) folded from the durable partials —
+    bit-identical to the batch operator's stats stage (decimal partials
+    merge exactly; replayed batches dedup by (event_type, batch_id)).
+    Mirrors events_anomaly_zscore's variance canon: m·m multiplication
+    and a greatest(…,0) clamp so near-constant types can't sqrt into
+    NaN."""
+    p = (spark.read.parquet(stats_path)
+         .dropDuplicates(["event_type", "batch_id"]))
+    folded = p.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sxx").alias("sxx"))
+    m = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
+                     F.lit(0.0))
+    return folded.select("event_type", m.alias("mean"),
+                         F.sqrt(var).alias("std"))
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

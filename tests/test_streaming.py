@@ -422,3 +422,53 @@ def test_streaming_minhash_neardup_survives_restart(spark, sf_dir, tmp_path):
     want = {(r.batch_id, r.corpus_id, float(r.est_jaccard))
             for r in dedup_incremental_minhash(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_anomaly_stats_merge_exactly(spark, sf_dir, tmp_path):
+    # the exactly-mergeable-moments bridge: chop the events table into
+    # two micro-batches, fold the durable partials, and the resulting
+    # per-type mean/std must be BIT-IDENTICAL to computing the same
+    # decimal sums over the whole table in one shot — then prove replay
+    # idempotency by re-appending one batch's partials verbatim
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import (
+        anomaly_stats_from_partials, streaming_anomaly_stats)
+
+    e = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    stats, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+
+    q = streaming_anomaly_stats(
+        spark.readStream.schema(e.schema).parquet(src), stats, ckpt)
+    try:
+        q.processAllAvailable()
+        (e.filter(F.col("event_id") % 2 == 1)
+          .coalesce(1).write.mode("append").parquet(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    v = F.col("value")
+    m = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
+                     F.lit(0.0))
+    want = {r.event_type: (r.mean, r.std) for r in
+            e.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(v.cast("decimal(28,6)")).alias("sx"),
+                  F.sum((v * v).cast("decimal(28,6)")).alias("sxx"))
+             .select("event_type", m.alias("mean"),
+                     F.sqrt(var).alias("std"))
+             .collect()}
+    got = {r.event_type: (r.mean, r.std) for r in
+           anomaly_stats_from_partials(spark, stats).collect()}
+    assert got == want  # bit-identical doubles, not approx
+
+    # replay idempotency: duplicate one batch's partial rows on disk
+    part = spark.read.parquet(stats).filter(F.col("batch_id") == 0)
+    part.write.mode("append").parquet(stats)
+    again = {r.event_type: (r.mean, r.std) for r in
+             anomaly_stats_from_partials(spark, stats).collect()}
+    assert again == want
