@@ -1435,6 +1435,85 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_canonical_pick — quality-aware canonical selection
+# --------------------------------------------------------------------------
+# dedup_fingerprint keeps the LOWEST doc_id per duplicate group; real
+# curation keeps the BEST copy — here the classifier-scored one
+# (ties → lowest doc_id), so a cleaner OCR/crawl of the same page wins
+# over a mangled one.  The corpus has no natural exact duplicates, so
+# every 10th doc is augmented with an UPPERCASED re-crawl
+# (doc_id + 2000000) — fingerprint-identical under the normalization
+# canon, the shape a casing-mangled mirror produces.  One scan computes
+# fingerprint + score map-side (the shared _cls_metrics canon); one
+# fingerprint-keyed agg picks the argmax via max_by on a
+# (score, -doc_id) struct.  Only groups with an actual duplicate
+# appear (n_copies >= 2).  Scale: identical shape to dedup_fingerprint
+# (hash-groupBy on the 16-byte key); the score rides along, no extra
+# pass.
+
+def dedup_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions import fingerprint
+    d = fan_out(spark, load(spark, sf, "documents")
+                .select("doc_id", "text"))
+    self_row = F.struct(F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"))
+    recrawl = F.struct((F.col("doc_id") + 2000000).alias("doc_id"),
+                       F.upper(F.col("text")).alias("text"))
+    aug = (d.select(F.explode(
+        F.when(F.col("doc_id") % 10 == 0, F.array(self_row, recrawl))
+         .otherwise(F.array(self_row))).alias("r"))
+           .select("r.doc_id", "r.text"))
+    scored = aug.select(
+        "doc_id", fingerprint().alias("fp"),
+        F.coalesce(_cls_metrics(F.col("text"))["score"], F.lit(-2.0))
+         .alias("score"))
+    pick = F.max_by(
+        F.struct(F.col("doc_id"), F.col("score")),
+        F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")))
+    return (scored.groupBy("fp")
+            .agg(F.count("*").alias("n_copies"), pick.alias("p"))
+            .filter(F.col("n_copies") >= 2)
+            .select("fp", F.col("p.doc_id").alias("keep_id"),
+                    F.col("p.score").alias("keep_score"), "n_copies"))
+
+
+DEDUP_CANONICAL_PICK_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 10 = 0),
+t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM aug),
+m AS (
+  SELECT doc_id, fp,
+         CAST(coalesce(list_sum(list_transform(ts,
+             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT
+                  % {CLS_BUCKETS} % 201 - 100)), 0) AS BIGINT) AS raw_sum,
+         CAST(len(ts) AS INT) AS n_toks
+  FROM t),
+s AS (
+  SELECT doc_id, fp,
+         coalesce(CASE WHEN n_toks > 0 THEN
+           round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
+                 / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
+         END, -2.0) AS score
+  FROM m),
+r AS (
+  SELECT fp, doc_id, score,
+         count(*) OVER (PARTITION BY fp) AS n_copies,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM s)
+SELECT fp, doc_id AS keep_id, score AS keep_score, n_copies
+FROM r WHERE rn = 1 AND n_copies >= 2
+"""
+
+
 QUERIES = {
     "events_retention": events_retention,
     "events_transitions": events_transitions,
@@ -1459,6 +1538,7 @@ QUERIES = {
     "pipeline_split_report": pipeline_split_report,
     "pipeline_mixture_report": pipeline_mixture_report,
     "q46_missed_opportunities": q46_missed_opportunities,
+    "dedup_canonical_pick": dedup_canonical_pick,
 }
 
 ORACLES = {
@@ -1485,4 +1565,5 @@ ORACLES = {
     "pipeline_split_report": PIPELINE_SPLIT_REPORT_SQL,
     "pipeline_mixture_report": PIPELINE_MIXTURE_REPORT_SQL,
     "q46_missed_opportunities": Q46_MISSED_OPPORTUNITIES_SQL,
+    "dedup_canonical_pick": DEDUP_CANONICAL_PICK_SQL,
 }
