@@ -81,6 +81,33 @@ def cosine(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b))), digits)
 
 
+def moment_partials(v: Column) -> list:
+    """``[n, Σx, Σx²]`` aggregate columns with EXACT decimal
+    accumulation — THE moment canon shared by the batch z-score
+    operator and the streaming mergeable-stats bridge.  Decimal
+    addition is associative, so partials folded across any batching
+    reproduce the one-shot sums bit-exactly; every site must use this
+    helper (not an inline copy) so the bit-identity contract between
+    batch and streaming can never drift."""
+    return [F.count("*").alias("n"),
+            F.sum(v.cast("decimal(28,6)")).alias("sx"),
+            F.sum((v * v).cast("decimal(28,6)")).alias("sxx")]
+
+
+def moment_stats() -> tuple:
+    """``(mean, std)`` Columns over folded ``n/sx/sxx`` partials.
+    Variance uses m·m MULTIPLICATION (pow(x,2) may differ from x*x by
+    an ulp and break engine parity) and a greatest(...,0) clamp so
+    catastrophic cancellation on near-constant groups can never sqrt
+    into NaN (NaN compares greater on both engines, defeating a bare
+    std>0 guard).  SQL twin:
+    sqrt(greatest(sxx/n - (sx/n)*(sx/n), 0))."""
+    m = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
+                     F.lit(0.0))
+    return m.alias("mean"), F.sqrt(var).alias("std")
+
+
 def guarded_cosine(a: Column, b: Column, digits: int = 6) -> Column:
     """``cosine`` with a -2.0 sentinel when either norm is 0: both
     engines agree on degenerate vectors (below any real cosine, so they

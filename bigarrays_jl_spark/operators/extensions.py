@@ -605,27 +605,40 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", *[col.alias(k) for k, col in c.items()])
 
 
-TEXT_QUALITY_CLASSIFIER_SQL = f"""
-WITH t AS (
+def _cls_score_ctes(src: str, sfx: str = "") -> str:
+    """SQL twin of _cls_metrics as a reusable CTE chain over ``src``:
+    produces ``cls{sfx}(doc_id, n_toks, raw_sum, score)``.  ONE textual
+    definition consumed by TEXT_QUALITY_CLASSIFIER_SQL and
+    DEDUP_CANONICAL_PICK_SQL (and transitively by
+    PIPELINE_MIXTURE_REPORT_SQL, which embeds the classifier SQL) — a
+    scoring-formula change edits exactly one fragment.
+    The coalesce pins DuckDB's list_sum([]) = NULL to Spark's
+    0-initializer fold; the n_toks>0 case keeps empty docs NULL-scored
+    on both engines."""
+    return f"""t{sfx} AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS ts
-  FROM documents),
-m AS (
+  FROM {src}),
+m{sfx} AS (
   SELECT doc_id, CAST(len(ts) AS INT) AS n_toks,
-         -- coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate
-         -- fold returns its 0 initializer — pin both to 0
          CAST(coalesce(list_sum(list_transform(ts,
              x -> ('0x' || substr(md5(x), 1, 4))::BIGINT
                   % {CLS_BUCKETS} % 201 - 100)), 0) AS BIGINT) AS raw_sum
-  FROM t)
-SELECT doc_id, n_toks, raw_sum,
-       CASE WHEN n_toks > 0 THEN
-         round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
-               / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
-       END AS score,
-       (raw_sum > 0) AS cls_pass
-FROM m
+  FROM t{sfx}),
+cls{sfx} AS (
+  SELECT doc_id, n_toks, raw_sum,
+         CASE WHEN n_toks > 0 THEN
+           round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
+                 / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
+         END AS score
+  FROM m{sfx})"""
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH {_cls_score_ctes('documents')}
+SELECT doc_id, n_toks, raw_sum, score, (raw_sum > 0) AS cls_pass
+FROM cls
 """
 
 
@@ -1120,23 +1133,16 @@ ANOMALY_Z = 3.0
 
 
 def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    # moment canon shared with the streaming mergeable-stats bridge
+    # (functions.moment_partials/moment_stats): exact decimal power
+    # sums, m·m variance, NaN-proof clamp — one definition everywhere
+    # so batch and streaming stats stay bit-identical
+    from bigarrays_jl_spark.functions import moment_partials, moment_stats
     e = load(spark, sf, "events").select("event_id", "event_type", "value")
-    d = lambda c: F.sum(c.cast("decimal(28,6)"))  # noqa: E731
     v = F.col("value")
-    # variance canon (q42): m*m MULTIPLICATION (pow(x,2) may differ from
-    # x*x by an ulp and break engine parity), and greatest(...,0) clamps
-    # the catastrophic-cancellation case (near-constant type, sxx/n ≈
-    # m²) so sqrt can never yield NaN — a NaN std would PASS a bare
-    # std>0 guard on both engines (NaN compares greater) and flag every
-    # row of a constant type anomalous
-    m = F.col("sx").cast("double") / F.col("n")
-    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
-                     F.lit(0.0))
     stats = (e.groupBy("event_type")
-             .agg(F.count("*").alias("n"), d(v).alias("sx"),
-                  d(v * v).alias("sxx"))
-             .select("event_type", m.alias("mean"),
-                     F.sqrt(var).alias("std")))
+             .agg(*moment_partials(v))
+             .select("event_type", *moment_stats()))
     # std=0 guard (a constant-valued type): Spark's x/0 is NULL, DuckDB's
     # is ±Inf — pin both twins to NULL z / not-anomalous
     z = F.when(F.col("std") > 0,
@@ -1464,6 +1470,12 @@ def dedup_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 10 == 0, F.array(self_row, recrawl))
          .otherwise(F.array(self_row))).alias("r"))
            .select("r.doc_id", "r.text"))
+    # degenerate-normalization guard: unrelated docs whose text strips
+    # to '' (punctuation-only) or is NULL would share one fp and elect
+    # a single "canonical" survivor among DISTINCT documents — exclude
+    # them from canonical election entirely (both twins)
+    from bigarrays_jl_spark.functions import norm_text
+    aug = aug.filter(F.length(norm_text(F.col("text"))) > 0)
     scored = aug.select(
         "doc_id", fingerprint().alias("fp"),
         F.coalesce(_cls_metrics(F.col("text"))["score"], F.lit(-2.0))
@@ -1479,30 +1491,21 @@ def dedup_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DEDUP_CANONICAL_PICK_SQL = f"""
-WITH aug AS (
+WITH aug0 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 10 = 0),
-t AS (
+aug AS (
+  SELECT doc_id, text FROM aug0
+  WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) > 0),
+{_cls_score_ctes('aug', sfx='_a')},
+fps AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS ts
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
   FROM aug),
-m AS (
-  SELECT doc_id, fp,
-         CAST(coalesce(list_sum(list_transform(ts,
-             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT
-                  % {CLS_BUCKETS} % 201 - 100)), 0) AS BIGINT) AS raw_sum,
-         CAST(len(ts) AS INT) AS n_toks
-  FROM t),
 s AS (
-  SELECT doc_id, fp,
-         coalesce(CASE WHEN n_toks > 0 THEN
-           round((CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))
-                 / (1 + abs(CAST(raw_sum AS DOUBLE) / (100.0 * n_toks))), 6)
-         END, -2.0) AS score
-  FROM m),
+  SELECT fps.fp, cls_a.doc_id, coalesce(cls_a.score, -2.0) AS score
+  FROM cls_a JOIN fps USING (doc_id)),
 r AS (
   SELECT fp, doc_id, score,
          count(*) OVER (PARTITION BY fp) AS n_copies,

@@ -299,12 +299,11 @@ def streaming_anomaly_stats(events: DataFrame, stats_path: str,
     At scale the partials table grows |types| rows per batch (tiny);
     compact it by folding old batch ranges offline if horizons are
     long.  Returns the started StreamingQuery (caller stops it)."""
+    from bigarrays_jl_spark.functions import moment_partials
+
     def process_batch(batch_df, batch_id: int) -> None:
-        v = F.col("value")
         (batch_df.groupBy("event_type")
-         .agg(F.count("*").alias("n"),
-              F.sum(v.cast("decimal(28,6)")).alias("sx"),
-              F.sum((v * v).cast("decimal(28,6)")).alias("sxx"))
+         .agg(*moment_partials(F.col("value")))
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(stats_path))
 
@@ -319,19 +318,21 @@ def anomaly_stats_from_partials(spark: SparkSession,
     """(event_type, mean, std) folded from the durable partials —
     bit-identical to the batch operator's stats stage (decimal partials
     merge exactly; replayed batches dedup by (event_type, batch_id)).
-    Mirrors events_anomaly_zscore's variance canon: m·m multiplication
-    and a greatest(…,0) clamp so near-constant types can't sqrt into
-    NaN."""
-    p = (spark.read.parquet(stats_path)
-         .dropDuplicates(["event_type", "batch_id"]))
-    folded = p.groupBy("event_type").agg(
-        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
-        F.sum("sxx").alias("sxx"))
-    m = F.col("sx").cast("double") / F.col("n")
-    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
-                     F.lit(0.0))
-    return folded.select("event_type", m.alias("mean"),
-                         F.sqrt(var).alias("std"))
+    Uses the shared moment canon (functions.moment_stats) so the fold
+    can never drift from the batch operator's math.  A not-yet-written
+    ``stats_path`` (stream started, no batch committed) yields an EMPTY
+    stats frame rather than a raised path error — the same
+    missing-vs-broken classification as the durable-index readers."""
+    from bigarrays_jl_spark.functions import moment_stats
+    p = _read_index_or_none(spark, stats_path)
+    if p is None:
+        return spark.createDataFrame(
+            [], "event_type string, mean double, std double")
+    folded = (p.dropDuplicates(["event_type", "batch_id"])
+               .groupBy("event_type")
+               .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+                    F.sum("sxx").alias("sxx")))
+    return folded.select("event_type", *moment_stats())
 
 
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",

@@ -450,17 +450,11 @@ def test_streaming_anomaly_stats_merge_exactly(spark, sf_dir, tmp_path):
     finally:
         q.stop()
 
-    v = F.col("value")
-    m = F.col("sx").cast("double") / F.col("n")
-    var = F.greatest(F.col("sxx").cast("double") / F.col("n") - m * m,
-                     F.lit(0.0))
+    from bigarrays_jl_spark.functions import moment_partials, moment_stats
     want = {r.event_type: (r.mean, r.std) for r in
             e.groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  F.sum(v.cast("decimal(28,6)")).alias("sx"),
-                  F.sum((v * v).cast("decimal(28,6)")).alias("sxx"))
-             .select("event_type", m.alias("mean"),
-                     F.sqrt(var).alias("std"))
+             .agg(*moment_partials(F.col("value")))
+             .select("event_type", *moment_stats())
              .collect()}
     got = {r.event_type: (r.mean, r.std) for r in
            anomaly_stats_from_partials(spark, stats).collect()}
