@@ -67,9 +67,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Two-phase (map-side partial + final) hash aggregation present."""
+    """Two-phase (map-side partial + final) aggregation present.
+
+    Counts Hash/ObjectHash/Sort aggregate nodes alike: Spark picks
+    SortAggregate when the aggregate buffer isn't hash-friendly (e.g.
+    max_by over a struct) and ObjectHashAggregate for typed-imperative
+    functions — all three still run the map-side partial + final
+    two-phase plan, which is what this predicate asserts."""
     plan = formatted_plan(df)
-    return len(re.findall(r"HashAggregate", plan)) >= 2
+    return len(re.findall(r"(?:HashAggregate|SortAggregate)", plan)) >= 2
 
 
 def num_exchanges(df: DataFrame) -> int:

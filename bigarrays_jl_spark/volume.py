@@ -954,6 +954,36 @@ class Volume:
         dest._write_chunks(
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
+    def stats(self, mip: int | None = None) -> dict:
+        """Operational summary of one mip's chunk store: stored vs
+        lattice chunk counts (fill ratio), stored payload bytes, and
+        write-generation depth — the numbers a capacity dashboard polls.
+        One narrow distributed aggregate over the chunk table; only the
+        summary row reaches the driver."""
+        m = self.mip if mip is None else mip
+        sc = self.info.scale(m)
+        row = (self._latest(self.chunks_df(m))
+               .agg(F.count("*").alias("stored"),
+                    F.sum(F.length("payload")).alias("bytes"))
+               .collect()[0])
+        anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
+        lattice = 1
+        for (lo, hi), a, c in zip(
+                ix.volume_box(sc.voxel_offset, sc.volume_size), anchor,
+                sc.chunk_size):
+            c0, c1 = ix.chunk_id_range(lo, hi, a, c)
+            lattice *= max(0, c1 - c0)
+        stored = int(row.stored or 0)
+        return {
+            "mip": m,
+            "stored_chunks": stored,
+            "lattice_chunks": lattice,
+            "fill_ratio": round(stored / lattice, 6) if lattice else 0.0,
+            "stored_bytes": int(row.bytes or 0),
+            "encoding": sc.encoding,
+            "write_epochs": self._current_epoch() + 1,
+        }
+
     def fsck(self, mip: int | None = None) -> DataFrame:
         """Distributed integrity audit of the stored chunk table —
         the maintenance op you run before trusting a long-lived dataset

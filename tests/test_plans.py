@@ -382,3 +382,23 @@ def test_mixture_report_single_scan_no_joins(spark, sf_dir):
     plan = simple_plan(pipeline_mixture_report(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q46_broadcast_scalar_and_anti_join(spark, sf_dir):
+    # Q22 shape: the scalar average broadcasts (tiny), the no-big-order
+    # check plans as an anti join, nothing goes cartesian
+    from bigarrays_jl_spark.operators.extensions import q46_missed_opportunities
+    df = q46_missed_opportunities(spark, sf_dir)
+    plan = simple_plan(df)
+    assert has_broadcast_join(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_canonical_pick_partial_agg_single_scan(spark, sf_dir):
+    # same shape as dedup_fingerprint: hash-groupBy on the fingerprint
+    # with map-side partial aggregation, score computed in the same scan
+    from bigarrays_jl_spark.operators.extensions import dedup_canonical_pick
+    df = dedup_canonical_pick(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert simple_plan(df).count("Scan parquet") == 1

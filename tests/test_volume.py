@@ -675,3 +675,20 @@ def test_build_pyramid_to_collapse(spark, tmp_path):
     vol2.write(a, (0, 0, 0))
     assert vol2.build_pyramid(levels=2) == 2
     assert Volume.open(spark, vol2.root, mip=2).chunks_df(2).count() > 0
+
+
+def test_stats_reports_fill_and_bytes(spark, tmp_path):
+    vol = Volume.create(spark, str(tmp_path / "st"), _rc_info((8, 8, 4)))
+    a = rand_u8((16, 16, 8))
+    vol.write(a, (0, 0, 0))        # fills 8 of the 12 lattice chunks
+    s = vol.stats()
+    assert s["lattice_chunks"] == 12 and s["stored_chunks"] == 8
+    assert s["fill_ratio"] == round(8 / 12, 6)
+    # random bytes don't compress; gzip adds ~10% framing overhead
+    assert 0 < s["stored_bytes"] < 2 * a.nbytes
+    assert s["encoding"] == "gzip" and s["write_epochs"] == 1
+    # after the pyramid, mip 1 reports its own lattice
+    vol.downsample()
+    s1 = vol.stats(mip=1)
+    assert s1["mip"] == 1 and s1["stored_chunks"] > 0
+    assert s1["lattice_chunks"] == 2 * 1 * 2     # 12x8x8 over 8x8x4
