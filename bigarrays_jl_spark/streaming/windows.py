@@ -335,6 +335,29 @@ def anomaly_stats_from_partials(spark: SparkSession,
     return folded.select("event_type", *moment_stats())
 
 
+def streaming_partitioned_sink(events: DataFrame, path: str,
+                               checkpoint_path: str):
+    """Continuous ingest into the hive-partitioned lake layout — the
+    streaming writer for the same ``event_date=…/`` directory scheme
+    ``sources.layout.write_partitioned`` produces in batch, so batch
+    readers get directory-level PartitionFilters pruning over a table
+    that is being appended live.  File-sink + checkpoint gives
+    exactly-once file commits (the sink's transaction log excludes
+    uncommitted files from reads).  At scale, pair with a periodic
+    compaction of small files inside cold partitions; the partition
+    column derives map-side from the event time.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    return (events
+            .withColumn("event_date", F.to_date("ts"))
+            .writeStream
+            .partitionBy("event_date")
+            .option("checkpointLocation", checkpoint_path)
+            .format("parquet")
+            .option("path", path)
+            .start())
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

@@ -466,3 +466,35 @@ def test_streaming_anomaly_stats_merge_exactly(spark, sf_dir, tmp_path):
     again = {r.event_type: (r.mean, r.std) for r in
              anomaly_stats_from_partials(spark, stats).collect()}
     assert again == want
+
+
+def test_streaming_partitioned_sink_matches_batch_layout(spark, sf_dir,
+                                                         tmp_path):
+    # the streaming writer must land the same hive layout the batch
+    # write_partitioned produces: event_date=... directories, full row
+    # fidelity, and directory-pruned reads (PartitionFilters)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import (
+        stream_events, streaming_partitioned_sink)
+
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    q = streaming_partitioned_sink(stream_events(spark, sf_dir), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1, dirs
+    back = spark.read.parquet(out)
+    e = load(spark, sf_dir, "events")
+    assert back.count() == e.count()
+    one_day = back.select("event_date").distinct().orderBy("event_date") \
+                  .first().event_date
+    pruned = back.filter(F.col("event_date") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == e.filter(F.to_date("ts") == one_day).count()
