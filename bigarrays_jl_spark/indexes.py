@@ -52,6 +52,17 @@ def chunk_id_range(lo: int, hi: int, anchor: int, chunk_size: int) -> Range:
     return chunk_id(lo, anchor, chunk_size), chunk_id(hi - 1, anchor, chunk_size) + 1
 
 
+def chunk_id_ranges(box: Box, anchor: Sequence[int],
+                    chunk_size: Sequence[int]) -> tuple[Range, ...]:
+    """Per-axis half-open chunk-id ranges covering ``box`` — the shared
+    lattice-extent enumeration behind scan pruning, lattice_df and
+    stats (one definition, so clamping/anchoring changes apply
+    everywhere).  Empty axes (hi <= lo) yield an empty id range."""
+    return tuple(
+        chunk_id_range(lo, hi, a, c) if hi > lo else (0, 0)
+        for (lo, hi), a, c in zip(box, anchor, chunk_size))
+
+
 def chunk_global_range(cid: int, anchor: int, chunk_size: int) -> Range:
     """Chunk id → half-open global range (src/Indexes.jl:47-53)."""
     lo = anchor + cid * chunk_size

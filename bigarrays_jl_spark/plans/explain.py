@@ -67,15 +67,28 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Two-phase (map-side partial + final) aggregation present.
+    """Map-side partial + final HASH aggregation present.
 
-    Counts Hash/ObjectHash/Sort aggregate nodes alike: Spark picks
-    SortAggregate when the aggregate buffer isn't hash-friendly (e.g.
-    max_by over a struct) and ObjectHashAggregate for typed-imperative
-    functions — all three still run the map-side partial + final
-    two-phase plan, which is what this predicate asserts."""
+    Detection is by the ``partial_`` function markers in the plan's
+    detail blocks, NOT by counting aggregate node names — formatted
+    plans print every node twice (tree line + detail header), so a
+    node-count >= 2 is satisfied by a single complete-mode aggregate
+    and detects nothing.  The HashAggregate requirement additionally
+    pins the hash implementation: a silent flip to SortAggregate
+    (sort-per-partition at cluster scale) fails this predicate — use
+    ``has_two_phase_aggregation`` where the aggregate buffer is
+    legitimately non-hashable (e.g. max_by over a struct)."""
     plan = formatted_plan(df)
-    return len(re.findall(r"(?:HashAggregate|SortAggregate)", plan)) >= 2
+    return "HashAggregate" in plan and "partial_" in plan
+
+
+def has_two_phase_aggregation(df: DataFrame) -> bool:
+    """Two-phase (partial + final) aggregation by ANY implementation —
+    Hash, ObjectHash, or Sort.  The relaxation of
+    ``has_partial_aggregation`` for aggregates whose buffer can't hash."""
+    plan = formatted_plan(df)
+    return (bool(re.search(r"(?:Hash|Sort)Aggregate", plan))
+            and "partial_" in plan)
 
 
 def num_exchanges(df: DataFrame) -> int:

@@ -414,10 +414,8 @@ class Volume:
         clamped = ix.intersect_box(request, ix.volume_box(sc.voxel_offset, sc.volume_size))
         if ix.box_is_empty(clamped):
             return self.chunks_df(mip).limit(0)
-        (cx0, cx1), (cy0, cy1), (cz0, cz1) = (
-            ix.chunk_id_range(lo, hi, a, c)
-            for (lo, hi), a, c in zip(clamped, anchor, sc.chunk_size)
-        )
+        (cx0, cx1), (cy0, cy1), (cz0, cz1) = ix.chunk_id_ranges(
+            clamped, anchor, sc.chunk_size)
         df = self.chunks_df(mip)
         return df.filter(
             (F.col("cx") >= cx0) & (F.col("cx") < cx1)
@@ -824,8 +822,7 @@ class Volume:
             return 0
         anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
         n = 1
-        for (lo, hi), a, c in zip(req, anchor, sc.chunk_size):
-            i0, i1 = ix.chunk_id_range(lo, hi, a, c)
+        for i0, i1 in ix.chunk_id_ranges(req, anchor, sc.chunk_size):
             n *= max(0, i1 - i0)
         return n
 
@@ -842,8 +839,7 @@ class Volume:
                 F.col("id").cast("int").alias("cx"),
                 F.col("id").cast("int").alias("cy"),
                 F.col("id").cast("int").alias("cz"))
-        rngs = [ix.chunk_id_range(lo, hi, a, c)
-                for (lo, hi), a, c in zip(req, anchor, sc.chunk_size)]
+        rngs = ix.chunk_id_ranges(req, anchor, sc.chunk_size)
         xs = self.spark.range(rngs[0][0], rngs[0][1]).select(F.col("id").cast("int").alias("cx"))
         ys = self.spark.range(rngs[1][0], rngs[1][1]).select(F.col("id").cast("int").alias("cy"))
         zs = self.spark.range(rngs[2][0], rngs[2][1]).select(F.col("id").cast("int").alias("cz"))
@@ -955,33 +951,50 @@ class Volume:
             self._latest(self.chunks_df()).mapInPandas(xform, CHUNK_SCHEMA))
 
     def stats(self, mip: int | None = None) -> dict:
-        """Operational summary of one mip's chunk store: stored vs
-        lattice chunk counts (fill ratio), stored payload bytes, and
-        write-generation depth — the numbers a capacity dashboard polls.
-        One narrow distributed aggregate over the chunk table; only the
-        summary row reaches the driver."""
+        """Operational summary of one mip's chunk store — the numbers a
+        capacity dashboard polls.  Two narrow distributed aggregates
+        (raw table + latest-epoch view); only summary rows reach the
+        driver.
+
+        - ``stored_chunks`` / ``stored_bytes``: LIVE data (latest epoch
+          per chunk) — what a reader touches.
+        - ``raw_rows`` / ``raw_bytes``: everything on disk INCLUDING
+          superseded overwrite generations — what the filesystem bills;
+          ``raw_bytes - stored_bytes`` is the space ``compact()``
+          reclaims.
+        - ``write_epochs``: THIS mip's generation depth (DISTINCT epochs
+          among its rows), not the dataset-global counter — a mip
+          written once reports 1 even after other mips advanced the
+          global epoch (epochs are allocated globally, so max+1 would
+          over-report too).
+        """
         m = self.mip if mip is None else mip
         sc = self.info.scale(m)
-        row = (self._latest(self.chunks_df(m))
-               .agg(F.count("*").alias("stored"),
-                    F.sum(F.length("payload")).alias("bytes"))
-               .collect()[0])
+        raw = self.chunks_df(m)
+        rr = raw.agg(F.count("*").alias("rows"),
+                     F.sum(F.length("payload")).alias("bytes"),
+                     F.countDistinct("epoch").alias("n_epochs")).collect()[0]
+        lr = (self._latest(raw)
+              .agg(F.count("*").alias("stored"),
+                   F.sum(F.length("payload")).alias("bytes"))
+              .collect()[0])
         anchor = ix.lattice_anchor(sc.voxel_offset, sc.chunk_size)
         lattice = 1
-        for (lo, hi), a, c in zip(
+        for c0, c1 in ix.chunk_id_ranges(
                 ix.volume_box(sc.voxel_offset, sc.volume_size), anchor,
                 sc.chunk_size):
-            c0, c1 = ix.chunk_id_range(lo, hi, a, c)
             lattice *= max(0, c1 - c0)
-        stored = int(row.stored or 0)
+        stored = int(lr.stored or 0)
         return {
             "mip": m,
             "stored_chunks": stored,
             "lattice_chunks": lattice,
             "fill_ratio": round(stored / lattice, 6) if lattice else 0.0,
-            "stored_bytes": int(row.bytes or 0),
+            "stored_bytes": int(lr.bytes or 0),
+            "raw_rows": int(rr.rows or 0),
+            "raw_bytes": int(rr.bytes or 0),
             "encoding": sc.encoding,
-            "write_epochs": self._current_epoch() + 1,
+            "write_epochs": int(rr.n_epochs or 0),
         }
 
     def fsck(self, mip: int | None = None) -> DataFrame:

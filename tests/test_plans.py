@@ -396,9 +396,11 @@ def test_q46_broadcast_scalar_and_anti_join(spark, sf_dir):
 
 
 def test_canonical_pick_partial_agg_single_scan(spark, sf_dir):
-    # same shape as dedup_fingerprint: hash-groupBy on the fingerprint
-    # with map-side partial aggregation, score computed in the same scan
+    # same shape as dedup_fingerprint: fingerprint-keyed groupBy with
+    # map-side partials (SortAggregate — the max_by struct buffer can't
+    # hash), score computed in the same scan
     from bigarrays_jl_spark.operators.extensions import dedup_canonical_pick
+    from bigarrays_jl_spark.plans.explain import has_two_phase_aggregation
     df = dedup_canonical_pick(spark, sf_dir)
-    assert has_partial_aggregation(df)
+    assert has_two_phase_aggregation(df)
     assert simple_plan(df).count("Scan parquet") == 1

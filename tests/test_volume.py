@@ -686,9 +686,20 @@ def test_stats_reports_fill_and_bytes(spark, tmp_path):
     assert s["fill_ratio"] == round(8 / 12, 6)
     # random bytes don't compress; gzip adds ~10% framing overhead
     assert 0 < s["stored_bytes"] < 2 * a.nbytes
+    assert s["raw_bytes"] == s["stored_bytes"]   # no overwrites yet
     assert s["encoding"] == "gzip" and s["write_epochs"] == 1
-    # after the pyramid, mip 1 reports its own lattice
+    # after the pyramid, mip 1 reports its OWN lattice and generation
+    # depth (not the dataset-global epoch counter)
     vol.downsample()
     s1 = vol.stats(mip=1)
     assert s1["mip"] == 1 and s1["stored_chunks"] > 0
     assert s1["lattice_chunks"] == 2 * 1 * 2     # 12x8x8 over 8x8x4
+    assert s1["write_epochs"] == 1
+    assert vol.stats()["write_epochs"] == 1      # mip 0 unchanged
+    # overwrite part of mip 0: live bytes stay one generation, raw
+    # bytes include the superseded rows until compact()
+    vol.write(rand_u8((8, 8, 4)), (0, 0, 0))
+    s2 = vol.stats()
+    assert s2["write_epochs"] == 2
+    assert s2["raw_rows"] == s2["stored_chunks"] + 1
+    assert s2["raw_bytes"] > s2["stored_bytes"]
