@@ -703,3 +703,12 @@ def test_stats_reports_fill_and_bytes(spark, tmp_path):
     assert s2["write_epochs"] == 2
     assert s2["raw_rows"] == s2["stored_chunks"] + 1
     assert s2["raw_bytes"] > s2["stored_bytes"]
+
+
+def test_stats_empty_volume(spark, tmp_path):
+    vol = Volume.create(spark, str(tmp_path / "empty"), _rc_info((8, 8, 4)))
+    s = vol.stats()
+    assert s["stored_chunks"] == 0 and s["raw_rows"] == 0
+    assert s["stored_bytes"] == 0 and s["raw_bytes"] == 0
+    assert s["write_epochs"] == 0
+    assert s["lattice_chunks"] == 12 and s["fill_ratio"] == 0.0
