@@ -251,3 +251,25 @@ def test_zorder_rejects_empty_and_all_null_bounds(spark):
     allnull = spark.createDataFrame([(None, 1), (None, 2)], "a int, b int")
     with pytest.raises(ValueError, match="'a'"):
         zorder_col(allnull, ["a", "b"])
+
+
+def test_materialize_clustered_all_specs(spark, sf_dir, tmp_path):
+    # every CLUSTERED_LAYOUTS entry must materialize through its
+    # recommended layout with full row fidelity: z-ordered tables
+    # round-trip their row count, the hive-partitioned events table
+    # lands event_date=... directories; unspecified dims reject loudly
+    import os
+
+    from bigarrays_jl_spark.sources.tables import (CLUSTERED_LAYOUTS, load,
+                                                   materialize_clustered)
+
+    for name in CLUSTERED_LAYOUTS:
+        out = str(tmp_path / f"cl_{name}")
+        materialize_clustered(spark, sf_dir, name, out)
+        back = spark.read.parquet(out)
+        assert back.count() == load(spark, sf_dir, name).count(), name
+        if "partition" in CLUSTERED_LAYOUTS[name]:
+            dirs = [d for d in os.listdir(out) if "=" in d]
+            assert len(dirs) > 1, (name, dirs)
+    with pytest.raises(ValueError, match="broadcast-sized dim"):
+        materialize_clustered(spark, sf_dir, "region", str(tmp_path / "r"))
