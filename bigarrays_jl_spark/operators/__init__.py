@@ -7,13 +7,15 @@ bench.py iterate the same registry so coverage stays in one place.
 from __future__ import annotations
 
 from bigarrays_jl_spark.operators import (advanced, dedup, events, extensions,
-                                          multimodal, pipeline, relational,
-                                          similarity, text)
+                                          graph, multimodal, pipeline,
+                                          relational, retrieval, similarity,
+                                          temporal, text)
 
-# ordering is the driver-grading contract: extensions (round 6+) stays
-# LAST so new names append after the graded 50-query prefix
+# ordering is the driver-grading contract: new modules (graph/temporal/
+# retrieval, round 8) append AFTER extensions so names land after the
+# graded 50-query prefix
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
-            pipeline, extensions)
+            pipeline, extensions, graph, temporal, retrieval)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

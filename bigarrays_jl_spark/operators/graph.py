@@ -1,0 +1,183 @@
+"""Graph analytics over the embedding k-NN graph (builder extension,
+SURVEY §2C round 8).
+
+The reference has no graph surface; this family demonstrates the
+iterative-algorithm shape a Spark engine needs for link analysis over
+similarity graphs (the "which documents anchor a near-dup cluster"
+question that follows dedup_components).  Three operators:
+
+- ``graph_knn_edges``   — the exact k-NN edge table (k=3, cosine),
+- ``graph_degree_stats``— in-degree histogram of that graph,
+- ``graph_pagerank``    — damped PageRank, N_ITER synchronous
+                          iterations, driven as a DataFrame loop.
+
+Scale posture: the demo edge construction is brute-force all-pairs
+(node count capped at N_GRAPH so the DuckDB twin stays tractable); at
+100 TB edge discovery is the banded-LSH candidate path
+(``similarity.sim_lsh_pairs``) or the IVF-routed scan — both already in
+tree — and PageRank itself only ever touches the *edge table*, whose
+size is nodes×k, never pairs.  Each iteration is one shuffle (join on
+src + groupBy dst); the edge table is localCheckpoint'd once so the
+k-NN construction is not re-evaluated five times (same
+executor-loss tradeoff as ordering.distributed_prefix_sum).
+
+Cross-engine float parity: cosine goes through the shared
+``functions.cosine`` canon (fold-order-matched dot, round 6); each
+PageRank iteration re-rounds to RANK_DIGITS decimals on BOTH engines so
+summation-order ulps can never compound across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.functions import cosine as _cosine
+from bigarrays_jl_spark.sources.tables import load
+
+N_GRAPH = 1000     # node cap: all of sf0.01, half of sf0.1 (oracle budget)
+K_NN = 3           # out-degree of every node
+DAMPING = 0.85
+N_ITER = 5
+RANK_DIGITS = 10   # per-iteration re-round: kills summation-order ulps
+
+# DuckDB twins of the functions.dot / functions.norm2 fold canon
+# (shared formatting with similarity.py's _DOT_SQL/_NORM2_SQL)
+_DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+_NORM2_SQL = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+# the edge-table CTE shared verbatim by all three oracle twins
+_EDGES_CTE = f"""
+nodes0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_GRAPH}),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (sqrt({_NORM2_SQL.format(a='a.embedding')})
+                  * sqrt({_NORM2_SQL.format(a='b.embedding')})), 6) AS cosine
+  FROM nodes0 a, nodes0 b WHERE a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+  FROM scored),
+edges AS (SELECT src, dst, cosine, CAST(r AS INT) AS rank
+          FROM ranked WHERE r <= {K_NN})"""
+
+
+def _knn_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """src → its K_NN most-cosine-similar dst (ties broken by dst id)."""
+    e = (load(spark, sf, "embeddings")
+         .filter(F.col("vec_id") < N_GRAPH)
+         .select("vec_id", "embedding"))
+    q = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qe"))
+    scored = (e.select(F.col("vec_id").alias("dst"), "embedding")
+               .crossJoin(F.broadcast(q))
+               .filter(F.col("src") != F.col("dst"))
+               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= K_NN)
+                  .select("src", "dst", "cosine", "rank"))
+
+
+def graph_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
+    return _knn_edges(spark, sf)
+
+
+GRAPH_KNN_EDGES_SQL = f"""
+WITH {_EDGES_CTE}
+SELECT src, dst, cosine, rank FROM edges
+"""
+
+
+def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """In-degree histogram: how concentrated are the similarity links
+    (hub nodes = canonical representatives of dense near-dup regions).
+    Nodes nobody links to appear as in_deg = 0 via the left anti shape."""
+    edges = _knn_edges(spark, sf)
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    indeg = edges.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count("*").alias("in_deg"))
+    per_node = (nodes.join(indeg, "vec_id", "left")
+                .select("vec_id", F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+    return (per_node.groupBy("in_deg")
+            .agg(F.count("*").alias("n_nodes")))
+
+
+GRAPH_DEGREE_STATS_SQL = f"""
+WITH {_EDGES_CTE},
+nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+indeg AS (SELECT dst AS vec_id, count(*) AS in_deg FROM edges GROUP BY dst),
+per_node AS (
+  SELECT n.vec_id, coalesce(i.in_deg, 0) AS in_deg
+  FROM nodes n LEFT JOIN indeg i ON n.vec_id = i.vec_id)
+SELECT in_deg, count(*) AS n_nodes FROM per_node GROUP BY in_deg
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped PageRank over the k-NN graph, N_ITER synchronous
+    iterations:  r' = (1-d)/N + d * Σ_in r/K_NN.
+
+    Every node has out-degree exactly K_NN (no dangling mass), so the
+    uniform-split contribution is r/K_NN.  The edge table is
+    localCheckpoint'd so the five join+agg iterations reuse one
+    materialization instead of re-running the k-NN construction; each
+    iteration is a single shuffle.  Ranks re-round to RANK_DIGITS on
+    both engines per iteration (see module doc)."""
+    edges = (_knn_edges(spark, sf).select("src", "dst")
+             .localCheckpoint(eager=True))
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n))          # (vec_id, n)
+    ranks = base.select("vec_id", "n",
+                        F.round(F.lit(1.0) / F.col("n"), RANK_DIGITS)
+                         .alias("rank"))
+    for _ in range(N_ITER):
+        r = ranks.select(F.col("vec_id").alias("r_src"), "rank")
+        contrib = (edges.join(r, edges.src == r.r_src)
+                   .groupBy(F.col("dst"))
+                   .agg(F.sum(F.col("rank") / float(K_NN)).alias("c")))
+        ranks = (base.join(contrib, base.vec_id == contrib.dst, "left")
+                 .select(base.vec_id, base.n,
+                         F.round((1.0 - DAMPING) / base.n
+                                 + DAMPING * F.coalesce(contrib.c, F.lit(0.0)),
+                                 RANK_DIGITS).alias("rank")))
+    return ranks.select("vec_id", F.col("rank").alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    """Programmatically unrolled N_ITER-iteration twin of the DataFrame
+    loop above — identical arithmetic, identical per-iteration round."""
+    cte = [f"WITH {_EDGES_CTE},",
+           "nodes AS (SELECT DISTINCT src AS vec_id FROM edges),",
+           "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+           f"r0 AS (SELECT v.vec_id, round(1.0 / n.n, {RANK_DIGITS}) AS rank"
+           "  FROM nodes v CROSS JOIN n)"]
+    for i in range(1, N_ITER + 1):
+        cte.append(
+            f", c{i} AS (SELECT e.dst, sum(r.rank / {float(K_NN)}) AS c"
+            f"  FROM edges e JOIN r{i-1} r ON e.src = r.vec_id GROUP BY e.dst)"
+            f", r{i} AS (SELECT v.vec_id,"
+            f"  round({1.0 - DAMPING} / n.n"
+            f"        + {DAMPING} * coalesce(c.c, 0.0), {RANK_DIGITS}) AS rank"
+            f"  FROM nodes v CROSS JOIN n LEFT JOIN c{i} c ON v.vec_id = c.dst)")
+    cte.append(f"SELECT vec_id, rank AS pagerank FROM r{N_ITER}")
+    return "\n".join(cte)
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
+QUERIES = {
+    "graph_knn_edges": graph_knn_edges,
+    "graph_degree_stats": graph_degree_stats,
+    "graph_pagerank": graph_pagerank,
+}
+
+ORACLES = {
+    "graph_knn_edges": GRAPH_KNN_EDGES_SQL,
+    "graph_degree_stats": GRAPH_DEGREE_STATS_SQL,
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
+}

@@ -1,0 +1,114 @@
+"""Round-8 operator semantics: k-NN-graph analytics (PageRank),
+time-series gap-fill, BM25 retrieval, blocked fuzzy string join."""
+
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.functions.expressions import tokens
+from bigarrays_jl_spark.operators.graph import (
+    DAMPING, K_NN, RANK_DIGITS, graph_degree_stats, graph_knn_edges,
+    graph_pagerank)
+from bigarrays_jl_spark.operators.retrieval import (
+    BM25_QUERY, FUZZY_MAX_DIST, fuzzy_name_pairs, text_bm25)
+from bigarrays_jl_spark.operators.temporal import events_gapfill
+from bigarrays_jl_spark.plans.explain import (formatted_plan,
+                                              has_broadcast_join)
+
+
+def test_knn_edges_regular_graph(spark, sf_dir):
+    rows = graph_knn_edges(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"], "self-loop"
+        by_src.setdefault(r["src"], []).append(r)
+    for src, es in by_src.items():
+        assert sorted(e["rank"] for e in es) == list(range(1, K_NN + 1))
+        # rank order follows cosine desc (ties broken by dst asc)
+        es = sorted(es, key=lambda e: e["rank"])
+        for a, b in zip(es, es[1:]):
+            assert (a["cosine"], -a["dst"]) >= (b["cosine"], -b["dst"])
+
+
+def test_degree_histogram_accounts_every_node(spark, sf_dir):
+    hist = graph_degree_stats(spark, sf_dir).collect()
+    n_nodes = graph_knn_edges(spark, sf_dir).select("src").distinct().count()
+    assert sum(r["n_nodes"] for r in hist) == n_nodes
+    # total in-degree mass equals total edges (= nodes * K_NN)
+    assert sum(r["in_deg"] * r["n_nodes"] for r in hist) == n_nodes * K_NN
+
+
+def test_pagerank_is_a_probability_vector(spark, sf_dir):
+    rows = graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    # out-degree is exactly K_NN for every node (no dangling mass), so
+    # rank mass is conserved up to the per-iteration RANK_DIGITS rounding
+    assert abs(total - 1.0) < n * 10 ** -(RANK_DIGITS - 2)
+    assert all(r["pagerank"] > 0 for r in rows)
+    # a node nobody links to holds exactly the teleport floor (1-d)/N
+    hist = {r["in_deg"]: r["n_nodes"]
+            for r in graph_degree_stats(spark, sf_dir).collect()}
+    if hist.get(0):
+        floor = round((1.0 - DAMPING) / n, RANK_DIGITS)
+        assert min(r["pagerank"] for r in rows) == floor
+
+
+def test_gapfill_grid_is_dense_and_conserves_counts(spark, sf_dir):
+    rows = events_gapfill(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi")).first()
+    n_hours = int((span["hi"] - span["lo"]).total_seconds() // 3600) + 1
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    per_type_counts = {r["event_type"]: r["n"] for r in
+                       e.groupBy("event_type").agg(F.count("*").alias("n"))
+                        .collect()}
+    for t, trs in by_type.items():
+        assert len(trs) == n_hours, (t, len(trs), n_hours)
+        assert sum(r["n_events"] for r in trs) == per_type_counts[t]
+        # forward fill: once a value is observed, it never goes NULL again
+        seen = False
+        for r in sorted(trs, key=lambda r: r["hour_start"]):
+            if r["avg_value_ffill"] is not None:
+                seen = True
+            assert not (seen and r["avg_value_ffill"] is None)
+            # zero-filled hours exist only as gap rows
+            if r["n_events"] == 0 and not seen:
+                assert r["avg_value_ffill"] is None
+
+
+def test_bm25_matches_exactly_the_matching_docs(spark, sf_dir):
+    out = text_bm25(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = (d.select("doc_id", F.explode(tokens()).alias("t"))
+                 .filter(F.col("t").isin(*BM25_QUERY))
+                 .select("doc_id").distinct().count())
+    assert len(out) == expected
+    for r in out:
+        assert 1 <= r["n_terms_matched"] <= len(BM25_QUERY)
+        assert r["bm25"] > 0
+
+
+def test_fuzzy_pairs_are_blocked_and_bounded(spark, sf_dir):
+    rows = fuzzy_name_pairs(spark, sf_dir).collect()
+    assert rows, "calibrated part-name vocab must yield near-matches"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= FUZZY_MAX_DIST
+        # blocking invariant: candidates share the last name token
+        assert r["name_a"].rsplit(" ", 1)[-1] == r["name_b"].rsplit(" ", 1)[-1]
+
+
+def test_round8_plan_shapes(spark, sf_dir):
+    # k-NN construction broadcasts the (capped) query side — the demo
+    # stand-in for the LSH/IVF discovery path — and PageRank's
+    # iteration joins must never degenerate to a cartesian
+    for op in (graph_knn_edges, graph_pagerank, text_bm25):
+        plan = formatted_plan(op(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (op.__name__, plan)
+    assert has_broadcast_join(text_bm25(spark, sf_dir))
+    # fuzzy join is an equi-join on the block key, not all-pairs
+    plan = formatted_plan(fuzzy_name_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
