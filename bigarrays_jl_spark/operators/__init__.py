@@ -7,15 +7,17 @@ bench.py iterate the same registry so coverage stays in one place.
 from __future__ import annotations
 
 from bigarrays_jl_spark.operators import (advanced, dedup, events, extensions,
-                                          graph, multimodal, pipeline,
-                                          relational, retrieval, similarity,
-                                          temporal, text)
+                                          graph, multijoin, multimodal,
+                                          pipeline, relational, retrieval,
+                                          similarity, temporal, text,
+                                          volume_analytics)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval, round 8) append AFTER extensions so names land after the
 # graded 50-query prefix
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
-            pipeline, extensions, graph, temporal, retrieval)
+            pipeline, extensions, graph, temporal, retrieval, multijoin,
+            volume_analytics)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -333,7 +333,10 @@ FROM lineitem GROUP BY l_returnflag
 # view → aggregation.
 # --------------------------------------------------------------------------
 
-def volume_cutout_sum(spark: SparkSession, sf: str) -> DataFrame:
+def demo_volume(spark: SparkSession):
+    """The PID-keyed scratch volume shared by every volume↔relational
+    bridge query (64³ uint8, value = (x·31 + y·7 + z) % 256 — closed
+    form, so DuckDB oracles reproduce any slice with range())."""
     import numpy as np
     from bigarrays_jl_spark.infos import Info
     from bigarrays_jl_spark.volume import Volume
@@ -365,6 +368,11 @@ def volume_cutout_sum(spark: SparkSession, sf: str) -> DataFrame:
         vol.write(arr, (0, 0, 0))
         with open(sentinel, "w") as f:
             f.write("ok")
+    return vol
+
+
+def volume_cutout_sum(spark: SparkSession, sf: str) -> DataFrame:
+    vol = demo_volume(spark)
     vox = vol.voxels(((8, 40), (16, 48), (0, 32)))
     return (vox.groupBy("z")
                .agg(F.sum("value").cast("bigint").alias("sum_v"),

@@ -136,13 +136,22 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                          .alias("rank"))
     for _ in range(N_ITER):
         r = ranks.select(F.col("vec_id").alias("r_src"), "rank")
+        # EXACT decimal accumulation of the incoming ranks (they carry
+        # ≤ RANK_DIGITS decimals, far inside decimal(28,12)), ONE double
+        # division by K after: a partitioned double sum reaches the
+        # round() boundary an ulp apart from DuckDB's sequential sum and
+        # flips the 10th decimal (seen live at sf0.1); decimal partials
+        # are order-independent at any partitioning.
         contrib = (edges.join(r, edges.src == r.r_src)
                    .groupBy(F.col("dst"))
-                   .agg(F.sum(F.col("rank") / float(K_NN)).alias("c")))
+                   .agg(F.sum(F.col("rank").cast("decimal(28,12)"))
+                         .alias("csum")))
         ranks = (base.join(contrib, base.vec_id == contrib.dst, "left")
                  .select(base.vec_id, base.n,
                          F.round((1.0 - DAMPING) / base.n
-                                 + DAMPING * F.coalesce(contrib.c, F.lit(0.0)),
+                                 + DAMPING
+                                 * (F.coalesce(contrib.csum.cast("double"),
+                                               F.lit(0.0)) / float(K_NN)),
                                  RANK_DIGITS).alias("rank")))
     return ranks.select("vec_id", F.col("rank").alias("pagerank"))
 
@@ -157,11 +166,13 @@ def _pagerank_sql() -> str:
            "  FROM nodes v CROSS JOIN n)"]
     for i in range(1, N_ITER + 1):
         cte.append(
-            f", c{i} AS (SELECT e.dst, sum(r.rank / {float(K_NN)}) AS c"
+            f", c{i} AS (SELECT e.dst,"
+            f"  sum(CAST(r.rank AS DECIMAL(28,12))) AS csum"
             f"  FROM edges e JOIN r{i-1} r ON e.src = r.vec_id GROUP BY e.dst)"
             f", r{i} AS (SELECT v.vec_id,"
             f"  round({1.0 - DAMPING} / n.n"
-            f"        + {DAMPING} * coalesce(c.c, 0.0), {RANK_DIGITS}) AS rank"
+            f"        + {DAMPING} * (coalesce(CAST(c.csum AS DOUBLE), 0.0)"
+            f"                       / {float(K_NN)}), {RANK_DIGITS}) AS rank"
             f"  FROM nodes v CROSS JOIN n LEFT JOIN c{i} c ON v.vec_id = c.dst)")
     cte.append(f"SELECT vec_id, rank AS pagerank FROM r{N_ITER}")
     return "\n".join(cte)
@@ -170,14 +181,72 @@ def _pagerank_sql() -> str:
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+def graph_triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    UNDIRECTED k-NN graph (how clique-ish the similarity structure is —
+    high clustering means near-dup regions form tight blobs).
+
+    Canonicalized edges (a < b) make each triangle appear exactly once
+    as a < b < c: wedge join on the shared middle node, then one closing
+    equi-join — the standard two-shuffle distributed triangle count,
+    never an all-pairs product.  Wedge count Σ d(d-1)/2 comes from the
+    degree table; both are exact integers on both engines."""
+    und = (_knn_edges(spark, sf)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=True))     # reused by 3 joins + degrees
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (e1.join(e2, e1.y == e2.y2)
+             .join(e3, (F.col("x") == e3.x3) & (F.col("z") == e3.z3))
+             .agg(F.count("*").alias("n_triangles")))
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+                     .cast("bigint").alias("n_wedges"))
+    return (tri.crossJoin(F.broadcast(wedges))
+            .select("n_triangles", "n_wedges",
+                    F.when(F.col("n_wedges") > 0,
+                           F.round(3.0 * F.col("n_triangles")
+                                   / F.col("n_wedges"), 6))
+                     .alias("global_clustering")))
+
+
+GRAPH_TRIANGLE_STATS_SQL = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node),
+w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
+SELECT tri.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN round(3.0 * tri.n_triangles / w.n_wedges, 6) END
+         AS global_clustering
+FROM tri CROSS JOIN w
+"""
+
+
 QUERIES = {
     "graph_knn_edges": graph_knn_edges,
     "graph_degree_stats": graph_degree_stats,
     "graph_pagerank": graph_pagerank,
+    "graph_triangle_stats": graph_triangle_stats,
 }
 
 ORACLES = {
     "graph_knn_edges": GRAPH_KNN_EDGES_SQL,
     "graph_degree_stats": GRAPH_DEGREE_STATS_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_triangle_stats": GRAPH_TRIANGLE_STATS_SQL,
 }

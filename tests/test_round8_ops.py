@@ -112,3 +112,81 @@ def test_round8_plan_shapes(spark, sf_dir):
     # fuzzy join is an equi-join on the block key, not all-pairs
     plan = formatted_plan(fuzzy_name_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_stats_match_bruteforce(spark, sf_dir):
+    from bigarrays_jl_spark.operators.graph import graph_triangle_stats
+    edges = graph_knn_edges(spark, sf_dir).collect()
+    adj = {}
+    und = set()
+    for r in edges:
+        a, b = sorted((r["src"], r["dst"]))
+        und.add((a, b))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in und for c in (adj[a] & adj[b]) if c > b)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = graph_triangle_stats(spark, sf_dir).first()
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    if wedges:
+        assert abs(row["global_clustering"] - 3 * tri / wedges) < 1e-6
+
+
+def test_interpolate_between_observations(spark, sf_dir):
+    from bigarrays_jl_spark.operators.temporal import events_interpolate
+    rows = events_interpolate(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for trs in by_type.values():
+        trs.sort(key=lambda r: r["hour_start"])
+        obs = [i for i, r in enumerate(trs) if r["n_events"] > 0]
+        first, last = obs[0], obs[-1]
+        for i, r in enumerate(trs):
+            v = r["avg_value_interp"]
+            if i < first or i > last:
+                assert v is None            # no extrapolation
+            else:
+                assert v is not None
+                if r["n_events"] == 0:      # strictly inside a gap:
+                    # bounded by the neighboring observations
+                    lo = max(j for j in obs if j < i)
+                    hi = min(j for j in obs if j > i)
+                    a = trs[lo]["avg_value_interp"]
+                    b = trs[hi]["avg_value_interp"]
+                    assert min(a, b) - 1e-9 <= v <= max(a, b) + 1e-9
+
+
+def test_multijoin_plans_broadcast_dims(spark, sf_dir):
+    from bigarrays_jl_spark.operators.multijoin import (
+        q47_region_supplier_volume, q48_nation_trade_flows)
+    for op in (q47_region_supplier_volume, q48_nation_trade_flows):
+        df = op(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (op.__name__, plan)
+        assert has_broadcast_join(df), op.__name__
+        assert df.count() > 0, op.__name__
+
+
+def test_volume_analytics_match_closed_form(spark, sf_dir):
+    import numpy as np
+    from bigarrays_jl_spark.operators.volume_analytics import (
+        HIST_BUCKET, volume_histogram, volume_mip_projection)
+    x, y, z = np.meshgrid(np.arange(64), np.arange(64), np.arange(64),
+                          indexing="ij")
+    arr = (x * 31 + y * 7 + z) % 256
+    hist = {r["bucket"]: r for r in volume_histogram(spark, sf_dir).collect()}
+    assert sum(r["n_voxels"] for r in hist.values()) == 64 ** 3
+    counts = np.bincount((arr // HIST_BUCKET).ravel())
+    for b, r in hist.items():
+        assert r["n_voxels"] == counts[b]
+        assert b * HIST_BUCKET <= r["min_v"] <= r["max_v"] < (b + 1) * HIST_BUCKET
+    proj = volume_mip_projection(spark, sf_dir).collect()
+    assert len(proj) == 64 * 64
+    sl = arr[:, :, 16:48]
+    for r in proj[:50]:
+        col = sl[r["x"], r["y"]]
+        assert r["max_v"] == col.max()
+        assert abs(r["mean_v"] - col.mean()) < 1e-9
