@@ -22,9 +22,12 @@ k-NN construction is not re-evaluated five times (same
 executor-loss tradeoff as ordering.distributed_prefix_sum).
 
 Cross-engine float parity: cosine goes through the shared
-``functions.cosine`` canon (fold-order-matched dot, round 6); each
-PageRank iteration re-rounds to RANK_DIGITS decimals on BOTH engines so
-summation-order ulps can never compound across iterations.
+``functions.guarded_cosine`` canon (fold-order-matched dot, round 6,
+-2.0 sentinel on zero-norm vectors so a degenerate embedding can never
+win a k-NN slot on one engine and lose it on the other); PageRank
+contributions accumulate in exact DECIMAL with ONE double division per
+iteration, and each iteration re-rounds to RANK_DIGITS decimals on BOTH
+engines so summation-order ulps can never compound.
 """
 
 from __future__ import annotations
@@ -32,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.functions import cosine as _cosine
+from bigarrays_jl_spark.functions import guarded_cosine as _cosine
+# DuckDB twins of the functions.dot / functions.norm2 fold canon —
+# single source of truth in similarity.py (an inline copy could drift
+# and break the graph family's cross-engine hashes alone)
+from bigarrays_jl_spark.operators.similarity import _DOT_SQL, _NORM2_SQL
 from bigarrays_jl_spark.sources.tables import load
 
 N_GRAPH = 1000     # node cap: all of sf0.01, half of sf0.1 (oracle budget)
@@ -41,20 +48,18 @@ DAMPING = 0.85
 N_ITER = 5
 RANK_DIGITS = 10   # per-iteration re-round: kills summation-order ulps
 
-# DuckDB twins of the functions.dot / functions.norm2 fold canon
-# (shared formatting with similarity.py's _DOT_SQL/_NORM2_SQL)
-_DOT_SQL = ("list_sum(list_transform(range(1, len({a}) + 1), "
-            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
-_NORM2_SQL = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
 # the edge-table CTE shared verbatim by all three oracle twins
 _EDGES_CTE = f"""
 nodes0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_GRAPH}),
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-               / (sqrt({_NORM2_SQL.format(a='a.embedding')})
-                  * sqrt({_NORM2_SQL.format(a='b.embedding')})), 6) AS cosine
+         CASE WHEN {_NORM2_SQL.format(a='a.embedding')} > 0
+               AND {_NORM2_SQL.format(a='b.embedding')} > 0
+              THEN round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                         / (sqrt({_NORM2_SQL.format(a='a.embedding')})
+                            * sqrt({_NORM2_SQL.format(a='b.embedding')})), 6)
+              ELSE -2.0 END AS cosine
   FROM nodes0 a, nodes0 b WHERE a.vec_id <> b.vec_id),
 ranked AS (
   SELECT src, dst, cosine,

@@ -233,3 +233,36 @@ def test_rechunk_split_nesting_invariant(dst_c, ratio, offset, size):
         assert len(owners) == 1, (
             f"dest chunk [{d_lo},{d_hi}) straddles source chunks "
             f"{owners} (src_c={src_c}, dst_c={dst_c}, offset={offset})")
+
+
+# -- debounce chain semantics vs pure-Python greedy walk (r8) --------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),            # user
+                          st.integers(0, 1),            # type
+                          st.integers(0, 2000)),        # epoch seconds
+                min_size=1, max_size=60))
+def test_debounce_matches_chain_walk(spark, raw):
+    import datetime as dt
+
+    from bigarrays_jl_spark.operators.debounce import debounce
+    tol = 100
+    rows = [(i, u, f"t{t}",
+             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+            for i, (u, t, s) in enumerate(raw)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    kept = {r["event_id"]
+            for r in debounce(e, tolerance_s=tol).collect()}
+    expected = set()
+    streams = {}
+    for i, (u, t, s) in enumerate(raw):
+        streams.setdefault((u, t), []).append((s, i))
+    for rs in streams.values():
+        rs.sort()
+        prev = None
+        for s, i in rs:
+            if prev is None or s - prev > tol:
+                expected.add(i)
+            prev = s
+    assert kept == expected

@@ -53,8 +53,9 @@ def test_pagerank_is_a_probability_vector(spark, sf_dir):
 
 
 def test_gapfill_grid_is_dense_and_conserves_counts(spark, sf_dir):
+    from bigarrays_jl_spark.sources.tables import load
     rows = events_gapfill(spark, sf_dir).collect()
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = load(spark, sf_dir, "events")   # ts normalization canon
     span = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi")).first()
@@ -81,7 +82,8 @@ def test_gapfill_grid_is_dense_and_conserves_counts(spark, sf_dir):
 
 def test_bm25_matches_exactly_the_matching_docs(spark, sf_dir):
     out = text_bm25(spark, sf_dir).collect()
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from bigarrays_jl_spark.sources.tables import load
+    d = load(spark, sf_dir, "documents")
     expected = (d.select("doc_id", F.explode(tokens()).alias("t"))
                  .filter(F.col("t").isin(*BM25_QUERY))
                  .select("doc_id").distinct().count())
@@ -190,3 +192,56 @@ def test_volume_analytics_match_closed_form(spark, sf_dir):
         col = sl[r["x"], r["y"]]
         assert r["max_v"] == col.max()
         assert abs(r["mean_v"] - col.mean()) < 1e-9
+
+
+def test_apply_changes_merge_semantics(spark, sf_dir):
+    from bigarrays_jl_spark.operators.mutation import (
+        INSERT_OFFSET, pipeline_apply_changes)
+    from bigarrays_jl_spark.sources.tables import load
+    base = {r["doc_id"]: r for r in
+            load(spark, sf_dir, "documents").collect()}
+    merged = {r["doc_id"]: r for r in
+              pipeline_apply_changes(spark, sf_dir).collect()}
+    for did, b in base.items():
+        if did % 17 == 0:
+            assert did not in merged                     # deleted
+        elif did % 10 == 0:
+            m = merged[did]                              # updated
+            assert m["last_op"] == "update"
+            assert m["source"] == "curated"
+            assert m["n_chars"] == b["n_chars"] + 1
+        else:
+            m = merged[did]                              # untouched
+            assert m["last_op"] == "keep"
+            assert m["source"] == b["source"]
+        if did % 25 == 0:                                # inserted twin
+            m = merged[did + INSERT_OFFSET]
+            assert m["last_op"] == "insert"
+            assert m["source"] == "synthetic"
+            assert m["n_chars"] == b["n_chars"]
+    n_del = sum(1 for d in base if d % 17 == 0)
+    n_ins = sum(1 for d in base if d % 25 == 0)
+    assert len(merged) == len(base) - n_del + n_ins
+
+
+def test_debounce_matches_greedy_chain_walk(spark, sf_dir):
+    from bigarrays_jl_spark.operators.debounce import (DEBOUNCE_S,
+                                                       events_debounce)
+    from bigarrays_jl_spark.sources.tables import load
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts").collect()
+    streams = {}
+    for r in events:
+        streams.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    expected = set()
+    for rs in streams.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        prev = None
+        for r in rs:
+            # chain semantics: the burst extends while each event is
+            # within DEBOUNCE_S of the PREVIOUS event (kept or not)
+            if prev is None or (r["ts"] - prev).total_seconds() > DEBOUNCE_S:
+                expected.add(r["event_id"])
+            prev = r["ts"]
+    kept = {r["event_id"] for r in events_debounce(spark, sf_dir).collect()}
+    assert kept == expected
