@@ -33,9 +33,26 @@ from bigarrays_jl_spark.sources.tables import load
 INSERT_OFFSET = 1_000_000
 
 
-def pipeline_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select(
-        "doc_id", "lang", "source", "n_chars")
+def merge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a change feed ``(doc_id, op, c_lang, c_source, c_n_chars)``
+    to a ``(doc_id, lang, source, n_chars)`` base — THE merge core
+    shared by the batch operator below and the durable streaming bridge
+    (``streaming.windows.streaming_apply_changes``), so batch and
+    streaming can never disagree on merge semantics.  One
+    key-partitioned full-outer join + row-level CASE; at most one
+    change per key per feed is the caller's contract."""
+    return (base.join(changes, "doc_id", "full_outer")
+            .filter(F.coalesce(F.col("op"), F.lit("")) != "delete")
+            .select("doc_id",
+                    F.coalesce("c_lang", "lang").alias("lang"),
+                    F.coalesce("c_source", "source").alias("source"),
+                    F.coalesce("c_n_chars", "n_chars").alias("n_chars"),
+                    F.coalesce("op", F.lit("keep")).alias("last_op")))
+
+
+def derive_change_feed(d: DataFrame) -> DataFrame:
+    """The deterministic demo change feed (see module doc) — factored
+    so the streaming bridge test can replay the identical feed."""
     deletes = (d.filter(F.col("doc_id") % 17 == 0)
                 .select("doc_id", F.lit("delete").alias("op"),
                         F.lit(None).cast("string").alias("c_lang"),
@@ -53,15 +70,13 @@ def pipeline_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
                         F.col("lang").alias("c_lang"),
                         F.lit("synthetic").alias("c_source"),
                         F.col("n_chars").alias("c_n_chars")))
-    changes = deletes.unionAll(updates).unionAll(inserts)
-    merged = (d.join(changes, "doc_id", "full_outer")
-               .filter(F.coalesce(F.col("op"), F.lit("")) != "delete")
-               .select("doc_id",
-                       F.coalesce("c_lang", "lang").alias("lang"),
-                       F.coalesce("c_source", "source").alias("source"),
-                       F.coalesce("c_n_chars", "n_chars").alias("n_chars"),
-                       F.coalesce("op", F.lit("keep")).alias("last_op")))
-    return merged
+    return deletes.unionAll(updates).unionAll(inserts)
+
+
+def pipeline_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    return merge_changes(d, derive_change_feed(d))
 
 
 PIPELINE_APPLY_CHANGES_SQL = f"""

@@ -358,6 +358,70 @@ def streaming_partitioned_sink(events: DataFrame, path: str,
             .start())
 
 
+def read_merged_table(spark: SparkSession, root: str) -> DataFrame | None:
+    """Latest COMPLETE snapshot of a versioned merge table (see
+    ``streaming_apply_changes``): highest ``v…`` directory carrying the
+    parquet commit marker.  Incomplete writes (no _SUCCESS) and the
+    not-yet-created root both read as the previous state — None when no
+    snapshot exists yet."""
+    import os
+    if not os.path.isdir(root):
+        return None
+    versions = sorted(
+        v for v in os.listdir(root)
+        if v.startswith("v")
+        and os.path.exists(os.path.join(root, v, "_SUCCESS")))
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(root, versions[-1]))
+
+
+def streaming_apply_changes(changes: DataFrame, table_root: str,
+                            checkpoint_path: str):
+    """Continuous MERGE INTO: each micro-batch of the CDC feed
+    ``(doc_id, op, c_lang, c_source, c_n_chars)`` is applied to the
+    table through the SAME merge core as the batch operator
+    (``operators.mutation.merge_changes`` — one canon, so batch and
+    streaming can never disagree on merge semantics), producing a new
+    IMMUTABLE snapshot directory ``v<batch_id>`` under ``table_root``.
+
+    Snapshot-per-batch is the object-store-safe MVCC scheme (the
+    rename-swap trick ``Volume._rewrite_mip`` uses is atomic only on
+    real filesystems): readers resolve the highest snapshot whose
+    _SUCCESS marker exists, a crash mid-write leaves a markerless
+    directory that no reader sees, and a REPLAYED micro-batch
+    (foreachBatch is at-least-once after restart) rewrites its own
+    version directory idempotently.  Compact/garbage-collect old
+    snapshots offline — production would put Delta/Iceberg here; this
+    is the same log-structured idea with parquet primitives.
+
+    Scale shape: one key-partitioned full-outer join per batch — the
+    MERGE INTO physical plan — and the rewrite cost is the table size,
+    which is MERGE's floor without a log-structured format underneath.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+
+    from bigarrays_jl_spark.operators.mutation import merge_changes
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = read_merged_table(spark, table_root)
+        if base is not None:
+            base = base.select("doc_id", "lang", "source", "n_chars")
+        else:   # first batch bootstraps from an empty base
+            base = spark.createDataFrame(
+                [], "doc_id long, lang string, source string, n_chars long")
+        merged = merge_changes(base, batch_df)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_root, f"v{batch_id:09d}"))
+
+    return (changes.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

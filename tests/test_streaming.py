@@ -498,3 +498,88 @@ def test_streaming_partitioned_sink_matches_batch_layout(spark, sf_dir,
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert pruned.count() == e.filter(F.to_date("ts") == one_day).count()
+
+
+def test_streaming_apply_changes_matches_batch_twin(spark, sf_dir, tmp_path):
+    # the continuous MERGE INTO bridge: batch 1 bootstraps the table
+    # (base docs as inserts), batch 2 applies the derived CDC feed; the
+    # resulting snapshot must equal the batch operator row-for-row
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.mutation import (derive_change_feed,
+                                                       pipeline_apply_changes)
+    from bigarrays_jl_spark.streaming.windows import (read_merged_table,
+                                                      streaming_apply_changes)
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    bootstrap = d.select(
+        "doc_id", F.lit("insert").alias("op"),
+        F.col("lang").alias("c_lang"), F.col("source").alias("c_source"),
+        F.col("n_chars").alias("c_n_chars"))
+    feed = derive_change_feed(d)
+
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    bootstrap.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(bootstrap.schema).parquet(src)
+    q = streaming_apply_changes(stream, root, ckpt)
+    try:
+        q.processAllAvailable()
+        t1 = read_merged_table(spark, root)
+        assert t1 is not None and t1.count() == d.count()
+        assert {r.last_op for r in t1.select("last_op").distinct().collect()} \
+            == {"insert"}
+        feed.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+           for r in read_merged_table(spark, root).collect()}
+    want = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+            for r in pipeline_apply_changes(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_streaming_apply_changes_restart_recovery(spark, sf_dir, tmp_path):
+    # stop after the bootstrap batch, restart on the SAME checkpoint,
+    # then deliver the CDC feed: the checkpoint must not re-apply batch
+    # 1, and the final snapshot still equals the batch twin
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.mutation import (derive_change_feed,
+                                                       pipeline_apply_changes)
+    from bigarrays_jl_spark.streaming.windows import (read_merged_table,
+                                                      streaming_apply_changes)
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    bootstrap = d.select(
+        "doc_id", F.lit("insert").alias("op"),
+        F.col("lang").alias("c_lang"), F.col("source").alias("c_source"),
+        F.col("n_chars").alias("c_n_chars"))
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    bootstrap.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(bootstrap.schema).parquet(src)
+    q = streaming_apply_changes(stream, root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    derive_change_feed(d).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(bootstrap.schema).parquet(src)
+    q2 = streaming_apply_changes(stream2, root, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+           for r in read_merged_table(spark, root).collect()}
+    want = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+            for r in pipeline_apply_changes(spark, sf_dir).collect()}
+    assert got == want
