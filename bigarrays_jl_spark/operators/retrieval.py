@@ -54,10 +54,14 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
     tf_norm = (F.col("tf") * (BM25_K1 + 1.0)
                / (F.col("tf") + BM25_K1
                   * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
-    return (scored.withColumn("s", idf * tf_norm)
+    # decimal partials for the per-doc term sum: each term's double
+    # score is engine-identical, but a raw double sum is addition-order
+    # dependent — decimal accumulation keeps the rounded result stable
+    # under any partitioning (repo float-parity canon)
+    return (scored.withColumn("s", (idf * tf_norm).cast("decimal(28,12)"))
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_terms_matched"),
-                 F.round(F.sum("s"), 6).alias("bm25")))
+                 F.round(F.sum("s").cast("double"), 6).alias("bm25")))
 
 
 TEXT_BM25_SQL = rf"""
@@ -77,11 +81,12 @@ tf AS (
 df_t AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
          FROM tf GROUP BY term)
 SELECT tf.doc_id, CAST(count(*) AS INT) AS n_terms_matched,
-       round(sum(
+       round(CAST(sum(CAST(
          ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
          * (tf.tf * ({BM25_K1} + 1.0)
             / (tf.tf + {BM25_K1}
-               * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)))), 6)
+               * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)))
+         AS DECIMAL(28,12))) AS DOUBLE), 6)
          AS bm25
 FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats s
 GROUP BY tf.doc_id

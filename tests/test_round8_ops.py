@@ -245,3 +245,27 @@ def test_debounce_matches_greedy_chain_walk(spark, sf_dir):
             prev = r["ts"]
     kept = {r["event_id"] for r in events_debounce(spark, sf_dir).collect()}
     assert kept == expected
+
+
+def test_journeys_prefix_semantics(spark, sf_dir):
+    from bigarrays_jl_spark.operators.journeys import (JOURNEY_LEN, SEP,
+                                                       events_journeys)
+    from bigarrays_jl_spark.sources.tables import load
+    rows = events_journeys(spark, sf_dir).collect()
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id").collect()
+    streams = {}
+    for r in events:
+        streams.setdefault(r["user_id"], []).append(r)
+    expected = {}
+    for rs in streams.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        j = SEP.join(r["event_type"] for r in rs[:JOURNEY_LEN])
+        expected[j] = expected.get(j, 0) + 1
+    got = {r["journey"]: r["n_users"] for r in rows}
+    assert got == expected
+    n_users = sum(expected.values())
+    for r in rows:
+        assert r["journey_len"] == min(JOURNEY_LEN,
+                                       r["journey"].count(SEP) + 1)
+        assert abs(r["share"] - r["n_users"] / n_users) < 1e-12
