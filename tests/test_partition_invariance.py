@@ -1,0 +1,39 @@
+"""Partition-count invariance: the float-parity canon's core claim is
+that every rounded/compared output is ORDER-INDEPENDENT — exact decimal
+partials for cross-partition accumulation, one double division after,
+no rounding of tie-prone quotients.  These tests re-run the most
+float-sensitive registry queries under a different
+spark.sql.shuffle.partitions and require bit-identical results: a query
+whose values move with the partitioning would only pass the DuckDB
+oracle by luck of the current layout, and would silently drift on a
+real cluster where partitioning is a tuning knob.
+"""
+
+import pytest
+
+PARTITION_SENSITIVE = [
+    "q01_pricing_summary",      # decimal money sums
+    "text_bm25",                # decimal per-doc term-score sums
+    "graph_pagerank",           # iterated decimal contribution sums
+    "events_gapfill",           # unrounded decimal-sum/count means
+    "events_interpolate",       # blend over the same means
+    "events_journeys",          # unrounded count/total shares
+    "text_unigram_logprob",     # decimal-accumulated logprob means
+    "q42_stats_aggs",           # decimal power sums
+]
+
+
+@pytest.mark.parametrize("qname", PARTITION_SENSITIVE)
+def test_result_identical_under_different_shuffle_partitions(
+        spark, sf_dir, qname):
+    from bigarrays_jl_spark.operators import ALL_QUERIES
+    fn = ALL_QUERIES[qname]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert base, qname
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert base == alt, f"{qname} output moved with the partitioning"
