@@ -269,3 +269,25 @@ def test_journeys_prefix_semantics(spark, sf_dir):
         assert r["journey_len"] == min(JOURNEY_LEN,
                                        r["journey"].count(SEP) + 1)
         assert abs(r["share"] - r["n_users"] / n_users) < 1e-12
+
+
+def test_mutation_debounce_journeys_plan_shapes(spark, sf_dir):
+    # merge = key-partitioned full-outer (no broadcast assumption, no
+    # cartesian); debounce windows partition by (user, type) — neither
+    # may funnel data through a SinglePartition exchange
+    from bigarrays_jl_spark.operators.debounce import events_debounce
+    from bigarrays_jl_spark.operators.journeys import events_journeys
+    from bigarrays_jl_spark.operators.mutation import pipeline_apply_changes
+    from bigarrays_jl_spark.plans.explain import simple_plan
+    for op in (pipeline_apply_changes, events_debounce):
+        plan = simple_plan(op(spark, sf_dir))
+        assert "SinglePartition" not in plan, (op.__name__, plan)
+        assert "CartesianProduct" not in plan, (op.__name__, plan)
+    # journeys legitimately carries ONE SinglePartition exchange: the
+    # global n_users scalar, fed by partial_count so only
+    # one-row-per-task crosses it (the broadcast-stats pattern
+    # text_doc_freq uses); everything row-scale stays hash-partitioned
+    plan = simple_plan(events_journeys(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "partial_count" in plan, plan
