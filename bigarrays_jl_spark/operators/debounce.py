@@ -7,8 +7,8 @@ collapse to their opening event — the batch analog of the streaming
 ``dropDuplicatesWithinWatermark`` screen in ``streaming/windows.py``
 (CHAIN semantics: each event extends the burst it is within DEBOUNCE_S
 of the PREVIOUS event of), via gaps-and-islands:
-a lag() gap test opens an island, a running sum numbers islands, and
-row_number picks each island's first row.
+a lag() gap test marks island openers, and the openers ARE the kept
+rows — one window, one filter.
 
 Scale shape: one user+type-partitioned ordered window (bounded
 per-user/type cardinality — same partitioning argument as
@@ -34,15 +34,12 @@ def debounce(e: DataFrame, tolerance_s: int = DEBOUNCE_S) -> DataFrame:
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap = (F.col("ts").cast("long")
            - F.lag(F.col("ts").cast("long")).over(w))
+    # the island OPENER is exactly the row whose new-burst flag is 1 —
+    # no island numbering / second window needed to pick it
     new_burst = F.when(gap.isNull() | (gap > tolerance_s), 1).otherwise(0)
-    burst = (e.withColumn("nb", new_burst)
-              .withColumn("burst_id", F.sum("nb").over(
-                  w.rowsBetween(W.unboundedPreceding, W.currentRow))))
-    wb = W.partitionBy("user_id", "event_type", "burst_id").orderBy(
-        "ts", "event_id")
-    return (burst.withColumn("rn", F.row_number().over(wb))
-                 .filter(F.col("rn") == 1)
-                 .select("event_id", "user_id", "event_type", "ts"))
+    return (e.withColumn("nb", new_burst)
+             .filter(F.col("nb") == 1)
+             .select("event_id", "user_id", "event_type", "ts"))
 
 
 def events_debounce(spark: SparkSession, sf: str) -> DataFrame:
@@ -58,18 +55,8 @@ WITH g AS (
                  > {DEBOUNCE_S}
               THEN 1 ELSE 0 END AS nb
   FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
-b AS (
-  SELECT *, sum(nb) OVER (PARTITION BY user_id, event_type
-                          ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS burst_id
-  FROM g),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst_id
-                               ORDER BY ts, event_id) AS rn
-  FROM b)
-SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT event_id, user_id, event_type, ts FROM g WHERE nb = 1
 """
 
 

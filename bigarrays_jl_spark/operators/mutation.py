@@ -39,8 +39,11 @@ def merge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
     shared by the batch operator below and the durable streaming bridge
     (``streaming.windows.streaming_apply_changes``), so batch and
     streaming can never disagree on merge semantics.  One
-    key-partitioned full-outer join + row-level CASE; at most one
-    change per key per feed is the caller's contract."""
+    key-partitioned full-outer join + row-level CASE.  Caller contract:
+    at most one change per key per feed (the streaming bridge enforces
+    this with an op-precedence collapse), and updates cannot set a
+    column to NULL — the coalesce keeps the base value; a CDC source
+    that needs NULL-ing updates must carry per-column change flags."""
     return (base.join(changes, "doc_id", "full_outer")
             .filter(F.coalesce(F.col("op"), F.lit("")) != "delete")
             .select("doc_id",

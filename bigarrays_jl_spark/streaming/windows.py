@@ -358,19 +358,28 @@ def streaming_partitioned_sink(events: DataFrame, path: str,
             .start())
 
 
-def read_merged_table(spark: SparkSession, root: str) -> DataFrame | None:
+def read_merged_table(spark: SparkSession, root: str,
+                      before_batch: int | None = None) -> DataFrame | None:
     """Latest COMPLETE snapshot of a versioned merge table (see
     ``streaming_apply_changes``): highest ``v…`` directory carrying the
     parquet commit marker.  Incomplete writes (no _SUCCESS) and the
     not-yet-created root both read as the previous state — None when no
-    snapshot exists yet."""
+    snapshot exists yet.
+
+    ``before_batch`` restricts resolution to snapshots from EARLIER
+    batches — the merge loop passes its own batch_id here so a REPLAYED
+    batch (crash after v{N}/_SUCCESS committed but before the stream
+    checkpoint) re-merges against v{N-1} instead of reading v{N} while
+    overwriting it, which Spark rejects (UNSUPPORTED_OVERWRITE.PATH)
+    and which would wedge every restart until v{N} was hand-deleted."""
     import os
     if not os.path.isdir(root):
         return None
     versions = sorted(
         v for v in os.listdir(root)
         if v.startswith("v")
-        and os.path.exists(os.path.join(root, v, "_SUCCESS")))
+        and os.path.exists(os.path.join(root, v, "_SUCCESS"))
+        and (before_batch is None or int(v[1:]) < before_batch))
     if not versions:
         return None
     return spark.read.parquet(os.path.join(root, versions[-1]))
@@ -406,13 +415,28 @@ def streaming_apply_changes(changes: DataFrame, table_root: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        base = read_merged_table(spark, table_root)
+        # before_batch=batch_id: a replayed batch merges against the
+        # PREVIOUS snapshot, not the one it is about to overwrite
+        base = read_merged_table(spark, table_root, before_batch=batch_id)
         if base is not None:
             base = base.select("doc_id", "lang", "source", "n_chars")
         else:   # first batch bootstraps from an empty base
             base = spark.createDataFrame(
                 [], "doc_id long, lang string, source string, n_chars long")
-        merged = merge_changes(base, batch_df)
+        # enforce merge_changes' one-change-per-key contract: micro-batch
+        # composition is engine-chosen (file arrivals can fold into one
+        # trigger), so collapse multi-change keys by op precedence
+        # delete > update > insert — deterministic via lexicographic
+        # struct max (the feed carries no LSN; with one, order by it)
+        pri = (F.when(F.col("op") == "delete", 3)
+                .when(F.col("op") == "update", 2).otherwise(1))
+        latest = (batch_df.withColumn("pri", pri)
+                  .groupBy("doc_id")
+                  .agg(F.max(F.struct("pri", "op", "c_lang", "c_source",
+                                      "c_n_chars")).alias("c"))
+                  .select("doc_id", "c.op", "c.c_lang", "c.c_source",
+                          "c.c_n_chars"))
+        merged = merge_changes(base, latest)
         merged.write.mode("overwrite").parquet(
             os.path.join(table_root, f"v{batch_id:09d}"))
 

@@ -233,6 +233,16 @@ def test_debounce_matches_greedy_chain_walk(spark, sf_dir):
     streams = {}
     for r in events:
         streams.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    import datetime as dt
+
+    def epoch(ts):
+        # whole-second floor — the engines' gap canon (Spark cast-long /
+        # DuckDB floor(epoch_us/1e6)) truncates BEFORE differencing, so
+        # the walk must too: an exact gap of 300.05 s can be a truncated
+        # gap of exactly 300 (same burst), and comparing fractional
+        # seconds here would diverge from the operator under test
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+
     expected = set()
     for rs in streams.values():
         rs.sort(key=lambda r: (r["ts"], r["event_id"]))
@@ -240,9 +250,9 @@ def test_debounce_matches_greedy_chain_walk(spark, sf_dir):
         for r in rs:
             # chain semantics: the burst extends while each event is
             # within DEBOUNCE_S of the PREVIOUS event (kept or not)
-            if prev is None or (r["ts"] - prev).total_seconds() > DEBOUNCE_S:
+            if prev is None or epoch(r["ts"]) - prev > DEBOUNCE_S:
                 expected.add(r["event_id"])
-            prev = r["ts"]
+            prev = epoch(r["ts"])
     kept = {r["event_id"] for r in events_debounce(spark, sf_dir).collect()}
     assert kept == expected
 

@@ -583,3 +583,41 @@ def test_streaming_apply_changes_restart_recovery(spark, sf_dir, tmp_path):
     want = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
             for r in pipeline_apply_changes(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_apply_changes_collapses_multi_change_batches(
+        spark, sf_dir, tmp_path):
+    # micro-batch composition is engine-chosen: when one batch carries
+    # several ops for a key, the bridge must collapse them by op
+    # precedence (delete > update > insert) before merging — never emit
+    # duplicate rows for the key
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import (read_merged_table,
+                                                      streaming_apply_changes)
+    feed_schema = ("doc_id long, op string, c_lang string, "
+                   "c_source string, c_n_chars long")
+    batch = spark.createDataFrame(
+        [(1, "insert", "en", "s0", 10),
+         (2, "insert", "en", "s0", 20),
+         # key 2: update AND delete fold into the same batch
+         (2, "update", "en", "curated", 21),
+         (2, "delete", None, None, None),
+         # key 3: two updates — one survivor, exactly one row
+         (3, "insert", "fr", "s0", 30),
+         (3, "update", "fr", "curated", 31)],
+        feed_schema)
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    batch.coalesce(1).write.parquet(src)
+    q = streaming_apply_changes(
+        spark.readStream.schema(batch.schema).parquet(src), root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.doc_id: r for r in read_merged_table(spark, root).collect()}
+    assert set(rows) == {1, 3}              # key 2's delete won
+    assert rows[3].source == "curated"      # key 3's update won
+    assert read_merged_table(spark, root).groupBy("doc_id").count() \
+        .filter(F.col("count") > 1).count() == 0
