@@ -301,3 +301,18 @@ def test_mutation_debounce_journeys_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SinglePartition") == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_heavy_hitters_estimation_quality(spark, sf_dir):
+    from bigarrays_jl_spark.operators.estimation import (HH_MIN_FRAC,
+                                                         text_heavy_hitters)
+    from bigarrays_jl_spark.sources.tables import load
+    rows = text_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "the synthetic vocab must produce heavy hitters"
+    n_docs = load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["doc_freq"] >= HH_MIN_FRAC * n_docs
+        assert r["est_doc_freq"] % 4 == 0          # 25% sample scale-up
+    # the point of the operator: the estimate is good for heavy hitters
+    # (dense terms sample well) — every row's tolerance boolean holds
+    assert all(r["within_tol"] for r in rows)
