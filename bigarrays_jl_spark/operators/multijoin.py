@@ -137,12 +137,81 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+Q49_NATION = "NATION_9"   # market-share subject (an ASIA nation)
+
+
+def q49_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: the subject nation's supplier market share of
+    ASIA-customer order volume, by order year — conditional aggregation
+    over the Q5-style join (share = subject revenue / all revenue,
+    computed from decimal partials with ONE unrounded double division;
+    a rounded share is the exact-tie class the parity canon forbids)."""
+    r = load(spark, sf, "region").filter(F.col("r_name") == Q47_REGION)
+    n = (load(spark, sf, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey"))
+    c = (load(spark, sf, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    sn = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    s = (load(spark, sf, "supplier")
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+         .select("s_suppkey", "supp_nation"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                         "o_orderdate")
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    subject = F.when(F.col("supp_nation") == Q49_NATION, rev) \
+               .otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .groupBy(F.year("o_orderdate").alias("order_year"))
+             .agg(F.round(F.sum(rev), 2).cast("double").alias("total_rev"),
+                  F.round(F.sum(subject), 2).cast("double")
+                   .alias("subject_rev"),
+                  (F.sum(subject).cast("double")
+                   / F.sum(rev).cast("double")).alias("mkt_share")))
+
+
+Q49_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev,
+       CAST(round(sum(CASE WHEN n2.n_name = '{Q49_NATION}'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+         AS subject_rev,
+       CAST(sum(CASE WHEN n2.n_name = '{Q49_NATION}'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q47_REGION}'
+GROUP BY year(o_orderdate)
+"""
+
+
 QUERIES = {
     "q47_region_supplier_volume": q47_region_supplier_volume,
     "q48_nation_trade_flows": q48_nation_trade_flows,
+    "q49_market_share": q49_market_share,
 }
 
 ORACLES = {
     "q47_region_supplier_volume": Q47_SQL,
     "q48_nation_trade_flows": Q48_SQL,
+    "q49_market_share": Q49_SQL,
 }

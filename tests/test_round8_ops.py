@@ -163,8 +163,10 @@ def test_interpolate_between_observations(spark, sf_dir):
 
 def test_multijoin_plans_broadcast_dims(spark, sf_dir):
     from bigarrays_jl_spark.operators.multijoin import (
-        q47_region_supplier_volume, q48_nation_trade_flows)
-    for op in (q47_region_supplier_volume, q48_nation_trade_flows):
+        q47_region_supplier_volume, q48_nation_trade_flows,
+        q49_market_share)
+    for op in (q47_region_supplier_volume, q48_nation_trade_flows,
+               q49_market_share):
         df = op(spark, sf_dir)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, (op.__name__, plan)
