@@ -1,7 +1,7 @@
 """Deep multi-join TPC-H shapes (builder extension, SURVEY §2B
 relational surface, round 8).
 
-Two classic plan stress-tests the registry didn't yet cover:
+Three classic plan stress-tests the registry didn't yet cover:
 
 - ``q47_region_supplier_volume`` — TPC-H Q5 shape: the six-table join
   chain lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with
@@ -12,6 +12,9 @@ Two classic plan stress-tests the registry didn't yet cover:
 - ``q48_nation_trade_flows`` — TPC-H Q7 shape: bilateral shipping
   volume between two fixed nations by year, via two separate nation
   aliases (supp_nation ≠ cust_nation in either direction).
+- ``q49_market_share`` — TPC-H Q8 shape: the subject nation's supplier
+  market share of one region's order volume by year (conditional
+  decimal aggregation, unrounded share division).
 
 Money sums go through the shared decimal-partials → double canon
 (`relational._dsum2`): per-row cast to DECIMAL(18,6), exact decimal
