@@ -11,14 +11,16 @@ from bigarrays_jl_spark.operators import (advanced, debounce, dedup,
                                           graph, journeys, multijoin,
                                           multimodal, mutation, pipeline,
                                           relational, retrieval, similarity,
-                                          temporal, text, volume_analytics)
+                                          temporal, text, tpch_deep,
+                                          volume_analytics)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
-# retrieval, round 8) append AFTER extensions so names land after the
-# graded 50-query prefix
+# retrieval round 8, tpch_deep round 9) append AFTER extensions so
+# names land after the graded 50-query prefix
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
-            volume_analytics, mutation, debounce, journeys, estimation)
+            volume_analytics, mutation, debounce, journeys, estimation,
+            tpch_deep)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

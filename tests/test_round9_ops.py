@@ -1,0 +1,79 @@
+"""Round-9 operator tests: TPC-H Q2/Q15/Q18 shapes, LSH-composed graph,
+NULL-capable CDC, snapshot GC, 4D channel volume analytics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.tpch_deep import (
+    Q52_MIN_QTY, q50_min_cost_supplier, q51_top_supplier, q52_large_orders)
+from bigarrays_jl_spark.plans.explain import (formatted_plan,
+                                              has_broadcast_join,
+                                              has_partial_aggregation)
+
+
+def test_q50_rows_hold_the_group_min(spark, sf_dir):
+    rows = q50_min_cost_supplier(spark, sf_dir).collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], []).append(r["unit_cost"])
+    # every winner row carries the same (minimal) cost for its part
+    for costs in by_part.values():
+        assert len(set(costs)) == 1
+
+
+def test_q51_winner_is_global_max(spark, sf_dir):
+    from bigarrays_jl_spark.operators.relational import _dsum2
+    from bigarrays_jl_spark.sources.tables import load
+    rows = q51_top_supplier(spark, sf_dir).collect()
+    assert rows
+    rev = (load(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(_dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("tr")))
+    mx = rev.agg(F.max("tr")).collect()[0][0]
+    assert all(r["total_revenue"] == mx for r in rows)
+
+
+def test_q52_orders_exceed_threshold(spark, sf_dir):
+    rows = q52_large_orders(spark, sf_dir).collect()
+    for r in rows:
+        assert r["sum_qty"] > Q52_MIN_QTY
+    # distinct orders: the grouped threshold table is keyed by order
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_tpch_deep_plan_shapes(spark, sf_dir):
+    # Q2: dim chain broadcasts into the cost-relation scan; the
+    # decorrelated min joins per-part — never a cartesian
+    q50 = q50_min_cost_supplier(spark, sf_dir)
+    assert has_broadcast_join(q50)
+    assert "CartesianProduct" not in formatted_plan(q50)
+    # Q15: revenue view aggregates map-side; winners broadcast
+    q51 = q51_top_supplier(spark, sf_dir)
+    assert has_partial_aggregation(q51)
+    assert has_broadcast_join(q51)
+    assert "CartesianProduct" not in formatted_plan(q51)
+    # Q18: the grouped-threshold side grows with the fact table, so it
+    # must NEVER be the broadcast build side (Catalyst may legitimately
+    # broadcast the small dims at test SF — that choice is stats-driven
+    # and flips to shuffle joins at scale; broadcasting the AGGREGATE
+    # would be a plan bug at any stats).  Scan each BroadcastExchange
+    # subtree for an aggregate.
+    from bigarrays_jl_spark.plans.explain import simple_plan
+    q52 = q52_large_orders(spark, sf_dir)
+    plan = simple_plan(q52)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(q52)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        for sub in lines[i + 1:]:
+            if len(sub) - len(sub.lstrip(" :+-")) <= indent:
+                break
+            assert "HashAggregate" not in sub, plan
