@@ -212,11 +212,14 @@ def graph_triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
            .groupBy("node").agg(F.count("*").alias("d")))
     wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2)
                      .cast("bigint").alias("n_wedges"))
+    # UNROUNDED quotient: a ratio of exact integers can land on an
+    # exact decimal tie where the two engines' round() disagree —
+    # identical IEEE operands are bit-identical without the round
+    # (repo canon: never round tie-prone quotients)
     return (tri.crossJoin(F.broadcast(wedges))
             .select("n_triangles", "n_wedges",
                     F.when(F.col("n_wedges") > 0,
-                           F.round(3.0 * F.col("n_triangles")
-                                   / F.col("n_wedges"), 6))
+                           3.0 * F.col("n_triangles") / F.col("n_wedges"))
                      .alias("global_clustering")))
 
 
@@ -236,7 +239,7 @@ deg AS (
 w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
 SELECT tri.n_triangles, w.n_wedges,
        CASE WHEN w.n_wedges > 0
-            THEN round(3.0 * tri.n_triangles / w.n_wedges, 6) END
+            THEN 3.0 * tri.n_triangles / w.n_wedges END
          AS global_clustering
 FROM tri CROSS JOIN w
 """

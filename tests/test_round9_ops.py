@@ -46,6 +46,65 @@ def test_q52_orders_exceed_threshold(spark, sf_dir):
     assert len(keys) == len(set(keys))
 
 
+def test_pagerank_lsh_matches_reference_iteration(spark, sf_dir):
+    """The composed LSH→PageRank path must agree with a plain Python
+    power iteration over the same discovered edges (float tolerance —
+    the operator's own cross-engine exactness is the oracle's job)."""
+    from bigarrays_jl_spark.operators.graph import DAMPING, N_ITER
+    from bigarrays_jl_spark.operators.graph_lsh import graph_pagerank_lsh
+    from bigarrays_jl_spark.operators.similarity import sim_lsh_pairs
+
+    pairs = [(r["vec_a"], r["vec_b"])
+             for r in sim_lsh_pairs(spark, sf_dir).collect()]
+    assert pairs, "testdata corpus must yield LSH pairs"
+    out = {r["vec_id"]: r["pagerank"]
+           for r in graph_pagerank_lsh(spark, sf_dir).collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    rank = {v: 1.0 / n for v in adj}
+    for _ in range(N_ITER):
+        contrib = {v: 0.0 for v in adj}
+        for v, outs in adj.items():
+            for w in outs:
+                contrib[w] += rank[v] / len(outs)
+        rank = {v: (1.0 - DAMPING) / n + DAMPING * c
+                for v, c in contrib.items()}
+    assert set(out) == set(rank)
+    for v in rank:
+        assert abs(out[v] - rank[v]) < 1e-6
+    # symmetric graph, no dangling mass: total rank stays ≈ 1
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_triangles_lsh_match_bruteforce(spark, sf_dir):
+    from bigarrays_jl_spark.operators.graph_lsh import graph_triangles_lsh
+    from bigarrays_jl_spark.operators.similarity import sim_lsh_pairs
+    und = {(r["vec_a"], r["vec_b"])
+           for r in sim_lsh_pairs(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in und for c in (adj[a] & adj[b]) if c > b)
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    row = graph_triangles_lsh(spark, sf_dir).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    if wedges:
+        assert abs(row["global_clustering"] - 3 * tri / wedges) < 1e-12
+
+
+def test_graph_lsh_plans_never_cartesian(spark, sf_dir):
+    from bigarrays_jl_spark.operators.graph_lsh import (graph_pagerank_lsh,
+                                                        graph_triangles_lsh)
+    for op in (graph_pagerank_lsh, graph_triangles_lsh):
+        assert "CartesianProduct" not in formatted_plan(op(spark, sf_dir))
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     # Q2: dim chain broadcasts into the cost-relation scan; the
     # decorrelated min joins per-part — never a cartesian
