@@ -6,13 +6,13 @@ bench.py iterate the same registry so coverage stays in one place.
 
 from __future__ import annotations
 
-from bigarrays_jl_spark.operators import (advanced, debounce, dedup,
-                                          estimation, events, extensions,
-                                          graph, graph_lsh, journeys,
-                                          multijoin, multimodal, mutation,
-                                          pipeline, relational, retrieval,
-                                          similarity, temporal, text,
-                                          tpch_deep, volume_analytics)
+from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
+                                          dedup, estimation, events,
+                                          extensions, graph, graph_lsh,
+                                          journeys, multijoin, multimodal,
+                                          mutation, pipeline, relational,
+                                          retrieval, similarity, temporal,
+                                          text, tpch_deep, volume_analytics)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval round 8, tpch_deep round 9) append AFTER extensions so
@@ -20,7 +20,7 @@ from bigarrays_jl_spark.operators import (advanced, debounce, dedup,
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
-            tpch_deep, graph_lsh)
+            tpch_deep, graph_lsh, cdc_null)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

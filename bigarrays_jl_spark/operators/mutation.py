@@ -21,6 +21,14 @@ feeds can be as big as the base), no collect, no second scan of the
 base.  Precedence is deterministic: the change feed carries at most
 one row per key by construction (delete wins over update by the
 ``% 17`` guard).
+
+PRECONDITION of the synthetic feed: insert keys are
+``doc_id + INSERT_OFFSET``, so the demo requires
+``max(doc_id) < INSERT_OFFSET`` — otherwise an "insert" would collide
+with a real base key and silently become an update.
+``tests/test_round9_ops.py::test_insert_offset_precondition`` pins the
+margin against the largest test corpus; a production feed carries its
+own keys and has no such constraint.
 """
 
 from __future__ import annotations
@@ -33,23 +41,39 @@ from bigarrays_jl_spark.sources.tables import load
 INSERT_OFFSET = 1_000_000
 
 
+_MERGE_COLS = ("lang", "source", "n_chars")
+
+
 def merge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
     """Apply a change feed ``(doc_id, op, c_lang, c_source, c_n_chars)``
     to a ``(doc_id, lang, source, n_chars)`` base — THE merge core
-    shared by the batch operator below and the durable streaming bridge
-    (``streaming.windows.streaming_apply_changes``), so batch and
-    streaming can never disagree on merge semantics.  One
+    shared by the batch operators below and the durable streaming
+    bridge (``streaming.windows.streaming_apply_changes``), so batch
+    and streaming can never disagree on merge semantics.  One
     key-partitioned full-outer join + row-level CASE.  Caller contract:
     at most one change per key per feed (the streaming bridge enforces
-    this with an op-precedence collapse), and updates cannot set a
-    column to NULL — the coalesce keeps the base value; a CDC source
-    that needs NULL-ing updates must carry per-column change flags."""
+    this with an op-precedence collapse).
+
+    Two update dialects, chosen by the feed's schema:
+
+    - legacy 5-column feed: ``coalesce(c_X, X)`` — an update cannot
+      set a column to NULL (a NULL change value means "keep").
+    - flagged feed carrying ``c_X_set`` booleans: column X becomes
+      ``c_X`` (NULL included) exactly when its flag is true — the
+      CDC-complete dialect; a false/absent flag keeps the base value.
+      Inserts must set every flag true."""
+    flagged = f"c_{_MERGE_COLS[0]}_set" in changes.columns
+    if flagged:
+        def val(c):
+            return (F.when(F.coalesce(F.col(f"c_{c}_set"), F.lit(False)),
+                           F.col(f"c_{c}"))
+                     .otherwise(F.col(c)).alias(c))
+    else:
+        def val(c):
+            return F.coalesce(f"c_{c}", c).alias(c)
     return (base.join(changes, "doc_id", "full_outer")
             .filter(F.coalesce(F.col("op"), F.lit("")) != "delete")
-            .select("doc_id",
-                    F.coalesce("c_lang", "lang").alias("lang"),
-                    F.coalesce("c_source", "source").alias("source"),
-                    F.coalesce("c_n_chars", "n_chars").alias("n_chars"),
+            .select("doc_id", *[val(c) for c in _MERGE_COLS],
                     F.coalesce("op", F.lit("keep")).alias("last_op")))
 
 

@@ -105,6 +105,53 @@ def test_graph_lsh_plans_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in formatted_plan(op(spark, sf_dir))
 
 
+def test_merge_changes_flagged_dialect_can_null_a_column(spark):
+    from bigarrays_jl_spark.operators.mutation import merge_changes
+    base = spark.createDataFrame(
+        [(1, "en", "web", 10), (2, "de", "web", 20), (3, "fr", "web", 30)],
+        "doc_id long, lang string, source string, n_chars long")
+    changes = spark.createDataFrame(
+        [(2, "update", None, False, None, True, None, False),
+         (3, "delete", None, False, None, False, None, False),
+         (9, "insert", "it", True, "feed", True, 9, True)],
+        "doc_id long, op string, c_lang string, c_lang_set boolean, "
+        "c_source string, c_source_set boolean, "
+        "c_n_chars long, c_n_chars_set boolean")
+    out = {r["doc_id"]: r for r in merge_changes(base, changes).collect()}
+    assert set(out) == {1, 2, 9}
+    # the NULL-ing update: source cleared, unflagged columns kept
+    assert out[2]["source"] is None
+    assert out[2]["lang"] == "de" and out[2]["n_chars"] == 20
+    assert out[1]["source"] == "web" and out[1]["last_op"] == "keep"
+    assert out[9]["lang"] == "it" and out[9]["last_op"] == "insert"
+
+
+def test_merge_changes_legacy_dialect_unchanged(spark):
+    # the 5-column feed keeps coalesce semantics: NULL change = keep
+    from bigarrays_jl_spark.operators.mutation import merge_changes
+    base = spark.createDataFrame(
+        [(1, "en", "web", 10)],
+        "doc_id long, lang string, source string, n_chars long")
+    changes = spark.createDataFrame(
+        [(1, "update", None, "curated", None)],
+        "doc_id long, op string, c_lang string, c_source string, "
+        "c_n_chars long")
+    row = merge_changes(base, changes).collect()[0]
+    assert row["lang"] == "en" and row["n_chars"] == 10
+    assert row["source"] == "curated"
+
+
+def test_insert_offset_precondition(spark):
+    # the synthetic feed's insert keys are doc_id + INSERT_OFFSET; a
+    # corpus whose doc_ids reach the offset would silently turn inserts
+    # into updates — pin the margin on the largest test corpus
+    from bigarrays_jl_spark.operators.mutation import INSERT_OFFSET
+    from bigarrays_jl_spark.sources.tables import load
+    mx = (load(spark, "/root/testdata/sf0.1", "documents")
+          .agg(F.max("doc_id")).collect()[0][0])
+    assert mx < INSERT_OFFSET
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     # Q2: dim chain broadcasts into the cost-relation scan; the
     # decorrelated min joins per-part — never a cartesian
