@@ -385,6 +385,54 @@ def read_merged_table(spark: SparkSession, root: str,
     return spark.read.parquet(os.path.join(root, versions[-1]))
 
 
+def compact_merged_table(table_root: str, keep_last: int = 2) -> list[str]:
+    """Snapshot retention for the versioned merge table: delete every
+    snapshot directory STRICTLY OLDER than the oldest of the newest
+    ``keep_last`` complete (_SUCCESS-marked) snapshots.  Returns the
+    removed directory names.
+
+    Safety contract (why this is the exact rule and not "keep newest"):
+
+    - ``keep_last`` must be ≥ 2 — a REPLAYED micro-batch resolves its
+      base with ``before_batch`` (the snapshot BELOW its own), so the
+      previous snapshot must survive GC or a crash-replay after
+      compaction would bootstrap from empty and lose the table.
+    - Only directories below the OLDEST KEPT complete snapshot are
+      touched: a markerless directory NEWER than that may be a write
+      in flight right now; a markerless directory OLDER than it is a
+      dead crash artifact (its batch must have completed later or the
+      checkpoint could not have advanced) and is removed with the
+      superseded snapshots.
+    - Removal order is oldest-first and readers resolve the HIGHEST
+      marked snapshot, so a concurrent ``read_merged_table`` never
+      observes a gap.
+
+    Run it offline or from the maintenance cadence; it is idempotent.
+    """
+    import os
+    import shutil
+
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: replayed batches read the snapshot "
+            "below their own (read_merged_table(before_batch=...))")
+    if not os.path.isdir(table_root):
+        return []
+    complete = sorted(
+        v for v in os.listdir(table_root)
+        if v.startswith("v")
+        and os.path.exists(os.path.join(table_root, v, "_SUCCESS")))
+    if len(complete) <= keep_last:
+        return []
+    floor = complete[-keep_last]     # v%09d: lexicographic == numeric
+    removed = []
+    for v in sorted(os.listdir(table_root)):
+        if v.startswith("v") and v < floor:
+            shutil.rmtree(os.path.join(table_root, v))
+            removed.append(v)
+    return removed
+
+
 def streaming_apply_changes(changes: DataFrame, table_root: str,
                             checkpoint_path: str):
     """Continuous MERGE INTO: each micro-batch of the CDC feed
@@ -400,9 +448,11 @@ def streaming_apply_changes(changes: DataFrame, table_root: str,
     _SUCCESS marker exists, a crash mid-write leaves a markerless
     directory that no reader sees, and a REPLAYED micro-batch
     (foreachBatch is at-least-once after restart) rewrites its own
-    version directory idempotently.  Compact/garbage-collect old
-    snapshots offline — production would put Delta/Iceberg here; this
-    is the same log-structured idea with parquet primitives.
+    version directory idempotently.  ``compact_merged_table`` is the
+    retention op (run offline or on a maintenance cadence; keeps ≥ 2
+    snapshots so replay stays safe) — production would put
+    Delta/Iceberg here; this is the same log-structured idea with
+    parquet primitives.
 
     Scale shape: one key-partitioned full-outer join per batch — the
     MERGE INTO physical plan — and the rewrite cost is the table size,

@@ -621,3 +621,104 @@ def test_streaming_apply_changes_collapses_multi_change_batches(
     assert rows[3].source == "curated"      # key 3's update won
     assert read_merged_table(spark, root).groupBy("doc_id").count() \
         .filter(F.col("count") > 1).count() == 0
+
+
+def _feed_batches():
+    # three tiny single-key micro-batches so the table accrues snapshots
+    return [
+        [(1, "insert", "en", "s0", 10)],
+        [(2, "insert", "de", "s0", 20)],
+        [(1, "update", "en", "curated", 11)],
+    ]
+
+
+def _run_feed(spark, src, root, ckpt, batches):
+    from bigarrays_jl_spark.streaming.windows import streaming_apply_changes
+    schema = ("doc_id long, op string, c_lang string, "
+              "c_source string, c_n_chars long")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_apply_changes(
+            spark.readStream.schema(schema).parquet(src), root, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_compact_merged_table_gc_then_restart(spark, tmp_path):
+    # GC after several batches, then keep streaming on the SAME
+    # checkpoint: the stream must pick up from the retained snapshots
+    import os
+
+    from bigarrays_jl_spark.streaming.windows import (compact_merged_table,
+                                                      read_merged_table)
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    _run_feed(spark, src, root, ckpt, _feed_batches())
+    n_before = len([v for v in os.listdir(root) if v.startswith("v")])
+    assert n_before >= 3
+    removed = compact_merged_table(root, keep_last=2)
+    assert removed and len(removed) == n_before - 2
+    # idempotent
+    assert compact_merged_table(root, keep_last=2) == []
+    # reader still resolves the newest snapshot
+    rows = {r.doc_id: r for r in read_merged_table(spark, root).collect()}
+    assert set(rows) == {1, 2} and rows[1].source == "curated"
+    # restart: one more batch on the same checkpoint merges cleanly
+    _run_feed(spark, src, root, ckpt, [[(2, "delete", None, None, None)]])
+    rows = {r.doc_id: r for r in read_merged_table(spark, root).collect()}
+    assert set(rows) == {1}
+
+
+def test_compact_merged_table_gc_then_replay(spark, tmp_path):
+    # crash simulation AFTER the newest snapshot committed but BEFORE
+    # the stream checkpoint advanced (the at-least-once window): the
+    # replayed batch re-merges against the PREVIOUS snapshot, which GC
+    # with keep_last=2 must have preserved
+    import os
+
+    from bigarrays_jl_spark.streaming.windows import (compact_merged_table,
+                                                      read_merged_table,
+                                                      streaming_apply_changes)
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    _run_feed(spark, src, root, ckpt, _feed_batches())
+    before = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+              for r in read_merged_table(spark, root).collect()}
+
+    # wind the checkpoint back one batch: drop the newest stream commit
+    # (and its checksum sidecar — a stale .crc makes the restart's
+    # atomic rewrite report a phantom concurrent query)
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    newest = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", newest))
+    crc = os.path.join(ckpt, "commits", f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    compact_merged_table(root, keep_last=2)
+
+    # restart replays the last batch; its base is the pre-batch
+    # snapshot (kept by GC), so the result is unchanged
+    schema = ("doc_id long, op string, c_lang string, "
+              "c_source string, c_n_chars long")
+    q = streaming_apply_changes(
+        spark.readStream.schema(schema).parquet(src), root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after = {(r.doc_id, r.lang, r.source, r.n_chars, r.last_op)
+             for r in read_merged_table(spark, root).collect()}
+    assert after == before
+
+
+def test_compact_merged_table_refuses_unsafe_keep(tmp_path):
+    import pytest
+
+    from bigarrays_jl_spark.streaming.windows import compact_merged_table
+    with pytest.raises(ValueError):
+        compact_merged_table(str(tmp_path), keep_last=1)
+    # nonexistent root is a no-op, not an error
+    assert compact_merged_table(str(tmp_path / "nope")) == []
