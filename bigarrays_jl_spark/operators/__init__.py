@@ -12,7 +12,8 @@ from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
                                           retrieval, similarity, temporal,
-                                          text, tpch_deep, volume_analytics)
+                                          text, tpch_deep, volume_analytics,
+                                          volume_channels)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval round 8, tpch_deep round 9) append AFTER extensions so
@@ -20,7 +21,7 @@ from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
-            tpch_deep, graph_lsh, cdc_null)
+            tpch_deep, graph_lsh, cdc_null, volume_channels)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -152,6 +152,31 @@ def test_insert_offset_precondition(spark):
     assert mx < INSERT_OFFSET
 
 
+def test_volume4d_channel_axis_end_to_end(spark, sf_dir):
+    # the 4D scratch volume round-trips the channel axis: numpy cutout
+    # matches the closed form, and the distributed voxel bridge
+    # aggregates per channel
+    import numpy as np
+    from bigarrays_jl_spark.operators.volume_channels import (
+        N_CH, demo_volume4d, volume_channel_histogram)
+    vol = demo_volume4d(spark)
+    out = vol[4:12, 0:8, 8:16]
+    assert out.shape == (8, 8, 8, N_CH)
+    x, y, z, ch = np.meshgrid(np.arange(4, 12), np.arange(0, 8),
+                              np.arange(8, 16), np.arange(N_CH),
+                              indexing="ij")
+    np.testing.assert_array_equal(out, ((x * 31 + y * 7 + z * 5 + ch * 11)
+                                        % 256).astype(np.uint8))
+    rows = volume_channel_histogram(spark, sf_dir).collect()
+    chans = {r["channel"] for r in rows}
+    assert chans == set(range(N_CH))
+    # every channel covers the same voxel count (same box per channel)
+    per_ch = {}
+    for r in rows:
+        per_ch[r["channel"]] = per_ch.get(r["channel"], 0) + r["n_voxels"]
+    assert len(set(per_ch.values())) == 1
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     # Q2: dim chain broadcasts into the cost-relation scan; the
     # decorrelated min joins per-part — never a cartesian
