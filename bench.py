@@ -25,6 +25,19 @@ HEADLINE = [
     "events_sessionize", "mm_byte_features", "mm_frame_sample",
 ]
 
+# HEADLINE is FROZEN for cross-round comparability; SECONDARY tracks the
+# strongest round-7+ additions so a perf regression in the new operator
+# families shows up in the per-round artifact.  Reported as its own
+# block ("secondary" / "secondary_total") — append here freely, never
+# touch HEADLINE.
+SECONDARY = [
+    "q47_region_supplier_volume", "q48_nation_trade_flows",
+    "q49_market_share", "q50_min_cost_supplier", "q52_large_orders",
+    "graph_pagerank", "graph_pagerank_lsh", "events_gapfill",
+    "text_bm25", "fuzzy_name_pairs", "pipeline_apply_changes",
+    "volume_histogram",
+]
+
 
 def run_volume_bench(spark) -> dict[str, float]:
     """Cutout/ingest MB/s on a 256×256×1280 uint8 volume (≈84 MB),
@@ -178,26 +191,32 @@ def main() -> None:
     # on a long-lived cluster, and single-shot numbers at this scale are
     # dominated by first-run compile/GC noise (observed ±5× on identical
     # code in this container)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        # row count reported for sanity is computed ONCE, OUTSIDE the
-        # timed window (it is a full second evaluation of the query;
-        # counting inside the window would double every timing) — it
-        # doubles as a per-query warm-up pass
-        n = fn(spark, sf_dir).count()
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            # noop sink: fully evaluates every output column (a bare
-            # count() lets Catalyst prune projection-only compute, so a
-            # map-side query would be timed as a column-free row count)
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    def time_queries(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = ALL_QUERIES[name]
+            # row count reported for sanity is computed ONCE, OUTSIDE
+            # the timed window (it is a full second evaluation of the
+            # query; counting inside the window would double every
+            # timing) — it doubles as a per-query warm-up pass
+            n = fn(spark, sf_dir).count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                # noop sink: fully evaluates every output column (a
+                # bare count() lets Catalyst prune projection-only
+                # compute, so a map-side query would be timed as a
+                # column-free row count)
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    timings = time_queries(HEADLINE)
+    secondary = time_queries(SECONDARY)
 
     # best-of-N for the volume paths too: the first full-size pass pays
     # JVM C2 compilation of the parquet writer + Arrow codec paths that
@@ -219,6 +238,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
+        "secondary_total": round(sum(secondary.values()), 3),
+        "secondary": secondary,
     }))
 
 

@@ -71,15 +71,25 @@ edges AS (SELECT src, dst, cosine, CAST(r AS INT) AS rank
 
 
 def _knn_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """src → its K_NN most-cosine-similar dst (ties broken by dst id)."""
+    """src → its K_NN most-cosine-similar dst (ties broken by dst id).
+
+    Cosine is evaluated once per UNORDERED pair (src < dst) and
+    mirrored — ``guarded_cosine`` is exactly symmetric (commutative
+    per-element multiply, identical fold order), so the mirrored value
+    is bit-identical and the scored relation equals the full ordered
+    product at half the higher-order-function evaluations (the
+    dominant cost of this demo constructor)."""
     e = (load(spark, sf, "embeddings")
          .filter(F.col("vec_id") < N_GRAPH)
          .select("vec_id", "embedding"))
     q = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qe"))
-    scored = (e.select(F.col("vec_id").alias("dst"), "embedding")
-               .crossJoin(F.broadcast(q))
-               .filter(F.col("src") != F.col("dst"))
-               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
+    half = (e.select(F.col("vec_id").alias("dst"), "embedding")
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst",
+                     _cosine(F.col("qe"), F.col("embedding")).alias("cosine")))
+    scored = half.unionAll(half.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"), "cosine"))
     w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= K_NN)
