@@ -56,12 +56,18 @@ def _lsh_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # the shared DuckDB edge CTE: the full LSH pair query nests as a
-# derived CTE (standard SQL allows WITH inside a CTE body)
+# derived CTE (standard SQL allows WITH inside a CTE body).  BOTH CTEs
+# are MATERIALIZED — the unrolled PageRank iterations reference `edges`
+# 2×N_ITER times, and letting the optimizer inline the 48-plane LSH
+# projection per reference blows the oracle's memory (observed
+# bad_alloc at sf0.1 in the full-registry sweep) — one evaluation is
+# also what the Spark side does (localCheckpoint'd edge table).
 _LSH_EDGES_CTE = f"""
-pairs AS ({SIM_LSH_PAIRS_SQL}),
-edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
-          UNION ALL
-          SELECT vec_b AS src, vec_a AS dst FROM pairs)"""
+pairs AS MATERIALIZED ({SIM_LSH_PAIRS_SQL}),
+edges AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs)"""
 
 
 def graph_pagerank_lsh(spark: SparkSession, sf: str) -> DataFrame:

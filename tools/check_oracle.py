@@ -117,6 +117,13 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # bound the oracle's memory and give it a spill path: DuckDB's
+    # default limit is ~80% of RAM *detected at connect*, but by the
+    # tail of a 140-query sweep the long-lived Spark JVM owns much of
+    # that — the combination turned heavy oracles into bad_alloc
+    # failures that a bounded, spill-capable config completes fine
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
