@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.functions import guarded_cosine as _cosine
+from bigarrays_jl_spark.functions import dot as _dot
+from bigarrays_jl_spark.functions import norm2 as _norm2
 # DuckDB twins of the functions.dot / functions.norm2 fold canon —
 # single source of truth in similarity.py (an inline copy could drift
 # and break the graph family's cross-engine hashes alone)
@@ -73,21 +74,33 @@ edges AS (SELECT src, dst, cosine, CAST(r AS INT) AS rank
 def _knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     """src → its K_NN most-cosine-similar dst (ties broken by dst id).
 
-    Cosine is evaluated once per UNORDERED pair (src < dst) and
-    mirrored — ``guarded_cosine`` is exactly symmetric (commutative
-    per-element multiply, identical fold order), so the mirrored value
-    is bit-identical and the scored relation equals the full ordered
-    product at half the higher-order-function evaluations (the
-    dominant cost of this demo constructor)."""
+    Two value-preserving evaluation cuts on the O(N²) demo product
+    (the fold evaluations are its dominant cost):
+
+    - cosine is computed once per UNORDERED pair (src < dst) and
+      mirrored — the expression is exactly symmetric (commutative
+      per-element multiply, identical fold order), so the mirrored
+      value is bit-identical;
+    - each vector's squared norm is computed ONCE (N folds) instead of
+      inline per pair (2·N² folds), leaving one dot fold per pair.
+      The per-pair expression sqrt(n2_a)·sqrt(n2_b) consumes the same
+      norm2 doubles the inline ``guarded_cosine`` form produces, so
+      every rounded cosine — and the oracle twin, which keeps the
+      inline form — is unchanged bit-for-bit."""
     e = (load(spark, sf, "embeddings")
          .filter(F.col("vec_id") < N_GRAPH)
-         .select("vec_id", "embedding"))
-    q = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qe"))
-    half = (e.select(F.col("vec_id").alias("dst"), "embedding")
+         .select("vec_id", "embedding", _norm2(F.col("embedding")).alias("n2")))
+    q = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qe"),
+                 F.col("n2").alias("qn2"))
+    guarded = F.when(
+        (F.col("qn2") > 0) & (F.col("n2") > 0),
+        F.round(_dot(F.col("qe"), F.col("embedding"))
+                / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))), 6)
+    ).otherwise(F.lit(-2.0))
+    half = (e.select(F.col("vec_id").alias("dst"), "embedding", "n2")
              .crossJoin(F.broadcast(q))
              .filter(F.col("src") < F.col("dst"))
-             .select("src", "dst",
-                     _cosine(F.col("qe"), F.col("embedding")).alias("cosine")))
+             .select("src", "dst", guarded.alias("cosine")))
     scored = half.unionAll(half.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst"), "cosine"))
     w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))

@@ -20,6 +20,8 @@ PARTITION_SENSITIVE = [
     "events_journeys",          # unrounded count/total shares
     "text_unigram_logprob",     # decimal-accumulated logprob means
     "q42_stats_aggs",           # decimal power sums
+    "graph_pagerank_lsh",       # iterated rank/deg decimal sums (r9)
+    "q51_top_supplier",         # decimal revenue + global-max equality (r9)
 ]
 
 
