@@ -496,6 +496,150 @@ def streaming_apply_changes(changes: DataFrame, table_root: str,
             .start())
 
 
+def streaming_append_inserts(inserts: DataFrame, table_root: str,
+                             checkpoint_path: str):
+    """Append-optimized fast path of the continuous MERGE for
+    INSERT-ONLY feeds (the corpus-growth case — by far the dominant CDC
+    shape for a training-data pipeline): each micro-batch lands as an
+    immutable DELTA directory ``deltas/d<batch_id>`` at cost ∝ batch
+    size, never the O(table) snapshot rewrite the general
+    ``streaming_apply_changes`` pays.  Rows whose op is not ``insert``
+    are REJECTED (the batch raises) — routing an update/delete through
+    the append path would silently corrupt the table; mixed feeds
+    belong on the general bridge.
+
+    Read path: ``read_appended_table`` unions the latest folded
+    snapshot (which covers every delta with id ≤ its version) with the
+    complete deltas above it.  ``fold_inserts`` compacts: it pushes all
+    complete deltas through the SAME shared merge core into the next
+    snapshot ``v<max_delta_id>`` — so the append path can never drift
+    from MERGE semantics — after which the folded deltas are dead and
+    ``compact_appended_table`` may remove them.
+
+    Replay safety mirrors the snapshot bridge: a replayed batch
+    rewrites its own delta dir idempotently; a delta that was already
+    folded (id ≤ snapshot version) is ignored by readers, so replay
+    after a fold is harmless.  Caller contract: insert keys are unique
+    across the feed (the upstream dedup gate's guarantee — this IS the
+    post-dedup corpus-append pattern).
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        bad = batch_df.filter(F.col("op") != "insert").count()
+        if bad:
+            raise ValueError(
+                f"streaming_append_inserts: batch {batch_id} carries {bad} "
+                "non-insert rows — use streaming_apply_changes for mixed "
+                "CDC feeds")
+        (batch_df.select("doc_id",
+                         F.col("c_lang").alias("lang"),
+                         F.col("c_source").alias("source"),
+                         F.col("c_n_chars").alias("n_chars"),
+                         F.lit("insert").alias("last_op"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(table_root, "deltas", f"d{batch_id:09d}")))
+
+    return (inserts.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
+def _complete_deltas(root: str, above: int = -1) -> list[str]:
+    import os
+    ddir = os.path.join(root, "deltas")
+    if not os.path.isdir(ddir):
+        return []
+    return sorted(
+        d for d in os.listdir(ddir)
+        if d.startswith("d") and int(d[1:]) > above
+        and os.path.exists(os.path.join(ddir, d, "_SUCCESS")))
+
+
+def _snapshot_version(root: str) -> int:
+    """Highest complete snapshot's numeric version, -1 if none."""
+    import os
+    if not os.path.isdir(root):
+        return -1
+    versions = [int(v[1:]) for v in os.listdir(root)
+                if v.startswith("v")
+                and os.path.exists(os.path.join(root, v, "_SUCCESS"))]
+    return max(versions, default=-1)
+
+
+def read_appended_table(spark: SparkSession, root: str) -> DataFrame | None:
+    """Latest folded snapshot ∪ complete unfolded deltas — the
+    append-path reader.  None when nothing has ever been written."""
+    import os
+    base = read_merged_table(spark, root)
+    deltas = _complete_deltas(root, above=_snapshot_version(root))
+    if not deltas:
+        return base
+    d = spark.read.parquet(*[os.path.join(root, "deltas", x)
+                             for x in deltas])
+    return d if base is None else base.unionByName(d)
+
+
+def fold_inserts(spark: SparkSession, root: str) -> int | None:
+    """Compact every complete delta above the current snapshot into the
+    next snapshot ``v<max_delta_id>`` through the shared merge core.
+    Returns the new snapshot id, or None when there was nothing to
+    fold.  Idempotent; crash-safe (a half-written snapshot has no
+    _SUCCESS and the deltas remain)."""
+    import os
+
+    from bigarrays_jl_spark.operators.mutation import merge_changes
+
+    ver = _snapshot_version(root)
+    deltas = _complete_deltas(root, above=ver)
+    if not deltas:
+        return None
+    base = read_merged_table(spark, root)
+    if base is not None:
+        base = base.select("doc_id", "lang", "source", "n_chars")
+    else:
+        base = spark.createDataFrame(
+            [], "doc_id long, lang string, source string, n_chars long")
+    changes = (spark.read.parquet(*[os.path.join(root, "deltas", x)
+                                    for x in deltas])
+               .select("doc_id", F.lit("insert").alias("op"),
+                       F.col("lang").alias("c_lang"),
+                       F.col("source").alias("c_source"),
+                       F.col("n_chars").alias("c_n_chars")))
+    new_id = max(int(d[1:]) for d in deltas)
+    merge_changes(base, changes).write.mode("overwrite").parquet(
+        os.path.join(root, f"v{new_id:09d}"))
+    return new_id
+
+
+def compact_appended_table(root: str, keep_last: int = 2) -> list[str]:
+    """Retention for the append path: superseded snapshots GC through
+    ``compact_merged_table``; folded deltas (id ≤ the OLDEST KEPT
+    snapshot's version, so any batch that could still replay folds or
+    reads above the floor) are removed as well.  Returns removed
+    names."""
+    import os
+    import shutil
+
+    removed = compact_merged_table(root, keep_last=keep_last)
+    complete = sorted(
+        int(v[1:]) for v in os.listdir(root)
+        if v.startswith("v")
+        and os.path.exists(os.path.join(root, v, "_SUCCESS")))
+    if not complete:
+        return removed
+    floor = complete[0]      # oldest snapshot surviving the GC
+    ddir = os.path.join(root, "deltas")
+    if os.path.isdir(ddir):
+        for d in sorted(os.listdir(ddir)):
+            if d.startswith("d") and int(d[1:]) <= floor:
+                shutil.rmtree(os.path.join(ddir, d))
+                removed.append(f"deltas/{d}")
+    return removed
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

@@ -722,3 +722,88 @@ def test_compact_merged_table_refuses_unsafe_keep(tmp_path):
         compact_merged_table(str(tmp_path), keep_last=1)
     # nonexistent root is a no-op, not an error
     assert compact_merged_table(str(tmp_path / "nope")) == []
+
+
+def test_streaming_append_inserts_fast_path(spark, tmp_path):
+    # append-only feed: each batch lands as a delta (cost ∝ batch, no
+    # snapshot rewrite); reader unions snapshot + unfolded deltas; fold
+    # through the shared merge core reproduces the same table; GC drops
+    # folded deltas
+    import os
+
+    from bigarrays_jl_spark.streaming.windows import (
+        compact_appended_table, fold_inserts, read_appended_table,
+        streaming_append_inserts)
+    schema = ("doc_id long, op string, c_lang string, "
+              "c_source string, c_n_chars long")
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    batches = [
+        [(1, "insert", "en", "web", 10), (2, "insert", "de", "web", 20)],
+        [(3, "insert", "fr", "feed", 30)],
+        [(4, "insert", "it", "feed", 40)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_append_inserts(
+            spark.readStream.schema(schema).parquet(src), root, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # no snapshot was ever rewritten — only deltas exist
+    assert not [v for v in os.listdir(root) if v.startswith("v")]
+    deltas = os.listdir(os.path.join(root, "deltas"))
+    assert len([d for d in deltas if d.startswith("d")]) >= 3
+    pre = {(r.doc_id, r.lang, r.source, r.n_chars)
+           for r in read_appended_table(spark, root).collect()}
+    assert pre == {(1, "en", "web", 10), (2, "de", "web", 20),
+                   (3, "fr", "feed", 30), (4, "it", "feed", 40)}
+
+    # fold: same rows, now via the snapshot
+    new_id = fold_inserts(spark, root)
+    assert new_id is not None
+    post = {(r.doc_id, r.lang, r.source, r.n_chars)
+            for r in read_appended_table(spark, root).collect()}
+    assert post == pre
+    # idempotent: nothing left to fold
+    assert fold_inserts(spark, root) is None
+
+    # GC removes the folded deltas, reader unchanged
+    removed = compact_appended_table(root)
+    assert any(r.startswith("deltas/") for r in removed)
+    assert {(r.doc_id, r.lang, r.source, r.n_chars)
+            for r in read_appended_table(spark, root).collect()} == pre
+
+    # one more appended batch after fold+GC reads through the union
+    spark.createDataFrame([(5, "insert", "es", "web", 50)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = streaming_append_inserts(
+        spark.readStream.schema(schema).parquet(src), root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {(r.doc_id, r.lang, r.source, r.n_chars)
+             for r in read_appended_table(spark, root).collect()}
+    assert final == pre | {(5, "es", "web", 50)}
+
+
+def test_streaming_append_inserts_rejects_mixed_feed(spark, tmp_path):
+    from bigarrays_jl_spark.streaming.windows import streaming_append_inserts
+    schema = ("doc_id long, op string, c_lang string, "
+              "c_source string, c_n_chars long")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "insert", "en", "web", 10), (2, "delete", None, None, None)],
+        schema).coalesce(1).write.parquet(src)
+    q = streaming_append_inserts(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "table"), str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="non-insert"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
