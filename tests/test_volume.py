@@ -712,3 +712,32 @@ def test_stats_empty_volume(spark, tmp_path):
     assert s["stored_bytes"] == 0 and s["raw_bytes"] == 0
     assert s["write_epochs"] == 0
     assert s["lattice_chunks"] == 12 and s["fill_ratio"] == 0.0
+
+
+def test_downsample_mean_multichannel(spark, tmp_path):
+    # the reference's cloud volumes are 3/4-channel affinity maps
+    # (ref test/GSDicts.jl:7-67): the 2x2x1 mean must reduce each
+    # channel independently and preserve the channel axis end-to-end
+    info = Info.from_dict({
+        "num_channels": 3, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[8, 8, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "mips4d"), info)
+    a = rand_u8((32, 32, 8, 3))
+    vol.write(a, (0, 0, 0))
+    vol.downsample()
+    v2 = Volume.open(spark, vol.root, mip=1)
+    assert v2.scale.volume_size == (16, 16, 8)
+    out, _ = v2.cutout(((0, 16), (0, 16), (0, 8)))
+    assert out.shape == (16, 16, 8, 3)
+    expect = np.rint((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+                      + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
+    # per-channel independence: downsampling channel c alone gives the
+    # same plane the 4D reduce produced for c
+    for c in range(3):
+        one = np.rint((a[0::2, 0::2, :, c].astype(np.float64)
+                       + a[1::2, 0::2, :, c] + a[0::2, 1::2, :, c]
+                       + a[1::2, 1::2, :, c]) / 4.0).astype(np.uint8)
+        np.testing.assert_array_equal(out[..., c], one)
