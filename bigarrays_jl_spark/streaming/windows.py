@@ -477,15 +477,17 @@ def streaming_apply_changes(changes: DataFrame, table_root: str,
         # composition is engine-chosen (file arrivals can fold into one
         # trigger), so collapse multi-change keys by op precedence
         # delete > update > insert — deterministic via lexicographic
-        # struct max (the feed carries no LSN; with one, order by it)
+        # struct max (the feed carries no LSN; with one, order by it).
+        # The struct carries whatever change columns the feed has, so
+        # the flagged NULL-capable dialect (c_X_set booleans,
+        # mutation.merge_changes) rides the same bridge unchanged.
         pri = (F.when(F.col("op") == "delete", 3)
                 .when(F.col("op") == "update", 2).otherwise(1))
+        feed_cols = [c for c in batch_df.columns if c != "doc_id"]
         latest = (batch_df.withColumn("pri", pri)
                   .groupBy("doc_id")
-                  .agg(F.max(F.struct("pri", "op", "c_lang", "c_source",
-                                      "c_n_chars")).alias("c"))
-                  .select("doc_id", "c.op", "c.c_lang", "c.c_source",
-                          "c.c_n_chars"))
+                  .agg(F.max(F.struct("pri", *feed_cols)).alias("c"))
+                  .select("doc_id", *[F.col(f"c.{c}") for c in feed_cols]))
         merged = merge_changes(base, latest)
         merged.write.mode("overwrite").parquet(
             os.path.join(table_root, f"v{batch_id:09d}"))

@@ -807,3 +807,41 @@ def test_streaming_append_inserts_rejects_mixed_feed(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_streaming_apply_changes_flagged_nulling_feed(spark, tmp_path):
+    # the NULL-capable (flagged) CDC dialect rides the SAME streaming
+    # bridge: batch 1 bootstraps, batch 2 carries a NULL-ing update —
+    # the final snapshot must equal merge_changes on the same feed
+    from bigarrays_jl_spark.operators.mutation import merge_changes
+    from bigarrays_jl_spark.streaming.windows import (read_merged_table,
+                                                      streaming_apply_changes)
+    schema = ("doc_id long, op string, "
+              "c_lang string, c_lang_set boolean, "
+              "c_source string, c_source_set boolean, "
+              "c_n_chars long, c_n_chars_set boolean")
+    boot = [(1, "insert", "en", True, "web", True, 10, True),
+            (2, "insert", "de", True, "web", True, 20, True)]
+    feed = [(1, "update", None, False, None, True, None, False),  # NULL source
+            (2, "update", None, False, "curated", True, 21, True)]
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    for rows in (boot, feed):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_apply_changes(
+            spark.readStream.schema(schema).parquet(src), root, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    got = {(r.doc_id, r.lang, r.source, r.n_chars)
+           for r in read_merged_table(spark, root).collect()}
+    base = spark.createDataFrame(
+        [(1, "en", "web", 10), (2, "de", "web", 20)],
+        "doc_id long, lang string, source string, n_chars long")
+    want = {(r.doc_id, r.lang, r.source, r.n_chars)
+            for r in merge_changes(
+                base, spark.createDataFrame(feed, schema)).collect()}
+    assert got == want
+    assert (1, "en", None, 10) in got     # the NULL-ed source survived
