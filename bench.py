@@ -33,9 +33,9 @@ HEADLINE = [
 SECONDARY = [
     "q47_region_supplier_volume", "q48_nation_trade_flows",
     "q49_market_share", "q50_min_cost_supplier", "q52_large_orders",
-    "graph_pagerank", "graph_pagerank_lsh", "events_gapfill",
-    "text_bm25", "fuzzy_name_pairs", "pipeline_apply_changes",
-    "volume_histogram",
+    "q53_important_parts", "graph_pagerank", "graph_pagerank_lsh",
+    "events_gapfill", "text_bm25", "fuzzy_name_pairs",
+    "pipeline_apply_changes", "volume_histogram", "volume_label_sizes",
 ]
 
 
