@@ -66,7 +66,14 @@ def _elig_costs(spark: SparkSession, sf: str) -> DataFrame:
           .groupBy(F.col("l_partkey").alias("p"),
                    F.col("l_suppkey").alias("sk"))
           .agg(F.min("unit").alias("cost")))
-    return ps.join(F.broadcast(s), ps.sk == s.s_suppkey).drop("sk")
+    # materialize ONCE (lazy): both the winner join and the per-part
+    # min derive from this relation, and the column-pruned subplans
+    # differ enough that Catalyst's ReuseExchange does NOT match them —
+    # without this the lineitem scan + (part, supplier) aggregate run
+    # TWICE (verified in the physical plan).  Same signature-table
+    # pattern and fault-tolerance caveat as dedup._bands.
+    return (ps.join(F.broadcast(s), ps.sk == s.s_suppkey).drop("sk")
+              .localCheckpoint(eager=False))
 
 
 def q50_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
@@ -113,7 +120,10 @@ def q51_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
                    & (F.col("l_shipdate") < Q51_DATE_HI))
            .groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(_dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .alias("total_revenue")))
+                .alias("total_revenue"))
+           # view consumed twice (global max + winner filter);
+           # materialize once — see _elig_costs
+           .localCheckpoint(eager=False))
     top = rev.agg(F.max("total_revenue").alias("mr"))
     winners = (rev.crossJoin(F.broadcast(top))
                   .filter(F.col("total_revenue") == F.col("mr"))

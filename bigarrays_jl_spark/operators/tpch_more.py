@@ -52,7 +52,10 @@ def q53_important_parts(spark: SparkSession, sf: str) -> DataFrame:
          .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
          .groupBy("l_partkey")
          .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-              .alias("dv")))
+              .alias("dv"))
+         # the scalar-subquery threshold re-aggregates this SAME
+         # relation; materialize once — see tpch_deep._elig_costs
+         .localCheckpoint(eager=False))
     total = v.agg(F.sum("dv").cast("double").alias("t"),
                   F.count("*").cast("double").alias("n"))
     return (v.crossJoin(F.broadcast(total))
