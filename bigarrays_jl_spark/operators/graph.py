@@ -123,7 +123,9 @@ def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
     """In-degree histogram: how concentrated are the similarity links
     (hub nodes = canonical representatives of dense near-dup regions).
     Nodes nobody links to appear as in_deg = 0 via the left anti shape."""
-    edges = _knn_edges(spark, sf)
+    # nodes and indeg both consume the k-NN table; materialize it once
+    # (the same reuse graph_pagerank/graph_triangle_stats already do)
+    edges = _knn_edges(spark, sf).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("vec_id")).distinct()
     indeg = edges.groupBy(F.col("dst").alias("vec_id")).agg(
         F.count("*").alias("in_deg"))

@@ -54,8 +54,15 @@ BM25_B = 0.75
 
 
 def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select(
-        "doc_id", _toks().alias("t")).withColumn("dl", F.size("t"))
+    # tokenization is the dominant map cost and BOTH consumers need it
+    # (corpus stats over dl; term frequencies over the explode) — one
+    # lazy materialization instead of re-tokenizing per consumer (the
+    # dedup._bands signature-table canon; plan audit showed 3 corpus
+    # scans without it)
+    d = (load(spark, sf, "documents")
+         .select("doc_id", _toks().alias("t"))
+         .withColumn("dl", F.size("t"))
+         .localCheckpoint(eager=False))
     stats = d.agg(F.count("*").cast("double").alias("n_docs"),
                   F.avg("dl").alias("avgdl"))
     tf = (d.select("doc_id", "dl", F.explode("t").alias("term"))
