@@ -408,7 +408,10 @@ def _kmeans_fit(spark: SparkSession, sf: str,
     rounds — shared by the cell-stats query and the composed IVF
     search.  Defaults are the oracle-paired demo config; tests pass a
     production-shaped ``k_cells`` to grade recall on structured data."""
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # reused every Lloyd's round (and by both callers' final assign) —
+    # one materialization, as _pq_fit already does for its subvectors
+    e = (load(spark, sf, "embeddings").select("vec_id", "embedding")
+         .localCheckpoint(eager=False))
     cent = (e.filter(F.col("vec_id") < k_cells)
             .select(F.col("vec_id").alias("cell"),
                     F.transform("embedding", lambda x: x.cast("double"))
@@ -442,7 +445,9 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf: str,
     query to its nearest fitted k-means centroid and scan only that
     cell's members — what ann_ivf_topk does with the ready-made label
     column, now over cells this engine itself fitted."""
+    # the fitted assignment feeds both the query side and the cell scan
     final, cent = _kmeans_fit(spark, sf, k_cells, iters)
+    final = final.localCheckpoint(eager=False)
     q = (final.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
     routed = (q.crossJoin(F.broadcast(cent))
