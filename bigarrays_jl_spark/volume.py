@@ -558,6 +558,131 @@ class Volume:
         self._write_chunks(out)
         self._maybe_auto_compact()
 
+    @classmethod
+    def import_precomputed(cls, spark: SparkSession, src_root: str,
+                           dest_root: str) -> "Volume":
+        """Migrate an EXISTING neuroglancer-precomputed layer — the
+        reference's actual on-disk format: loose chunk files named
+        ``x0-x1_y0-y1_z0-z1`` (optionally ``.gz``-suffixed) under
+        ``<src_root>/<scale.key>/`` beside an ``info`` JSON
+        (`ref src/backends/BinDicts.jl:24-48`, `src/Indexes.jl:90-106`)
+        — into a chunk-table dataset at ``dest_root``, so a BigArrays.jl
+        user's existing layers open here without re-ingestion tooling.
+
+        No recompression: payload bytes are stored as found, each
+        file's codec detected by the same magic sniff the reference
+        uses (`ref src/Codings.jl:15-16`), falling back to the scale's
+        declared encoding.  Distributed: Spark's binaryFile source
+        lists and reads the chunk files in executors; the driver
+        touches only the info JSON.  Every mip directory present under
+        ``src_root`` is imported.  Run ``fsck`` after importing
+        untrusted layers — key↔lattice agreement is not re-validated
+        here."""
+        src = src_root.rstrip("/")
+        info = Info.from_json(_fs_read_bytes(spark, src + "/info"))
+        vol = cls.create(spark, dest_root, info)
+        for m, sc_ in enumerate(info.scales):
+            src_dir = f"{src}/{sc_.key}"
+            if not _fs_exists(spark, src_dir):
+                continue
+            vol._import_precomputed_mip(src_dir, m)
+        return vol
+
+    @_locked_writer()
+    def _import_precomputed_mip(self, src_dir: str, mip: int) -> None:
+        sc_ = self.info.scale(mip)
+        anchor = ix.lattice_anchor(sc_.voxel_offset, sc_.chunk_size)
+        declared = sc_.encoding
+        epoch = self._next_epoch()
+        _root = _REPO_ROOT
+
+        files = (self.spark.read.format("binaryFile").load(src_dir)
+                 .select("path", "content"))
+
+        def to_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sys
+            if _root not in sys.path:
+                sys.path.insert(0, _root)
+            from bigarrays_jl_spark import codecs as _codecs
+            from bigarrays_jl_spark import indexes as _ix
+            for b in it:
+                rows = {"cx": [], "cy": [], "cz": [], "key": [],
+                        "enc": [], "epoch": [], "payload": []}
+                for path, content in zip(b["path"], b["content"]):
+                    base = path.rsplit("/", 1)[-1]
+                    key = base[:-3] if base.endswith(".gz") else base
+                    try:
+                        cbox = _ix.parse_chunk_key(key)
+                    except ValueError:
+                        continue    # stray non-chunk file in the layer dir
+                    data = bytes(content)
+                    if data[:3] == _codecs.GZIP_MAGIC:
+                        enc = "gzip"
+                    elif data[:4] == _codecs.ZSTD_MAGIC:
+                        enc = "zstd"
+                    else:
+                        enc = declared if declared not in ("gzip", "zstd") \
+                            else "raw"
+                    for axis, (lo, _hi) in enumerate(cbox):
+                        rows[("cx", "cy", "cz")[axis]].append(
+                            _ix.chunk_id(lo, anchor[axis],
+                                         sc_.chunk_size[axis]))
+                    rows["key"].append(key)
+                    rows["enc"].append(enc)
+                    rows["epoch"].append(epoch)
+                    rows["payload"].append(data)
+                yield pd.DataFrame(rows)
+
+        self._write_chunks(files.mapInPandas(to_rows, schema=CHUNK_SCHEMA),
+                           mip=mip)
+
+    def export_precomputed(self, dest_root: str,
+                           gz_suffix: bool = False) -> int:
+        """Write this volume back out as a loose-file neuroglancer
+        precomputed layer (``<dest_root>/info`` + per-mip key
+        directories) readable by the reference and by neuroglancer —
+        the migration path OUT of the chunk table.  Payloads are
+        written as stored (already encoded); ``gz_suffix`` appends
+        ``.gz`` to gzip chunk names (the suffix convention the
+        reference's key parser accepts).  Returns the number of chunks
+        written.
+
+        Executors write files directly with local I/O, so
+        ``dest_root`` must be a locally-mounted path (local disk/NFS);
+        an object-store export would swap the writer for the
+        per-executor Hadoop FS API."""
+        dest = dest_root.rstrip("/")
+        _fs_write_bytes(self.spark, dest + "/info",
+                        self.info.to_json().encode())
+        total = 0
+        for m, sc_ in enumerate(self.info.scales):
+            mdir = os.path.join(dest, sc_.key)
+            os.makedirs(mdir, exist_ok=True)
+            latest = self._latest(
+                self.spark.read.schema(CHUNK_SCHEMA).parquet(self._mip_dir(m))
+            ) if _fs_exists(self.spark, self._mip_dir(m)) else None
+            if latest is None:
+                continue
+
+            def write_files(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import os as _os
+                n = 0
+                for b in it:
+                    for key, enc, payload in zip(b["key"], b["enc"],
+                                                 b["payload"]):
+                        name = key + (".gz" if gz_suffix and enc == "gzip"
+                                      else "")
+                        tmp = _os.path.join(mdir, "." + name + ".tmp")
+                        with open(tmp, "wb") as f:
+                            f.write(bytes(payload))
+                        _os.replace(tmp, _os.path.join(mdir, name))
+                        n += 1
+                yield pd.DataFrame({"n": [n]})
+
+            total += int(latest.mapInPandas(write_files, schema="n long")
+                         .agg(F.sum("n")).collect()[0][0] or 0)
+        return total
+
     @_locked_writer()
     def ingest_voxels(self, df: DataFrame) -> None:
         """Distributed ingest from a voxel DataFrame ``(x,y,z[,c],value)``

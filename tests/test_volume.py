@@ -741,3 +741,80 @@ def test_downsample_mean_multichannel(spark, tmp_path):
                        + a[1::2, 0::2, :, c] + a[0::2, 1::2, :, c]
                        + a[1::2, 1::2, :, c]) / 4.0).astype(np.uint8)
         np.testing.assert_array_equal(out[..., c], one)
+
+
+def _hand_built_precomputed(tmp_path):
+    """A reference-format layer built by hand: info JSON + loose
+    Fortran-order gzip chunk files named by the neuroglancer key."""
+    import gzip
+    root = tmp_path / "ref_layer"
+    mip = root / "1_1_1"
+    mip.mkdir(parents=True)
+    info = {"num_channels": 1, "type": "image", "data_type": "uint8",
+            "scales": [{"encoding": "gzip", "chunk_sizes": [[64, 64, 64]],
+                        "key": "1_1_1", "resolution": [1, 1, 1],
+                        "voxel_offset": [0, 0, 0], "size": [128, 64, 64]}]}
+    (root / "info").write_text(json.dumps(info))
+    a = rand_u8((128, 64, 64))
+    for x0 in (0, 64):
+        block = a[x0:x0 + 64]
+        # .gz-suffixed and bare names both occur in the wild
+        name = f"{x0}-{x0+64}_0-64_0-64" + (".gz" if x0 == 0 else "")
+        (mip / name).write_bytes(gzip.compress(block.tobytes(order="F")))
+    (mip / "README.txt").write_text("stray non-chunk file")
+    return str(root), a
+
+
+def test_import_precomputed_reads_reference_layout(spark, tmp_path):
+    src, a = _hand_built_precomputed(tmp_path)
+    vol = Volume.import_precomputed(spark, src, str(tmp_path / "imported"))
+    out, origin = vol.cutout(((0, 128), (0, 64), (0, 64)))
+    assert origin == (0, 0, 0)
+    np.testing.assert_array_equal(out, a)
+    # stored without recompression, encoding sniffed per file
+    assert len(vol.keys()) == 2
+    from pyspark.sql import functions as SF
+    assert vol.fsck().filter(~SF.col("ok")).count() == 0
+
+
+def test_export_import_round_trip(spark, tmp_path):
+    import gzip
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[32, 32, 32]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 64, 32]}]})
+    vol = Volume.create(spark, str(tmp_path / "src_ds"), info)
+    a = rand_u8((64, 64, 32))
+    vol.write(a, (0, 0, 0))
+    out_dir = str(tmp_path / "exported")
+    n = vol.export_precomputed(out_dir)
+    assert n == 4
+    # the exported layer is reference-readable: decode one file by hand
+    import os
+    files = sorted(os.listdir(os.path.join(out_dir, "1_1_1")))
+    assert "0-32_0-32_0-32" in files
+    raw = gzip.decompress(
+        open(os.path.join(out_dir, "1_1_1", "0-32_0-32_0-32"), "rb").read())
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, dtype=np.uint8).reshape((32, 32, 32), order="F"),
+        a[0:32, 0:32, 0:32])
+    # and round-trips through import
+    re = Volume.import_precomputed(spark, out_dir,
+                                   str(tmp_path / "reimported"))
+    np.testing.assert_array_equal(re[0:64, 0:64, 0:32], a)
+
+
+def test_export_precomputed_gz_suffix(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[32, 32, 32]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 32]}]})
+    vol = Volume.create(spark, str(tmp_path / "srcz"), info)
+    vol.write(rand_u8((32, 32, 32)), (0, 0, 0))
+    out_dir = str(tmp_path / "exportedz")
+    vol.export_precomputed(out_dir, gz_suffix=True)
+    import os
+    assert os.listdir(os.path.join(out_dir, "1_1_1")) == \
+        ["0-32_0-32_0-32.gz"]
