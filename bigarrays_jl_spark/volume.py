@@ -870,14 +870,30 @@ class Volume:
 
     # -- voxel view (the relational bridge, SURVEY §1.6) ----------------------
 
-    def voxels(self, request: ix.Box | None = None) -> DataFrame:
+    def voxels(self, request: ix.Box | None = None,
+               columns: Sequence[str] = ("x", "y", "z", "c", "value"),
+               ) -> DataFrame:
         """Distributed voxel DataFrame ``(x,y,z,c,value)`` with *global*
         coordinates — the exploded relational view of the chunk table.
         Stays fully distributed (no collect); value column type per
-        VOXEL_SQL_TYPE (unsigned-widening, uint64→decimal(20,0))."""
+        VOXEL_SQL_TYPE (unsigned-widening, uint64→decimal(20,0)).
+
+        ``columns`` prunes the emitted schema MAP-SIDE — the voxel
+        source's equivalent of parquet column pruning, which Catalyst
+        cannot push through a Python batch function on its own.
+        Coordinates cost ~4 B/voxel/column across the Arrow boundary,
+        so an aggregation that only touches ``value`` (the histogram
+        shape) ships a quarter of the default row; order is normalized
+        to the canonical (x, y, z, c, value)."""
         info = self.info
         req = request or self.vol_box
         req = tuple((int(lo), int(hi)) for lo, hi in req)
+        canon = ("x", "y", "z", "c", "value")
+        bad = [c for c in columns if c not in canon]
+        if bad or not columns:
+            raise ValueError(f"voxels columns must be a non-empty subset "
+                             f"of {canon}; got {tuple(columns)}")
+        cols = tuple(c for c in canon if c in columns)
         nc = info.num_channels
         dtype_str = info.data_type
         vtype = info.voxel_sql_type
@@ -909,29 +925,45 @@ class Volume:
                     if nc == 1:
                         block = block[..., _np.newaxis]
                     shp = block.shape
-                    # int32 coordinate arrays: the schema columns are
-                    # 32-bit, and shipping int64 through Arrow doubles
-                    # the dominant transfer cost of this operator
-                    xs, ys, zs, cs = _np.meshgrid(
-                        _np.arange(cut[0][0], cut[0][1], dtype=_np.int32),
-                        _np.arange(cut[1][0], cut[1][1], dtype=_np.int32),
-                        _np.arange(cut[2][0], cut[2][1], dtype=_np.int32),
-                        _np.arange(shp[3], dtype=_np.int32), indexing="ij")
-                    vals = block.reshape(-1, order="C")
-                    if dtype_str == "uint64":
-                        vals = vals.astype(object)  # decimal(20,0) path
-                    elif dtype_str == "uint8":
-                        vals = vals.astype(_np.int16)   # smallint
-                    elif dtype_str == "uint16":
-                        vals = vals.astype(_np.int32)   # int
-                    elif dtype_str == "uint32":
-                        vals = vals.astype(_np.int64)   # bigint
-                    yield pd.DataFrame({
-                        "x": xs.ravel(), "y": ys.ravel(), "z": zs.ravel(),
-                        "c": cs.ravel(), "value": vals})
+                    out = {}
+                    # int32 coordinate arrays via broadcast (no full
+                    # meshgrid): the schema columns are 32-bit, and
+                    # shipping int64 through Arrow doubles the dominant
+                    # transfer cost; unrequested columns are never
+                    # materialized at all (map-side pruning)
+                    axes = {
+                        "x": (_np.arange(cut[0][0], cut[0][1],
+                                         dtype=_np.int32), 0),
+                        "y": (_np.arange(cut[1][0], cut[1][1],
+                                         dtype=_np.int32), 1),
+                        "z": (_np.arange(cut[2][0], cut[2][1],
+                                         dtype=_np.int32), 2),
+                        "c": (_np.arange(shp[3], dtype=_np.int32), 3),
+                    }
+                    for col in cols:
+                        if col == "value":
+                            vals = block.reshape(-1, order="C")
+                            if dtype_str == "uint64":
+                                vals = vals.astype(object)  # decimal(20,0)
+                            elif dtype_str == "uint8":
+                                vals = vals.astype(_np.int16)   # smallint
+                            elif dtype_str == "uint16":
+                                vals = vals.astype(_np.int32)   # int
+                            elif dtype_str == "uint32":
+                                vals = vals.astype(_np.int64)   # bigint
+                            out["value"] = vals
+                        else:
+                            arr, ax = axes[col]
+                            view = [1, 1, 1, 1]
+                            view[ax] = len(arr)
+                            out[col] = _np.broadcast_to(
+                                arr.reshape(view), shp).reshape(-1, order="C")
+                    yield pd.DataFrame(out)
 
+        fields = {"x": "x int", "y": "y int", "z": "z int", "c": "c int",
+                  "value": f"value {vtype}"}
         return latest.mapInPandas(
-            explode, schema=f"x int, y int, z int, c int, value {vtype}")
+            explode, schema=", ".join(fields[c] for c in cols))
 
     # -- maintenance (src/type.jl:285-339) ------------------------------------
 
