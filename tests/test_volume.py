@@ -818,3 +818,25 @@ def test_export_precomputed_gz_suffix(spark, tmp_path):
     import os
     assert os.listdir(os.path.join(out_dir, "1_1_1")) == \
         ["0-32_0-32_0-32.gz"]
+
+
+def test_voxels_column_pruning(spark, vol):
+    a = rand_u8((100, 100, 5))
+    vol[0:100, 0:100, 0:5] = a
+    box = ((0, 100), (0, 100), (0, 5))
+    pruned = vol.voxels(box, columns=("value",))
+    assert pruned.columns == ["value"]
+    full = vol.voxels(box)
+    assert full.columns == ["x", "y", "z", "c", "value"]
+    # pruned values match the full view's value column exactly
+    from pyspark.sql import functions as SF
+    s1 = pruned.agg(SF.sum("value"), SF.count("*")).collect()[0]
+    s2 = full.agg(SF.sum("value"), SF.count("*")).collect()[0]
+    assert tuple(s1) == tuple(s2) == (int(a.sum()), a.size)
+    # order normalization + validation
+    zx = vol.voxels(box, columns=("value", "x"))
+    assert zx.columns == ["x", "value"]
+    with pytest.raises(ValueError):
+        vol.voxels(box, columns=("nope",))
+    with pytest.raises(ValueError):
+        vol.voxels(box, columns=())
