@@ -840,3 +840,47 @@ def test_voxels_column_pruning(spark, vol):
         vol.voxels(box, columns=("nope",))
     with pytest.raises(ValueError):
         vol.voxels(box, columns=())
+
+
+def test_import_precomputed_negative_offset_multichannel(spark, tmp_path):
+    # the reference's hardest key semantics in one layer: negative
+    # voxel_offset (negative-coordinate keys, C8 parity) and a channel
+    # axis (Fortran-order channel-last payloads)
+    import gzip
+    root = tmp_path / "neg_layer"
+    mip = root / "1_1_1"
+    mip.mkdir(parents=True)
+    info = {"num_channels": 2, "type": "image", "data_type": "uint8",
+            "scales": [{"encoding": "gzip", "chunk_sizes": [[32, 32, 8]],
+                        "key": "1_1_1", "resolution": [1, 1, 1],
+                        "voxel_offset": [-32, -32, -8],
+                        "size": [64, 64, 16]}]}
+    (root / "info").write_text(json.dumps(info))
+    a = rand_u8((64, 64, 16, 2))
+    for x0 in (-32, 0):
+        for y0 in (-32, 0):
+            for z0 in (-8, 0):
+                block = a[x0 + 32:x0 + 64, y0 + 32:y0 + 64,
+                          z0 + 8:z0 + 16]
+                key = f"{x0}-{x0+32}_{y0}-{y0+32}_{z0}-{z0+8}"
+                (mip / key).write_bytes(
+                    gzip.compress(block.tobytes(order="F")))
+    vol = Volume.import_precomputed(spark, str(root),
+                                    str(tmp_path / "neg_imported"))
+    out, origin = vol.cutout(((-32, 32), (-32, 32), (-8, 8)))
+    assert origin == (-32, -32, -8)
+    np.testing.assert_array_equal(out, a)
+    # interior sub-box crossing the origin in every axis
+    sub, o2 = vol.cutout(((-5, 5), (-9, 3), (-2, 6)))
+    assert o2 == (-5, -9, -2)
+    np.testing.assert_array_equal(sub, a[27:37, 23:35, 6:14])
+    # export → reimport preserves the negative-key layout byte-for-byte
+    out_dir = str(tmp_path / "neg_exported")
+    assert vol.export_precomputed(out_dir) == 8
+    import os
+    names = set(os.listdir(os.path.join(out_dir, "1_1_1")))
+    assert "-32-0_-32-0_-8-0" in names
+    re = Volume.import_precomputed(spark, out_dir,
+                                   str(tmp_path / "neg_reimported"))
+    np.testing.assert_array_equal(
+        re.cutout(((-32, 32), (-32, 32), (-8, 8)))[0], a)
