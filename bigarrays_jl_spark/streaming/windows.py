@@ -642,6 +642,31 @@ def compact_appended_table(root: str, keep_last: int = 2) -> list[str]:
     return removed
 
 
+def streaming_ingest_chunks(chunks: DataFrame, vol, checkpoint_path: str):
+    """Continuous chunk ingest into a Volume — the acquisition bridge
+    (microscopes emit sections continuously; the reference's answer is
+    re-running its batch ingest script, `ref README.md:40-55`).  Each
+    micro-batch of staged chunk rows ``(cx,cy,cz int, key string,
+    payload binary)`` — raw Fortran-order bytes, the
+    ``Volume.ingest_chunks`` contract — flows through THE SAME
+    distributed ingest path (executor-side encode, no driver data).
+
+    Replay safety rides the volume's epoch MVCC: a replayed batch
+    re-ingests under a NEWER epoch and reads resolve the latest epoch
+    per chunk, so duplicate delivery converges to the same voxels;
+    ``compact()`` folds the superseded rows on the maintenance cadence.
+    Returns the started StreamingQuery (caller stops it)."""
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vol.ingest_chunks(batch_df)
+
+    return (chunks.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_interval_join(events: DataFrame, horizon: str = "10 minutes",
                             watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each view matched to the same user's

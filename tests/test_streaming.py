@@ -845,3 +845,58 @@ def test_streaming_apply_changes_flagged_nulling_feed(spark, tmp_path):
                 base, spark.createDataFrame(feed, schema)).collect()}
     assert got == want
     assert (1, "en", None, 10) in got     # the NULL-ed source survived
+
+
+def test_streaming_ingest_chunks_into_volume(spark, tmp_path):
+    # continuous acquisition: two micro-batches of staged chunk rows
+    # flow through the distributed ingest; the volume converges to the
+    # full array, and a checkpoint restart with no new data is a no-op
+    import numpy as np
+
+    from bigarrays_jl_spark import indexes as ix
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+    from bigarrays_jl_spark.streaming.windows import streaming_ingest_chunks
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[32, 32, 32]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 64, 32]}]})
+    vol = Volume.create(spark, str(tmp_path / "acq"), info)
+    a = np.random.default_rng(7).integers(0, 256, (64, 64, 32),
+                                          dtype=np.uint8)
+    sc_ = vol.scale
+    rows = []
+    for cs in ix.iter_chunk_slices(((0, 64), (0, 64), (0, 32)),
+                                   sc_.voxel_offset, sc_.volume_size,
+                                   sc_.chunk_size):
+        (x0, x1), (y0, y1), (z0, z1) = cs.cutout_box
+        rows.append((cs.cid[0], cs.cid[1], cs.cid[2], cs.key,
+                     a[x0:x1, y0:y1, z0:z1].tobytes(order="F")))
+    schema = "cx int, cy int, cz int, key string, payload binary"
+    src, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+    for half in (rows[:2], rows[2:]):
+        spark.createDataFrame(half, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_ingest_chunks(
+            spark.readStream.schema(schema).parquet(src), vol, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out, _ = vol.cutout(((0, 64), (0, 64), (0, 32)))
+    np.testing.assert_array_equal(out, a)
+    n_rows_before = vol._latest(
+        spark.read.parquet(vol._mip_dir(0))).count()
+    # restart on the same checkpoint: nothing re-ingested
+    q = streaming_ingest_chunks(
+        spark.readStream.schema(schema).parquet(src), vol, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert vol._latest(spark.read.parquet(vol._mip_dir(0))).count() \
+        == n_rows_before
+    out2, _ = vol.cutout(((0, 64), (0, 64), (0, 32)))
+    np.testing.assert_array_equal(out2, a)
