@@ -14,7 +14,7 @@ from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
                                           retrieval, similarity, temporal,
                                           text, tpch_deep, tpch_more,
                                           volume_analytics, volume_channels,
-                                          volume_seg)
+                                          volume_pyramid, volume_seg)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval round 8, tpch_deep round 9) append AFTER extensions so
@@ -23,7 +23,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
-            volume_seg)
+            volume_seg, volume_pyramid)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
