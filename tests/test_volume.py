@@ -884,3 +884,29 @@ def test_import_precomputed_negative_offset_multichannel(spark, tmp_path):
                                    str(tmp_path / "neg_reimported"))
     np.testing.assert_array_equal(
         re.cutout(((-32, 32), (-32, 32), (-8, 8)))[0], a)
+
+
+def test_export_import_multi_mip_pyramid(spark, tmp_path):
+    # a pyramided dataset migrates with every mip level intact
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[16, 16, 8]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [32, 32, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "pyr_src"), info)
+    a = rand_u8((32, 32, 8))
+    vol.write(a, (0, 0, 0))
+    vol.downsample()
+    out_dir = str(tmp_path / "pyr_exported")
+    n = vol.export_precomputed(out_dir)
+    assert n == (2 * 2 * 1) + (1 * 1 * 1)   # mip0 chunks + mip1 chunk
+    import os
+    assert sorted(os.listdir(out_dir)) == ["1_1_1", "2_2_1", "info"]
+    re = Volume.import_precomputed(spark, out_dir,
+                                   str(tmp_path / "pyr_reimported"))
+    np.testing.assert_array_equal(re[0:32, 0:32, 0:8], a)
+    m1 = Volume.open(spark, re.root, mip=1)
+    expect = np.rint((a[0::2, 0::2].astype(np.float64) + a[1::2, 0::2]
+                      + a[0::2, 1::2] + a[1::2, 1::2]) / 4.0).astype(np.uint8)
+    np.testing.assert_array_equal(
+        m1.cutout(((0, 16), (0, 16), (0, 8)))[0], expect)
