@@ -365,3 +365,41 @@ def test_heavy_hitters_estimation_quality(spark, sf_dir):
     # the point of the operator: the estimate is good for heavy hitters
     # (dense terms sample well) — every row's tolerance boolean holds
     assert all(r["within_tol"] for r in rows)
+
+
+def test_fuzzy_passjoin_exact_on_adversarial_corpus(spark):
+    """PassJoin must stay an exact superset on the nasty cases the part
+    corpus never exercises: the empty string, sub-segment-length (< D+1)
+    names routed through the short block, cross-length pairs at exactly
+    the threshold, and dist-4 pairs that must NOT appear."""
+    import random
+
+    from pyspark.sql import functions as F
+    from bigarrays_jl_spark.operators.retrieval import (FUZZY_MAX_DIST,
+                                                        passjoin_candidates)
+    rng = random.Random(99)
+    corpus = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg",
+              "xbcdefg", "abzzefg", "abcdzzz",          # dist exactly 3/4
+              "kitten", "sitting", "saturday", "sunday",
+              "flaw", "lawn"]
+    corpus += ["".join(rng.choice("abcdef")
+                       for _ in range(rng.randint(4, 20)))
+               for _ in range(30)]
+    corpus = sorted(set(corpus))
+    names = spark.createDataFrame([(s,) for s in corpus], ["name"])
+    got = {(r["name_a"], r["name_b"]): r["dist"]
+           for r in passjoin_candidates(names)
+           .withColumn("dist", F.levenshtein("name_a", "name_b"))
+           .filter(F.col("dist") <= FUZZY_MAX_DIST)
+           .select("name_a", "name_b", "dist").collect()}
+    want = {}
+    for i, a in enumerate(corpus):
+        for b in corpus[i + 1:]:
+            d = _lev(a, b)
+            if d <= FUZZY_MAX_DIST:
+                want[(a, b)] = d
+    assert got == want
+    # the edge classes actually fired
+    assert ("", "abc") in want          # short-block pair incl. empty
+    assert ("abcd", "abcdefg") in want  # cross-length at exactly dist 3
+    assert all(_lev(a, b) <= FUZZY_MAX_DIST for a, b in got)
