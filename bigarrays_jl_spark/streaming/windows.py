@@ -523,7 +523,11 @@ def streaming_append_inserts(inserts: DataFrame, table_root: str,
     folded (id ≤ snapshot version) is ignored by readers, so replay
     after a fold is harmless.  Caller contract: insert keys are unique
     across the feed (the upstream dedup gate's guarantee — this IS the
-    post-dedup corpus-append pattern).
+    post-dedup corpus-append pattern), and ONE stream owns the table —
+    micro-batches are serial within a stream, which is what makes "a
+    complete delta implies every lower-id delta completed (or will be
+    replayed below the fold line)" hold, the invariant
+    ``fold_inserts``/``compact_appended_table`` rely on.
 
     Returns the started StreamingQuery (caller stops it)."""
     import os
