@@ -8,7 +8,8 @@ from __future__ import annotations
 
 from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
                                           dedup, estimation, events,
-                                          extensions, graph, graph_lsh,
+                                          events_cep, extensions, graph,
+                                          graph_lsh,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
                                           retrieval, similarity, temporal,
@@ -23,7 +24,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
-            volume_seg, volume_pyramid)
+            volume_seg, volume_pyramid, events_cep)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -230,6 +230,33 @@ def test_volume_label_sizes_matches_closed_form(spark, sf_dir):
     assert SEG_BLOCK == 16
 
 
+def test_events_pattern_match_vs_python_scan(spark, sf_dir):
+    from bigarrays_jl_spark.operators.events_cep import (PATTERN,
+                                                         PATTERN_GAP_S,
+                                                         events_pattern_match)
+    from bigarrays_jl_spark.sources.tables import load
+    rows = (load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type",
+                    F.col("ts").cast("long").alias("sec")).collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for u, es in by_user.items():
+        es.sort(key=lambda r: (r["sec"], r["event_id"]))
+        hits = [es[i]["event_id"] for i in range(len(es) - 2)
+                if (es[i]["event_type"], es[i + 1]["event_type"],
+                    es[i + 2]["event_type"]) == PATTERN
+                and es[i + 1]["sec"] - es[i]["sec"] <= PATTERN_GAP_S
+                and es[i + 2]["sec"] - es[i + 1]["sec"] <= PATTERN_GAP_S]
+        if hits:
+            want[u] = (len(hits), min(hits))
+    got = {r["user_id"]: (r["n_matches"], r["first_match_event"])
+           for r in events_pattern_match(spark, sf_dir).collect()}
+    assert got == want
+    assert want, "testdata must contain pattern instances"
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     # Q2: dim chain broadcasts into the cost-relation scan; the
     # decorrelated min joins per-part — never a cartesian
