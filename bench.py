@@ -36,6 +36,7 @@ SECONDARY = [
     "q53_important_parts", "graph_pagerank", "graph_pagerank_lsh",
     "events_gapfill", "text_bm25", "fuzzy_name_pairs",
     "pipeline_apply_changes", "volume_histogram", "volume_label_sizes",
+    "events_pattern_match",
 ]
 
 
