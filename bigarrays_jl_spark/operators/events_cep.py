@@ -79,10 +79,72 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# absence / timeout pattern — the OTHER fundamental CEP class
+# --------------------------------------------------------------------------
+
+ABSENCE_T_S = 86400          # a view is abandoned if no purchase follows
+                             # within 24 h
+
+
+def events_absence_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Per user, the views with NO purchase within ABSENCE_T_S seconds
+    — the CEP timeout/negation pattern (cart abandonment).
+
+    Scale shape: a naive formulation is a non-equi ANTI join, which
+    Spark can only execute as a nested-loop product.  Instead: bucket
+    time by the window length — a purchase in (t, t+T] lives in the
+    view's bucket or the next one — explode each view to those two
+    (user, bucket) keys, EQUI-join purchases, apply the exact range
+    residual, and anti-join the matched view ids back (another equi
+    join).  Every join is key-partitioned; nothing is quadratic."""
+    e = (load(spark, sf, "events")
+         .select("user_id", "event_id", "event_type",
+                 F.col("ts").cast("long").alias("sec")))
+    v = e.filter(F.col("event_type") == "view") \
+         .select("user_id", "event_id", "sec")
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("sec").alias("p_sec"),
+                 F.floor(F.col("sec") / ABSENCE_T_S).alias("p_bucket"))
+    vx = v.withColumn(
+        "bucket", F.explode(F.array(
+            F.floor(F.col("sec") / ABSENCE_T_S),
+            F.floor(F.col("sec") / ABSENCE_T_S) + 1)))
+    matched = (vx.join(p, (vx.user_id == p.p_user)
+                       & (vx.bucket == p.p_bucket))
+                 .filter((F.col("p_sec") > F.col("sec"))
+                         & (F.col("p_sec") <= F.col("sec") + ABSENCE_T_S))
+                 .select("event_id").distinct())
+    abandoned = v.join(matched, "event_id", "left_anti")
+    return (abandoned.groupBy("user_id")
+            .agg(F.count("*").alias("n_abandoned"),
+                 F.min("event_id").alias("first_abandoned")))
+
+
+EVENTS_ABSENCE_MATCH_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+  FROM events),
+v AS (SELECT user_id, event_id, sec FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, sec FROM e WHERE event_type = 'purchase')
+SELECT v.user_id, count(*) AS n_abandoned,
+       min(v.event_id) AS first_abandoned
+FROM v
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = v.user_id
+                    AND p.sec > v.sec AND p.sec <= v.sec + {ABSENCE_T_S})
+GROUP BY v.user_id
+"""
+
+
 QUERIES = {
     "events_pattern_match": events_pattern_match,
+    "events_absence_match": events_absence_match,
 }
 
 ORACLES = {
     "events_pattern_match": EVENTS_PATTERN_MATCH_SQL,
+    "events_absence_match": EVENTS_ABSENCE_MATCH_SQL,
 }

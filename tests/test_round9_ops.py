@@ -257,6 +257,36 @@ def test_events_pattern_match_vs_python_scan(spark, sf_dir):
     assert want, "testdata must contain pattern instances"
 
 
+def test_events_absence_match_vs_python_scan(spark, sf_dir):
+    from bigarrays_jl_spark.operators.events_cep import (ABSENCE_T_S,
+                                                         events_absence_match)
+    from bigarrays_jl_spark.sources.tables import load
+    rows = (load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type",
+                    F.col("ts").cast("long").alias("sec")).collect())
+    views = [r for r in rows if r["event_type"] == "view"]
+    purch = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["sec"])
+    want = {}
+    for r in views:
+        hit = any(r["sec"] < p <= r["sec"] + ABSENCE_T_S
+                  for p in purch.get(r["user_id"], []))
+        if not hit:
+            n, first = want.get(r["user_id"], (0, None))
+            want[r["user_id"]] = (n + 1, r["event_id"] if first is None
+                                  else min(first, r["event_id"]))
+    got = {r["user_id"]: (r["n_abandoned"], r["first_abandoned"])
+           for r in events_absence_match(spark, sf_dir).collect()}
+    assert got == want and want
+    # scale pin: no nested-loop product anywhere — the range-anti is
+    # expressed as bucketed equi joins
+    plan = formatted_plan(events_absence_match(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     # Q2: dim chain broadcasts into the cost-relation scan; the
     # decorrelated min joins per-part — never a cartesian
