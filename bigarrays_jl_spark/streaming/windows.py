@@ -475,18 +475,23 @@ def streaming_apply_changes(changes: DataFrame, table_root: str,
                 [], "doc_id long, lang string, source string, n_chars long")
         # enforce merge_changes' one-change-per-key contract: micro-batch
         # composition is engine-chosen (file arrivals can fold into one
-        # trigger), so collapse multi-change keys by op precedence
-        # delete > update > insert — deterministic via lexicographic
-        # struct max (the feed carries no LSN; with one, order by it).
+        # trigger), so collapse multi-change keys.  If the feed carries
+        # a log sequence number (a ``seq`` column), CDC semantics are
+        # latest-wins: order by seq first, op precedence
+        # delete > update > insert only breaks exact seq ties.  Without
+        # one, precedence leads and the lexicographic struct max is the
+        # deterministic (if arbitrary) same-precedence tiebreak.
         # The struct carries whatever change columns the feed has, so
         # the flagged NULL-capable dialect (c_X_set booleans,
         # mutation.merge_changes) rides the same bridge unchanged.
         pri = (F.when(F.col("op") == "delete", 3)
                 .when(F.col("op") == "update", 2).otherwise(1))
-        feed_cols = [c for c in batch_df.columns if c != "doc_id"]
+        order = (["seq"] if "seq" in batch_df.columns else []) + ["pri"]
+        feed_cols = [c for c in batch_df.columns
+                     if c not in ("doc_id", "seq")]
         latest = (batch_df.withColumn("pri", pri)
                   .groupBy("doc_id")
-                  .agg(F.max(F.struct("pri", *feed_cols)).alias("c"))
+                  .agg(F.max(F.struct(*order, *feed_cols)).alias("c"))
                   .select("doc_id", *[F.col(f"c.{c}") for c in feed_cols]))
         merged = merge_changes(base, latest)
         merged.write.mode("overwrite").parquet(

@@ -900,3 +900,37 @@ def test_streaming_ingest_chunks_into_volume(spark, tmp_path):
         == n_rows_before
     out2, _ = vol.cutout(((0, 64), (0, 64), (0, 32)))
     np.testing.assert_array_equal(out2, a)
+
+
+def test_streaming_apply_changes_seq_latest_wins(spark, tmp_path):
+    # when the feed carries a log sequence number, the LATEST change
+    # wins over op precedence and lexicographic struct order — here the
+    # highest-seq update carries lexicographically SMALLEST values and
+    # arrives after a delete, so both fallback orders would pick wrong
+    from bigarrays_jl_spark.streaming.windows import (read_merged_table,
+                                                      streaming_apply_changes)
+    feed_schema = ("doc_id long, seq long, op string, c_lang string, "
+                   "c_source string, c_n_chars long")
+    batch = spark.createDataFrame(
+        [(1, 10, "insert", "zz", "zz", 99),
+         (1, 11, "delete", None, None, None),
+         (1, 12, "insert", "aa", "aa", 1),
+         # key 2: two updates, later one lexicographically smaller
+         (2, 20, "insert", "en", "s0", 20),
+         (2, 21, "update", "zz", "zz", 99),
+         (2, 22, "update", "aa", "curated", 21)],
+        feed_schema)
+    src = str(tmp_path / "src")
+    root, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    batch.coalesce(1).write.parquet(src)
+    q = streaming_apply_changes(
+        spark.readStream.schema(batch.schema).parquet(src), root, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.doc_id: r for r in read_merged_table(spark, root).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].lang, rows[1].source, rows[1].n_chars) == ("aa", "aa", 1)
+    assert (rows[2].lang, rows[2].source, rows[2].n_chars) \
+        == ("aa", "curated", 21)
