@@ -13,7 +13,7 @@ from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
                                           retrieval, similarity, temporal,
-                                          text, tpch_deep, tpch_more,
+                                          text, tpch_deep, tpch_more, tpch_shapes,
                                           volume_analytics, volume_channels,
                                           volume_pyramid, volume_seg)
 
@@ -24,7 +24,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
-            volume_seg, volume_pyramid, events_cep)
+            volume_seg, volume_pyramid, events_cep, tpch_shapes)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

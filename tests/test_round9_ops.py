@@ -318,3 +318,28 @@ def test_tpch_deep_plan_shapes(spark, sf_dir):
             if len(sub) - len(sub.lstrip(" :+-")) <= indent:
                 break
             assert "HashAggregate" not in sub, plan
+
+
+def test_tpch_shapes_plans_and_semantics(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_shapes import (
+        q55_order_count_dist, q56_bracket_revenue,
+        q57_excess_stock_suppliers)
+    # Q13: the join-condition filter must preserve zero-order
+    # customers — total custdist mass == |customers|
+    from bigarrays_jl_spark.sources.tables import load
+    dist = q55_order_count_dist(spark, sf_dir)
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in dist.collect()) == n_cust
+    assert dist.filter(F.col("c_count") == 0).count() >= 0  # bucket legal
+    # Q19: the disjunctive join must stay HASH — Catalyst extracts the
+    # common equi conjunct; a nested loop here is the classic Q19 bug
+    q56 = q56_bracket_revenue(spark, sf_dir)
+    p56 = formatted_plan(q56)
+    assert "BroadcastNestedLoopJoin" not in p56, p56
+    assert "CartesianProduct" not in p56, p56
+    assert has_broadcast_join(q56)
+    # Q20: semi-join chain — supplier side is a semi join, no cartesian
+    q57 = q57_excess_stock_suppliers(spark, sf_dir)
+    p57 = formatted_plan(q57)
+    assert "CartesianProduct" not in p57, p57
+    assert "LeftSemi" in p57, p57
