@@ -36,7 +36,9 @@ SECONDARY = [
     "q53_important_parts", "graph_pagerank", "graph_pagerank_lsh",
     "events_gapfill", "text_bm25", "fuzzy_name_pairs",
     "pipeline_apply_changes", "volume_histogram", "volume_label_sizes",
-    "events_pattern_match",
+    "events_pattern_match", "events_absence_match",
+    "q55_order_count_dist", "q56_bracket_revenue",
+    "q57_excess_stock_suppliers",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Streaming CEP (applyInPandasWithState) vs the batch pattern match.
+
+The streaming operator's correctness hinges on watermark-driven
+finalization: an event is only provably ADJACENT to its successor once
+the watermark passes it.  These tests drive real multi-batch feeds
+(one file per trigger) and pin exact equivalence with the
+oracle-checked batch operator, plus the consecutive/gap predicate and
+the timeout path (users that go quiet finalize without new rows).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.events_cep import (PATTERN_GAP_S,
+                                                     events_pattern_match)
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.streaming.cep import streaming_pattern_match
+
+EVENT_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp"
+
+
+def _feed(spark, src, ckpt, files):
+    """One query per appended file => one micro-batch per file."""
+    import os
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_pattern_match(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("t_cep").option("checkpointLocation", ckpt).start())
+    try:
+        for df in files:
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql("SELECT * FROM t_cep")
+
+
+def _sentinels(spark, n=2):
+    # two far-future batches: the first advances the watermark past
+    # every real event, the second fires the armed event-time timeouts
+    # (timeouts evaluate against the PREVIOUS batch's watermark)
+    return [spark.createDataFrame(
+        [(-1, -1 - i, "noop", dt.datetime(2030, 1, 1 + i))], EVENT_SCHEMA)
+        for i in range(n)]
+
+
+def test_streaming_cep_matches_batch_on_real_events(spark, sf_dir, tmp_path):
+    e = (load(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type", "ts",
+                 F.col("ts").cast("long").alias("sec")))
+    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
+    mid = (lo + hi) // 2
+    batches = [e.filter(F.col("sec") <= mid).drop("sec"),
+               e.filter(F.col("sec") > mid).drop("sec")]
+    got = _feed(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+                batches + _sentinels(spark))
+    agg = {r["user_id"]: (r["n"], r["first"])
+           for r in got.groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                F.min("first_event_id").alias("first")).collect()}
+    want = {r["user_id"]: (r["n_matches"], r["first_match_event"])
+            for r in events_pattern_match(spark, sf_dir).collect()}
+    assert want, "testdata must contain pattern instances"
+    assert agg == want
+
+
+def test_streaming_cep_consecutive_and_gap_semantics(spark, tmp_path):
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # user 1: clean triple within gaps -> one match at event 10
+        (1, 10, "view", ts(0)), (1, 11, "view", ts(1)),
+        (1, 12, "click", ts(2)),
+        # user 2: an interloper between the views — NOT consecutive
+        (2, 20, "view", ts(0)), (2, 21, "purchase", ts(1)),
+        (2, 22, "view", ts(2)), (2, 23, "click", ts(3)),
+        # user 3: second step exceeds the gap bound
+        (3, 30, "view", ts(0)), (3, 31, "view", ts(1)),
+        (3, 32, "click", ts(1 + PATTERN_GAP_S / 3600 + 1)),
+        # user 4: overlapping triples v v v c -> matches at 40 is NOT a
+        # triple (v v v), 41 is (v v c): exactly one match, first=41
+        (4, 40, "view", ts(0)), (4, 41, "view", ts(1)),
+        (4, 42, "view", ts(2)), (4, 43, "click", ts(3)),
+    ]
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA)
+    got = _feed(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+                [batch] + _sentinels(spark))
+    hits = {(r["user_id"], r["first_event_id"]) for r in got.collect()}
+    assert hits == {(1, 10), (4, 41)}
+
+
+def test_streaming_cep_split_triple_across_batches(spark, tmp_path):
+    # the triple's prefix finalizes in batch 1; the click arrives two
+    # batches later — the finalized-suffix state must complete it
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    b1 = spark.createDataFrame([(7, 70, "view", ts(0)),
+                                (7, 71, "view", ts(1))], EVENT_SCHEMA)
+    b2 = spark.createDataFrame([(8, 80, "view", ts(2))], EVENT_SCHEMA)
+    b3 = spark.createDataFrame([(7, 72, "click", ts(3))], EVENT_SCHEMA)
+    got = _feed(spark, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+                [b1, b2, b3] + _sentinels(spark))
+    hits = {(r["user_id"], r["first_event_id"]) for r in got.collect()}
+    assert hits == {(7, 70)}
