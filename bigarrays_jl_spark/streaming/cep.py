@@ -143,3 +143,103 @@ def streaming_pattern_match(events: DataFrame,
             .applyInPandasWithState(_update, OUT_SCHEMA, STATE_SCHEMA,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+# --------------------------------------------------------------------------
+# absence / timeout pattern — streaming twin of events_absence_match
+# --------------------------------------------------------------------------
+
+ABS_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("view_id", T.LongType()),
+    T.StructField("view_sec", T.LongType()),
+])
+
+ABS_STATE_SCHEMA = T.StructType([
+    T.StructField("v_sec", T.ArrayType(T.LongType())),
+    T.StructField("v_id", T.ArrayType(T.LongType())),
+    T.StructField("p_sec", T.ArrayType(T.LongType())),
+])
+
+
+def _abs_update_factory(timeout_s):
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            v_sec, v_id, p_sec = state.get
+            views = list(zip(v_sec, v_id))
+            purch = list(p_sec)
+        else:
+            views, purch = [], []
+
+        for pdf in pdfs:
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            for sec, eid, etype in zip(secs.tolist(),
+                                       pdf["event_id"].tolist(),
+                                       pdf["event_type"].tolist()):
+                if etype == "view":
+                    views.append((sec, eid))
+                elif etype == "purchase":
+                    purch.append(sec)
+
+        # a purchase in (v, v+T] resolves the view as NOT abandoned
+        views = [(vs, vid) for vs, vid in views
+                 if not any(vs < ps <= vs + timeout_s for ps in purch)]
+
+        wm = state.getCurrentWatermarkMs() // 1000
+        # wm >= v+T makes absence FINAL: every future row has sec > wm,
+        # so no purchase can still land inside (v, v+T]
+        done = sorted((vs, vid) for vs, vid in views if vs + timeout_s <= wm)
+        views = [(vs, vid) for vs, vid in views if vs + timeout_s > wm]
+        # a retained purchase can only matter to a FUTURE view (sec >
+        # wm), which it resolves iff p > v — keep those with p_sec > wm?
+        # No: future views have v > wm and need p in (v, v+T], i.e.
+        # p > v > wm — purchases at or below the watermark are dead.
+        purch = [ps for ps in purch if ps > wm]
+
+        if views:
+            state.setTimeoutTimestamp((min(vs for vs, _ in views)
+                                       + timeout_s + 1) * 1000)
+            state.update(([vs for vs, _ in views], [vid for _, vid in views],
+                          purch))
+        elif purch:
+            # purchases-only state: self-destruct once the watermark
+            # passes the last one (no future view can need it then)
+            state.setTimeoutTimestamp((max(purch) + 1) * 1000)
+            state.update(([], [], purch))
+        else:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                [(key[0], vid, vs) for vs, vid in done],
+                columns=[f.name for f in ABS_OUT_SCHEMA])
+    return update
+
+
+def streaming_absence_match(events: DataFrame,
+                            timeout_s: int | None = None,
+                            watermark: str = "0 seconds") -> DataFrame:
+    """Emit each view with NO purchase within ``timeout_s`` seconds —
+    the streaming twin of ``events_cep.events_absence_match`` and the
+    canonical event-time-TIMER pattern (cart abandonment): the absence
+    of an event is only decidable once the watermark passes the
+    window's end, so the detector is a per-user timer, not a join.
+
+    State per user: unresolved views (live ≤ timeout horizon past the
+    watermark) + purchases above the watermark (only those can resolve
+    a still-unseen view).  Both bounds are watermark-horizon × rate —
+    the package's standard stateful budget."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigarrays_jl_spark.operators.events_cep import ABSENCE_T_S
+    if timeout_s is None:
+        timeout_s = ABSENCE_T_S
+    return (events
+            .select("user_id", "event_id", "event_type", "ts")
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(_abs_update_factory(timeout_s),
+                                    ABS_OUT_SCHEMA, ABS_STATE_SCHEMA,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -111,3 +111,72 @@ def test_streaming_cep_split_triple_across_batches(spark, tmp_path):
                 [b1, b2, b3] + _sentinels(spark))
     hits = {(r["user_id"], r["first_event_id"]) for r in got.collect()}
     assert hits == {(7, 70)}
+
+
+def test_streaming_absence_matches_batch_on_real_events(spark, sf_dir,
+                                                        tmp_path):
+    from bigarrays_jl_spark.operators.events_cep import events_absence_match
+    from bigarrays_jl_spark.streaming.cep import streaming_absence_match
+
+    e = (load(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type", "ts",
+                 F.col("ts").cast("long").alias("sec")))
+    lo, hi = e.agg(F.min("sec"), F.max("sec")).first()
+    mid = (lo + hi) // 2
+    files = [e.filter(F.col("sec") <= mid).drop("sec"),
+             e.filter(F.col("sec") > mid).drop("sec")] + _sentinels(spark)
+    import os
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_absence_match(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("t_abs").option("checkpointLocation", ckpt).start())
+    try:
+        for df in files:
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_abs")
+    agg = {r["user_id"]: (r["n"], r["first"])
+           for r in got.groupBy("user_id")
+           .agg(F.count("*").alias("n"), F.min("view_id").alias("first"))
+           .collect()}
+    want = {r["user_id"]: (r["n_abandoned"], r["first_abandoned"])
+            for r in events_absence_match(spark, sf_dir).collect()}
+    assert want
+    assert agg == want
+
+
+def test_streaming_absence_purchase_rescues_pending_view(spark, tmp_path):
+    from bigarrays_jl_spark.streaming.cep import streaming_absence_match
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # user 1: view rescued by a purchase arriving TWO batches later
+    # (still inside the window); user 2: purchase outside the window
+    b1 = spark.createDataFrame([(1, 10, "view", ts(0)),
+                                (2, 20, "view", ts(0))], EVENT_SCHEMA)
+    b2 = spark.createDataFrame([(9, 90, "noop", ts(50))], EVENT_SCHEMA)
+    b3 = spark.createDataFrame(
+        [(1, 11, "purchase", ts(100)),
+         (2, 21, "purchase", ts(86401))], EVENT_SCHEMA)
+    import os
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_absence_match(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("t_abs2").option("checkpointLocation", ckpt).start())
+    try:
+        for df in [b1, b2, b3] + _sentinels(spark):
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    hits = {(r["user_id"], r["view_id"])
+            for r in spark.sql("SELECT * FROM t_abs2").collect()}
+    assert hits == {(2, 20)}
