@@ -38,7 +38,7 @@ SECONDARY = [
     "pipeline_apply_changes", "volume_histogram", "volume_label_sizes",
     "events_pattern_match", "events_absence_match",
     "q55_order_count_dist", "q56_bracket_revenue",
-    "q57_excess_stock_suppliers",
+    "q57_excess_stock_suppliers", "volume_components",
 ]
 
 

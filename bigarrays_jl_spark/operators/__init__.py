@@ -15,6 +15,7 @@ from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
                                           retrieval, similarity, temporal,
                                           text, tpch_deep, tpch_more, tpch_shapes,
                                           volume_analytics, volume_channels,
+                                          volume_components,
                                           volume_pyramid, volume_seg)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
@@ -24,7 +25,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
-            volume_seg, volume_pyramid, events_cep, tpch_shapes)
+            volume_seg, volume_pyramid, events_cep, tpch_shapes,
+            volume_components)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

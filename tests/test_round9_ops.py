@@ -343,3 +343,59 @@ def test_tpch_shapes_plans_and_semantics(spark, sf_dir):
     p57 = formatted_plan(q57)
     assert "CartesianProduct" not in p57, p57
     assert "LeftSemi" in p57, p57
+
+
+def test_connected_components_vs_python_bfs(spark, tmp_path):
+    # adversarial noise volume: interleaved labels, many components
+    # spanning chunk boundaries, same-label disconnected regions
+    import numpy as np
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.operators.volume_components import (
+        connected_components)
+    from bigarrays_jl_spark.volume import Volume
+
+    side = 32
+    info = Info.from_dict({
+        "num_channels": 1, "type": "segmentation", "data_type": "uint32",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[16, 16, 16]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [side] * 3}]})
+    vol = Volume.create(spark, str(tmp_path / "vol"), info)
+    x, y, z = np.meshgrid(*([np.arange(side)] * 3), indexing="ij")
+    v = (3 * x + 5 * y + 7 * z) % 11
+    labels = np.where(v < 4, v % 2 + 1, 0).astype(np.uint32)
+    vol.write(labels, (0, 0, 0))
+
+    got = {(r["component_id"], r["label"], r["n_voxels"])
+           for r in connected_components(vol).collect()}
+
+    # pure-Python BFS oracle
+    from collections import deque
+    seen = np.zeros(labels.shape, dtype=bool)
+    want = set()
+    for sx in range(side):
+        for sy in range(side):
+            for sz in range(side):
+                if labels[sx, sy, sz] == 0 or seen[sx, sy, sz]:
+                    continue
+                lab = labels[sx, sy, sz]
+                q = deque([(sx, sy, sz)])
+                seen[sx, sy, sz] = True
+                n, mn = 0, None
+                while q:
+                    cx, cy, cz = q.popleft()
+                    n += 1
+                    lin = cx * side * side + cy * side + cz
+                    mn = lin if mn is None else min(mn, lin)
+                    for dx, dy, dz in ((1, 0, 0), (-1, 0, 0), (0, 1, 0),
+                                       (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+                        nx, ny, nz = cx + dx, cy + dy, cz + dz
+                        if (0 <= nx < side and 0 <= ny < side
+                                and 0 <= nz < side and not seen[nx, ny, nz]
+                                and labels[nx, ny, nz] == lab):
+                            seen[nx, ny, nz] = True
+                            q.append((nx, ny, nz))
+                want.add((mn, int(lab), n))
+    assert len(want) > 50, "oracle volume must be adversarial"
+    assert got == want
