@@ -39,6 +39,7 @@ SECONDARY = [
     "events_pattern_match", "events_absence_match",
     "q55_order_count_dist", "q56_bracket_revenue",
     "q57_excess_stock_suppliers", "volume_components",
+    "events_kleene_match",
 ]
 
 

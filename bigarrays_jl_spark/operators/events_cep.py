@@ -139,12 +139,115 @@ GROUP BY v.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Kleene-plus pattern (view+ click) — the variable-length CEP class
+# --------------------------------------------------------------------------
+
+KLEENE_MIN_VIEWS = 2         # match view{2,} click (a single view already
+                             # counts as browsing noise in the testdata)
+
+
+def events_kleene_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (V+ C)`` with per-step time bounds:
+    per user, every MAXIMAL run of >= KLEENE_MIN_VIEWS consecutive
+    views (adjacent gaps <= PATTERN_GAP_S) whose immediately-next event
+    is a click within the gap bound.  The fixed-length double-lead
+    detector cannot express a variable-length quantifier; funnels
+    collapse repeats.  This is the gaps-and-islands formulation — the
+    Spark-first shape for Kleene quantifiers:
+
+    one ordered pass marks island starts (type change OR gap overflow),
+    a running sum names the island, each row carries its successor via
+    lead, and a per-island aggregate (max_by selects the LAST row's
+    successor) applies the click predicate.  Two window passes over one
+    user-partitioned sort + one |islands|-bounded aggregate — state per
+    user bounded, nothing quadratic.
+
+    All-integer outputs via the epoch-seconds canon."""
+    e = (load(spark, sf, "events")
+         .select("user_id", "event_id", "event_type",
+                 F.col("ts").cast("long").alias("sec")))
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    brk = (F.col("event_type") != F.lag("event_type").over(w)) | \
+          (F.col("sec") - F.lag("sec").over(w) > PATTERN_GAP_S)
+    t = (e.withColumn("brk", F.coalesce(brk.cast("int"), F.lit(1)))
+          .withColumn("next_type", F.lead("event_type").over(w))
+          .withColumn("next_sec", F.lead("sec").over(w))
+          .withColumn("island",
+                      F.sum("brk").over(w.rowsBetween(W.unboundedPreceding,
+                                                      W.currentRow))))
+    runs = (t.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "island")
+             .agg(F.count("*").alias("n_views"),
+                  F.min("event_id").alias("start_event"),
+                  F.max_by(F.struct("next_type", "next_sec"),
+                           F.struct("sec", "event_id")).alias("last"),
+                  F.max("sec").alias("end_sec")))
+    hit = ((F.col("n_views") >= KLEENE_MIN_VIEWS)
+           & (F.col("last.next_type") == "click")
+           & (F.col("last.next_sec") - F.col("end_sec") <= PATTERN_GAP_S))
+    return (runs.filter(hit)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_runs"),
+                 F.sum("n_views").alias("views_in_runs"),
+                 F.min("start_event").alias("first_run_event")))
+
+
+EVENTS_KLEENE_MATCH_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+  FROM events),
+t AS (
+  SELECT user_id, event_id, event_type, sec,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+                OR sec - lag(sec) OVER w > {{PATTERN_GAP_S}}
+              THEN 1 ELSE 0 END AS brk,
+         lead(event_type) OVER w AS next_type,
+         lead(sec) OVER w AS next_sec
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+i AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM t),
+runs0 AS (
+  -- DuckDB 1.0 arg_max has no struct key; the (sec, event_id)-last
+  -- row's successor is island-constant after the window, so max() of
+  -- the broadcast value is the deterministic equivalent
+  SELECT user_id, island, event_id, sec,
+         last_value(next_type) OVER wi AS l_type,
+         last_value(next_sec) OVER wi AS l_sec
+  FROM i WHERE event_type = 'view'
+  WINDOW wi AS (PARTITION BY user_id, island ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)),
+runs AS (
+  SELECT user_id, island, count(*) AS n_views,
+         min(event_id) AS start_event,
+         max(l_type) AS l_type, max(l_sec) AS l_sec,
+         max(sec) AS end_sec
+  FROM runs0
+  GROUP BY user_id, island)
+SELECT user_id, count(*) AS n_runs,
+       CAST(sum(n_views) AS BIGINT) AS views_in_runs,
+       min(start_event) AS first_run_event
+FROM runs
+WHERE n_views >= {{KLEENE_MIN_VIEWS}} AND l_type = 'click'
+  AND l_sec - end_sec <= {{PATTERN_GAP_S}}
+GROUP BY user_id
+""".format(PATTERN_GAP_S=PATTERN_GAP_S, KLEENE_MIN_VIEWS=KLEENE_MIN_VIEWS)
+
+
 QUERIES = {
     "events_pattern_match": events_pattern_match,
     "events_absence_match": events_absence_match,
+    "events_kleene_match": events_kleene_match,
 }
 
 ORACLES = {
     "events_pattern_match": EVENTS_PATTERN_MATCH_SQL,
     "events_absence_match": EVENTS_ABSENCE_MATCH_SQL,
+    "events_kleene_match": EVENTS_KLEENE_MATCH_SQL,
 }

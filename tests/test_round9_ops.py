@@ -399,3 +399,45 @@ def test_connected_components_vs_python_bfs(spark, tmp_path):
                 want.add((mn, int(lab), n))
     assert len(want) > 50, "oracle volume must be adversarial"
     assert got == want
+
+
+def test_events_kleene_match_vs_python_scan(spark, sf_dir):
+    from bigarrays_jl_spark.operators.events_cep import (KLEENE_MIN_VIEWS,
+                                                         PATTERN_GAP_S,
+                                                         events_kleene_match)
+    from bigarrays_jl_spark.sources.tables import load
+    rows = (load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type",
+                    F.col("ts").cast("long").alias("sec")).collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["sec"], r["event_id"], r["event_type"]))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        runs = []
+        i = 0
+        while i < len(evs):
+            if evs[i][2] != "view":
+                i += 1
+                continue
+            j = i
+            while (j + 1 < len(evs) and evs[j + 1][2] == "view"
+                   and evs[j + 1][0] - evs[j][0] <= PATTERN_GAP_S):
+                j += 1
+            # maximal view run evs[i..j]; next event must be a click
+            # within the gap bound
+            n = j - i + 1
+            if (n >= KLEENE_MIN_VIEWS and j + 1 < len(evs)
+                    and evs[j + 1][2] == "click"
+                    and evs[j + 1][0] - evs[j][0] <= PATTERN_GAP_S):
+                runs.append((n, min(e[1] for e in evs[i:j + 1])))
+            i = j + 1
+        if runs:
+            want[uid] = (len(runs), sum(n for n, _ in runs),
+                         min(s for _, s in runs))
+    got = {r["user_id"]: (r["n_runs"], r["views_in_runs"],
+                          r["first_run_event"])
+           for r in events_kleene_match(spark, sf_dir).collect()}
+    assert got == want and want
