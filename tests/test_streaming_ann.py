@@ -1,0 +1,90 @@
+"""Streaming ANN index maintenance vs the batch IVF canon.
+
+The bridge must (a) assign arriving vectors to the frozen quantizer
+EXACTLY as the batch fit does, (b) keep probes equal to the composed
+batch search, and (c) be replay-invariant (at-least-once re-appends
+change nothing after read-side dedup).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.similarity import (N_QUERIES,
+                                                     _kmeans_fit,
+                                                     ann_ivf_kmeans_topk)
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.streaming.ann import (ann_index_topk,
+                                              read_ann_index,
+                                              streaming_ann_ingest)
+
+
+def _ingest(spark, sf_dir, src, index_path, ckpt):
+    import os
+    os.makedirs(src, exist_ok=True)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    halves = [e.filter(F.col("vec_id") % 2 == 0),
+              e.filter(F.col("vec_id") % 2 == 1)]
+    schema = e.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _, cent = _kmeans_fit(spark, sf_dir)
+    centroids = cent.collect()
+    q = streaming_ann_ingest(stream, centroids, index_path, ckpt)
+    try:
+        for h in halves:
+            h.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return n, centroids
+
+
+def test_streaming_ann_ingest_matches_batch_fit(spark, sf_dir, tmp_path):
+    idx_path = str(tmp_path / "index")
+    n, centroids = _ingest(spark, sf_dir, str(tmp_path / "src"),
+                           idx_path, str(tmp_path / "ckpt"))
+    got = {(r["vec_id"], r["cell"])
+           for r in read_ann_index(spark, idx_path).collect()}
+    final, _ = _kmeans_fit(spark, sf_dir)
+    want = {(r["vec_id"], r["cell"]) for r in final.collect()}
+    assert len(got) == n
+    assert got == want
+    # the index is hive-partitioned by cell: a probe prunes directories
+    import os
+    parts = [d for d in os.listdir(idx_path) if d.startswith("cell=")]
+    assert len(parts) > 1
+
+
+def test_streaming_ann_probe_matches_batch_search_and_replay(
+        spark, sf_dir, tmp_path):
+    idx_path = str(tmp_path / "index")
+    src = str(tmp_path / "src")
+    _, centroids = _ingest(spark, sf_dir, src, idx_path,
+                           str(tmp_path / "ckpt"))
+    queries = (load(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qe")))
+    got = {tuple(r) for r in ann_index_topk(
+        spark, idx_path, queries, centroids).collect()}
+    want = {tuple(r) for r in ann_ivf_kmeans_topk(spark, sf_dir).collect()}
+    assert got == want and want
+    # replay: a fresh checkpoint over the same source reprocesses every
+    # batch and re-appends duplicates — results must not change
+    from bigarrays_jl_spark.streaming.ann import streaming_ann_ingest
+    stream = spark.readStream.schema(
+        load(spark, sf_dir, "embeddings").select("vec_id",
+                                                 "embedding").schema
+    ).parquet(src)
+    q = streaming_ann_ingest(stream, centroids, idx_path,
+                             str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_raw = spark.read.parquet(idx_path).count()
+    n_dedup = read_ann_index(spark, idx_path).count()
+    assert n_raw == 2 * n_dedup        # duplicates really were appended
+    again = {tuple(r) for r in ann_index_topk(
+        spark, idx_path, queries, centroids).collect()}
+    assert again == want
