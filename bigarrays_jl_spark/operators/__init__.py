@@ -6,7 +6,8 @@ bench.py iterate the same registry so coverage stays in one place.
 
 from __future__ import annotations
 
-from bigarrays_jl_spark.operators import (advanced, cdc_null, debounce,
+from bigarrays_jl_spark.operators import (advanced, asof_directions,
+                                          cdc_null, debounce,
                                           dedup, estimation, events,
                                           events_cep, extensions, graph,
                                           graph_lsh,
@@ -26,7 +27,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
-            volume_components)
+            volume_components, asof_directions)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

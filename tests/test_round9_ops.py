@@ -441,3 +441,40 @@ def test_events_kleene_match_vs_python_scan(spark, sf_dir):
                           r["first_run_event"])
            for r in events_kleene_match(spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_asof_nearest_tie_breaks_backward(spark, tmp_path):
+    # exact tie (clicks 10 s before AND after) must pick the EARLIER
+    # click — the pandas merge_asof 'nearest' convention the module
+    # pins; also: forward ignores past clicks, backward-only user gets
+    # NULL forward
+    import datetime as dt
+
+    from bigarrays_jl_spark.operators.asof_directions import (
+        q58_asof_forward, q59_asof_nearest)
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, 10, "click", ts(90)), (1, 11, "purchase", ts(100)),
+        (1, 12, "click", ts(110)),                   # exact tie
+        (2, 20, "click", ts(50)), (2, 21, "purchase", ts(100)),  # past only
+        (3, 30, "purchase", ts(100)), (3, 31, "click", ts(130)),  # next only
+    ]
+    (spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp")
+     .coalesce(1).write.parquet(str(tmp_path / "events.parquet")))
+    sf = str(tmp_path)
+    near = {r["event_id"]: (r["nearest_click"], r["gap_seconds"])
+            for r in q59_asof_nearest(spark, sf).collect()}
+    t0s = int(t0.timestamp())
+    assert near[11] == (t0s + 90, 10)      # tie -> backward
+    assert near[21] == (t0s + 50, 50)
+    assert near[30] == (t0s + 130, 30)
+    fwd = {r["event_id"]: r["next_click"]
+           for r in q58_asof_forward(spark, sf).collect()}
+    assert fwd[11] == t0s + 110
+    assert fwd[21] is None
+    assert fwd[30] == t0s + 130
