@@ -404,3 +404,66 @@ def test_canonical_pick_partial_agg_single_scan(spark, sf_dir):
     df = dedup_canonical_pick(spark, sf_dir)
     assert has_two_phase_aggregation(df)
     assert simple_plan(df).count("Scan parquet") == 1
+
+
+def test_delete_plans_range_predicates(spark, tmp_path, monkeypatch):
+    # delete of a box spanning ~100k lattice chunks must plan three
+    # chunk-id NOT-BETWEENs, never a driver-enumerated In-list of keys
+    # (r9 verdict W6: the old isin(doomed_keys) blew up plan size)
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[10, 10, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [1000, 1000, 400]}]})
+    vol = Volume.create(spark, str(tmp_path / "bigdel"), info)
+    vol.write(np.full((10, 10, 4), 7, dtype=np.uint8), (0, 0, 0))       # doomed
+    vol.write(np.full((10, 10, 4), 9, dtype=np.uint8), (990, 990, 396))  # kept
+    captured = {}
+    orig = vol._rewrite_mip
+
+    def spy(df, mip=None):
+        captured["df"] = df
+        return orig(df, mip)
+
+    monkeypatch.setattr(vol, "_rewrite_mip", spy)
+    vol.delete(((0, 950), (0, 950), (0, 390)))  # 95*95*98 ≈ 884k doomed ids
+    plan = simple_plan(captured["df"])
+    assert "cx" in plan and "cy" in plan and "cz" in plan, plan
+    # no In-expression proportional to the doomed chunk count
+    assert len(plan) < 20_000, f"plan size {len(plan)} suggests an In-list"
+    assert " IN (" not in plan, plan
+    assert vol.keys() == ["990-1000_990-1000_396-400"]
+    assert (vol[0:10, 0:10, 0:4] == 0).all()
+    assert (vol[990:1000, 990:1000, 396:400] == 9).all()
+
+
+def test_delete_empty_intersection_is_noop(spark, tmp_path, monkeypatch):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[10, 10, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [20, 20, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "noopdel"), info)
+    vol.write(np.full((20, 20, 8), 3, dtype=np.uint8), (0, 0, 0))
+    calls = []
+    monkeypatch.setattr(vol, "_rewrite_mip", lambda df, mip=None: calls.append(df))
+    vol.delete(((500, 600), (0, 10), (0, 4)))  # outside the volume
+    assert calls == []  # no rewrite triggered
+    assert len(vol.keys()) == 8
+
+
+def test_missing_chunks_df_distributed(spark, tmp_path):
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint8",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[10, 10, 4]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [40, 20, 8]}]})
+    vol = Volume.create(spark, str(tmp_path / "mdf"), info)
+    vol.write(np.full((10, 20, 8), 1, dtype=np.uint8), (0, 0, 0))
+    mdf = vol.missing_chunks_df()
+    assert set(mdf.columns) == {"cx", "cy", "cz"}
+    assert mdf.count() == 4 * 2 * 2 - 4  # lattice 4x2x2 minus 4 stored
+    # list wrapper agrees with the DataFrame variant
+    assert sorted((r.cx, r.cy, r.cz) for r in mdf.collect()) == \
+        vol.list_missing_chunks()
+    assert sorted(r.key for r in vol.keys_df().collect()) == vol.keys()
