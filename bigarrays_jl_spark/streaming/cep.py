@@ -30,8 +30,11 @@ finalize even if the user never produces another event.
 
 State is bounded per key by (watermark horizon × event rate) + 2 —
 the same bound every watermarked stateful operator in this package
-carries; RocksDB state (``use_rocksdb_state``) lifts it off-heap at
-100 TB key cardinality.
+carries — and bounded ACROSS keys by an idle TTL (r10): once the
+watermark passes last_finalized + PATTERN_GAP_S, no admissible future
+event can chain to the suffix, so the key is dropped and the store
+tracks active users, not every user ever seen.  RocksDB state
+(``use_rocksdb_state``) lifts it off-heap at 100 TB key cardinality.
 
 Emission contract: one row per match ``(user_id, first_event_id,
 first_sec)`` in append mode; the batch twin's per-user aggregate is
@@ -114,7 +117,21 @@ def _update(key, pdfs, state):
         # finalize the rest when the watermark passes the oldest
         # pending event, even if the user goes quiet
         state.setTimeoutTimestamp((pend[0][0] + 1) * 1000)
-    elif not fin:
+    elif fin:
+        # idle TTL: any future event the engine still admits arrives
+        # with sec > watermark, so once the watermark passes
+        # last_finalized + PATTERN_GAP_S no admissible event can ever
+        # chain to the suffix (the gap would exceed PATTERN_GAP_S) —
+        # drop the state so it tracks ACTIVE users, not every user
+        # ever seen
+        ttl_ms = (fin[-1][0] + PATTERN_GAP_S + 1) * 1000
+        if ttl_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA])
+            return
+        state.setTimeoutTimestamp(ttl_ms)
+    else:
         state.remove()
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA])

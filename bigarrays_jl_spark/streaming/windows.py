@@ -538,17 +538,22 @@ def streaming_append_inserts(inserts: DataFrame, table_root: str,
     import os
 
     def process_batch(batch_df, batch_id: int) -> None:
-        bad = batch_df.filter(F.col("op") != "insert").count()
-        if bad:
-            raise ValueError(
-                f"streaming_append_inserts: batch {batch_id} carries {bad} "
-                "non-insert rows — use streaming_apply_changes for mixed "
-                "CDC feeds")
+        # validate INSIDE the single write pass: a non-insert row raises
+        # from within the scan (raise_error), so the batch source is
+        # evaluated exactly once per micro-batch — the earlier separate
+        # count() job re-evaluated the source a second time before every
+        # delta write
+        guard = (F.when(F.col("op") == "insert", F.lit("insert"))
+                  .otherwise(F.raise_error(F.concat(
+                      F.lit(f"streaming_append_inserts: batch {batch_id} "
+                            "carries non-insert op '"), F.col("op"),
+                      F.lit("' — use streaming_apply_changes for mixed "
+                            "CDC feeds")))))
         (batch_df.select("doc_id",
                          F.col("c_lang").alias("lang"),
                          F.col("c_source").alias("source"),
                          F.col("c_n_chars").alias("n_chars"),
-                         F.lit("insert").alias("last_op"))
+                         guard.alias("last_op"))
          .write.mode("overwrite")
          .parquet(os.path.join(table_root, "deltas", f"d{batch_id:09d}")))
 

@@ -467,3 +467,20 @@ def test_missing_chunks_df_distributed(spark, tmp_path):
     assert sorted((r.cx, r.cy, r.cz) for r in mdf.collect()) == \
         vol.list_missing_chunks()
     assert sorted(r.key for r in vol.keys_df().collect()) == vol.keys()
+
+
+def test_q60_q9_shape_broadcasts_dims_one_shuffle_join(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_final import q60_profit_by_nation_year
+    df = q60_profit_by_nation_year(spark, sf_dir)
+    plan = simple_plan(df)
+    assert has_broadcast_join(df)          # part + supplier⋈nation broadcast
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q61_q16_not_in_plans_anti_join_no_cartesian(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_final import q61_supplier_part_counts
+    df = q61_supplier_part_counts(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan, plan        # NOT IN → anti-join, never a filter-per-row
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan

@@ -266,3 +266,31 @@ def test_debounce_matches_chain_walk(spark, raw):
                 expected.add(i)
             prev = s
     assert kept == expected
+
+
+@given(st.integers(min_value=1, max_value=10**13))
+def test_band_bits_keeps_occupancy_constant(n):
+    # the LSH sizing rule (similarity.band_bits_for): expected bucket
+    # occupancy n / 2**bits stays O(1) as the corpus grows — inside the
+    # clamp range it is <= target, and never more than 2x target tighter
+    # (so buckets aren't absurdly over-split either)
+    from bigarrays_jl_spark.operators.similarity import (
+        TARGET_BUCKET_OCCUPANCY, band_bits_for)
+    bits = band_bits_for(n)
+    assert 8 <= bits <= 40
+    occ = n / 2.0 ** bits
+    if bits < 40:                       # not clamped at the planet-scale cap
+        assert occ <= TARGET_BUCKET_OCCUPANCY
+    if bits > 8:                        # not clamped at the tiny-corpus floor
+        # one fewer bit would have violated the target → not over-split
+        assert n / 2.0 ** (bits - 1) > TARGET_BUCKET_OCCUPANCY
+
+
+def test_band_bits_monotone_and_pinned():
+    from bigarrays_jl_spark.operators.similarity import BAND_BITS, band_bits_for
+    assert BAND_BITS == band_bits_for(2000) == 12  # testdata anchor: hashes frozen
+    prev = 0
+    for e in range(14):
+        b = band_bits_for(10 ** e)
+        assert b >= prev
+        prev = b

@@ -180,3 +180,38 @@ def test_streaming_absence_purchase_rescues_pending_view(spark, tmp_path):
     hits = {(r["user_id"], r["view_id"])
             for r in spark.sql("SELECT * FROM t_abs2").collect()}
     assert hits == {(2, 20)}
+
+
+def test_streaming_cep_idle_state_expires(spark, tmp_path):
+    # r9 ADVICE: a user's ≤2-event finalized suffix must NOT persist
+    # forever — once the watermark passes last_finalized + PATTERN_GAP_S
+    # no admissible event can chain to it, so the idle-TTL timer drops
+    # the key and state tracks ACTIVE users, not every user ever seen
+    import os
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    users = [(u, 100 * u + i, et, t0 + dt.timedelta(seconds=5 * i))
+             for u in range(1, 6)
+             for i, et in enumerate(["view", "view", "click"])]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_pattern_match(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("t_cep_ttl").option("checkpointLocation", ckpt).start())
+    state_rows = []
+    try:
+        feeds = [spark.createDataFrame(users, EVENT_SCHEMA)] + \
+            _sentinels(spark, 3)
+        for df in feeds:
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            ops = (q.lastProgress or {}).get("stateOperators") or []
+            state_rows.append(ops[0]["numRowsTotal"] if ops else None)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_cep_ttl")
+    assert got.count() == 5                    # every user's triple emitted once
+    # after the far-future sentinels fire the TTL timers, the 5 real
+    # users' suffixes are gone — only the sentinel key itself survives
+    assert state_rows[0] == 5
+    assert state_rows[-1] <= 1, state_rows
