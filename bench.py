@@ -235,6 +235,17 @@ def main() -> None:
     vol_stats.update(best_of(run_volume_distributed_bench, 3))
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # floor-normalized headline (r9 verdict task 2): dist_scan is a pure
+    # warm parquet scan with no engine code, so its ratio to the nominal
+    # floor (800 MB/s, pinned once from the r8 artifact) measures VM
+    # contention, not plan quality.  headline_normalized rescales the
+    # raw total to nominal-floor conditions so round-over-round
+    # comparisons stop being dominated by VM lottery — and a real plan
+    # regression can't hide behind "the VM was slow".  Both numbers are
+    # in the artifact; the raw total stays the gate.
+    floor_nominal = 800.0
+    scan = vol_stats.get("dist_scan_mb_s") or floor_nominal
+    normalized = round(total * min(1.0, scan / floor_nominal), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -242,6 +253,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
+        "floor_nominal_mb_s": floor_nominal,
+        "headline_normalized": normalized,
         "secondary_total": round(sum(secondary.values()), 3),
         "secondary": secondary,
     }))

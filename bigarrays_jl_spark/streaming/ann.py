@@ -95,7 +95,19 @@ def ann_index_topk(spark: SparkSession, index_path: str,
                   W.partitionBy("qid").orderBy(F.col("s").desc(), "cell")))
               .filter(F.col("r") <= nprobe)
               .select("qid", "qe", F.col("cell").alias("probe")))
-    idx = read_ann_index(spark, index_path)
+    # prune the index scan to the probed cells BEFORE deduplicating:
+    # `cell` is the hive partition column, so the isin filter prunes at
+    # file-listing level and probe cost is ∝ cells probed, never the
+    # corpus.  (Deduplicating per-cell is equivalent to the global
+    # dropDuplicates: assignment to the frozen quantizer is
+    # deterministic, so every replayed duplicate of a vector lands in
+    # the SAME cell.)  The probed-cell list is nprobe × |queries| ids —
+    # driver-tiny by construction.
+    probed = sorted({r["probe"] for r in
+                     routed.select("probe").distinct().collect()})
+    idx = (spark.read.parquet(index_path)
+           .filter(F.col("cell").isin(probed))
+           .dropDuplicates(["vec_id"]))
     scored = (idx.join(F.broadcast(routed), idx["cell"] == routed["probe"])
               .filter(F.col("vec_id") != F.col("qid"))
               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding"))))
