@@ -1540,8 +1540,54 @@ class Volume:
     # -- mip pyramid build (extension of A5: the reference generates only
     #    *metadata* for mips; we also produce the pixels) --------------------
 
+    def child_to_parent_id(self, mip: int,
+                           cid: tuple[int, int, int]) -> tuple[int, int, int]:
+        """Map a mip-``mip`` chunk id to the mip+1 chunk id its 2×2×1
+        downsampled block lands in — the driver-side twin of
+        ``downsample``'s ``to_target`` arithmetic (same clamped-start
+        formula, so a streamed maintenance pass targets EXACTLY the
+        chunks the batch pass would write).  Pure integer math, no jobs.
+        """
+        info = self.info
+        src_sc, dst_sc = info.scale(mip), info.scale(mip + 1)
+        src_anchor = ix.lattice_anchor(src_sc.voxel_offset, src_sc.chunk_size)
+        dst_anchor = ix.lattice_anchor(dst_sc.voxel_offset, dst_sc.chunk_size)
+        out = []
+        for d in range(3):
+            # stored chunk boxes are volume-clamped, so the key start is
+            # max(lattice cell start, voxel_offset) — mirror that here
+            x0 = max(src_anchor[d] + cid[d] * src_sc.chunk_size[d],
+                     src_sc.voxel_offset[d])
+            if d < 2:
+                g = (x0 - src_sc.voxel_offset[d]) // 2 + dst_sc.voxel_offset[d]
+            else:
+                g = x0 - src_sc.voxel_offset[d] + dst_sc.voxel_offset[d]
+            out.append(ix.chunk_id(g, dst_anchor[d], dst_sc.chunk_size[d]))
+        return tuple(out)
+
+    def _sources_subset(self, mip: int,
+                        ids: list[tuple[int, int, int]]) -> DataFrame:
+        """Chunk rows for an explicit id set, pruned at the scan: a
+        per-axis BETWEEN (pushed to Parquet row-group stats, the same
+        idiom as ``_pruned``) bounds the read to the ids' bounding box,
+        and an exact multi-column IN keeps only the listed ids.  Plan
+        size is O(|ids|) — callers pass micro-batch-bounded sets, never
+        whole-volume enumerations (those use ``chunks_df`` directly)."""
+        df = self.chunks_df(mip)
+        if not ids:
+            return df.limit(0)
+        xs, ys, zs = (sorted({i[d] for i in ids}) for d in range(3))
+        coarse = (F.col("cx").between(xs[0], xs[-1])
+                  & F.col("cy").between(ys[0], ys[-1])
+                  & F.col("cz").between(zs[0], zs[-1]))
+        exact = F.expr("(cx, cy, cz) IN ({})".format(
+            ", ".join(f"({a}, {b}, {c})" for a, b, c in sorted(set(ids)))))
+        return df.filter(coarse & exact)
+
     @_locked_writer()
-    def downsample(self, from_mip: int | None = None) -> None:
+    def downsample(self, from_mip: int | None = None, *,
+                   only_sources: list[tuple[int, int, int]] | None = None,
+                   ) -> None:
         """Build mip ``m+1`` chunks from mip ``m`` by 2×2×1 reduction
         (mean for image layers, mode-free max-count for segmentation is
         approximated by stride sampling — matching neuroglancer's default
@@ -1552,8 +1598,19 @@ class Volume:
         across mips — src/Infos.jl:169-178), so the job is one narrow
         mapInPandas followed by a groupBy-assemble shuffle whose width is
         the *target* chunk count — no driver materialization.
+
+        ``only_sources`` restricts the pass to an explicit source
+        chunk-id set (incremental maintenance: re-derive just the
+        parents a micro-batch touched).  Callers must pass EVERY source
+        chunk contributing to each affected parent — a partial set
+        would assemble a parent missing its untouched sub-blocks
+        (``streaming.pyramid.incremental_pyramid`` computes the closure
+        via ``child_to_parent_id``).  The re-derived parents land under
+        a fresh epoch; latest-epoch reads supersede the stale versions.
         """
         m = self.mip if from_mip is None else from_mip
+        if only_sources is not None and not only_sources:
+            return
         info = self.info
         if m + 1 >= len(info.scales):
             self.info = info.with_mips(m + 2)
@@ -1619,7 +1676,9 @@ class Volume:
                     rows["data"].append(_np.asfortranarray(red).tobytes(order="F"))
                 yield pd.DataFrame(rows)
 
-        blocks = self._latest(self.chunks_df(m)).mapInPandas(
+        src = (self.chunks_df(m) if only_sources is None
+               else self._sources_subset(m, only_sources))
+        blocks = self._latest(src).mapInPandas(
             to_target,
             schema="tcx int, tcy int, tcz int, x0 int, y0 int, z0 int, "
                    "sx int, sy int, sz int, data binary")
