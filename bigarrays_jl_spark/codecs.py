@@ -10,8 +10,11 @@ zstd prefers the dedicated ``zstandard`` package and falls back to the
 pyarrow bundled zstd codec (pyarrow is already a hard dependency of the
 Arrow UDF layer), so zstd chunks round-trip in any environment this
 engine runs in — covering the reference's codec sweep
-(test/BinDicts.jl:99-108).  blosc stays import-gated (no pure-Python
-fallback exists).  JPEG parity: the reference's JPEG encode is
+(test/BinDicts.jl:99-108).  blosclz prefers the C ``blosc`` package
+and falls back to the vendored pure-Python Blosc1 decoder
+(``blosclz.py``) — existing blosclz layers decode anywhere, and
+fallback writes emit valid pure-memcpy blosc frames (c-blosc's own
+clevel-0 output).  JPEG parity: the reference's JPEG encode is
 unimplemented and decode is disabled — src/Codings.jl:82-94 — we mirror
 that with NotImplementedError.
 """
@@ -35,10 +38,12 @@ except Exception:  # pragma: no cover
     _pa = None
     _pa_zstd = None
 
-try:  # optional
+try:  # optional fast path
     import blosc as _blosc
 except ImportError:  # pragma: no cover
     _blosc = None
+
+from bigarrays_jl_spark import blosclz as _blosclz_py
 
 
 class Codec:
@@ -108,20 +113,25 @@ class ZstdCodec(Codec):
 
 
 class BloscCodec(Codec):
-    """blosclz (src/Codings.jl:74-80)."""
+    """blosclz (src/Codings.jl:74-80).
+
+    Backend order: the C ``blosc`` package if installed, else the
+    vendored pure-Python Blosc1 codec (``blosclz.py``) — full-format
+    decode (splits, byte-shuffle, memcpy, raw-stored streams), encode
+    as valid pure-memcpy frames.  Either backend reads the other's
+    output, so imported reference layers decode in any environment."""
 
     name = "blosclz"
 
-    def __init__(self):
-        if _blosc is None:
-            raise NotImplementedError(
-                "blosclz codec requires the 'blosc' package (optional extra)")
-
     def encode(self, data: bytes) -> bytes:
-        return _blosc.compress(data, typesize=1, cname="blosclz")
+        if _blosc is not None:
+            return _blosc.compress(data, typesize=1, cname="blosclz")
+        return _blosclz_py.compress(data)
 
     def decode(self, data: bytes) -> bytes:
-        return _blosc.decompress(data)
+        if _blosc is not None:
+            return _blosc.decompress(data)
+        return _blosclz_py.decompress(data)
 
 
 class JpegCodec(Codec):
@@ -160,6 +170,5 @@ def available_encodings() -> list[str]:
     out = ["raw", "gzip"]
     if _zstd is not None or _pa_zstd is not None:
         out.append("zstd")
-    if _blosc is not None:
-        out.append("blosclz")
+    out.append("blosclz")    # C package or the vendored pure-Python codec
     return out

@@ -119,11 +119,12 @@ def test_mip2_offset_anchored_lattice(spark, vol):
     np.testing.assert_array_equal(v2[-97:103, -297:-97, -3:7], b)
 
 
-@pytest.mark.parametrize("encoding", ["raw", "zstd"])
+@pytest.mark.parametrize("encoding", ["raw", "zstd", "blosclz"])
 def test_codec_sweep(spark, tmp_path, encoding):
     # codec variants (test/BinDicts.jl:99-120); gzip is the default
     # exercised everywhere else; zstd rides the pyarrow backend when the
-    # zstandard package is absent; blosc stays env-gated (no fallback)
+    # zstandard package is absent; blosclz rides the vendored
+    # pure-Python Blosc1 codec when the C package is absent
     f1 = json.loads(json.dumps(F1))
     f1["scales"][0]["encoding"] = encoding
     vol = Volume.create(spark, str(tmp_path / f"{encoding}_ds"),
