@@ -40,6 +40,9 @@ SECONDARY = [
     "q55_order_count_dist", "q56_bracket_revenue",
     "q57_excess_stock_suppliers", "volume_components",
     "events_kleene_match",
+    "q60_profit_by_nation_year", "q61_supplier_part_counts",
+    "q62_hierarchy_depth", "q63_interval_concurrency",
+    "q64_weighted_median",
 ]
 
 
