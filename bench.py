@@ -43,6 +43,9 @@ SECONDARY = [
     "q60_profit_by_nation_year", "q61_supplier_part_counts",
     "q62_hierarchy_depth", "q63_interval_concurrency",
     "q64_weighted_median",
+    "graph_hops_lsh", "basket_pairs", "set_sim_join",
+    "dq_audit", "text_corpus_divergence",
+    "scd2_history", "phrase_search", "emb_covariance",
 ]
 
 

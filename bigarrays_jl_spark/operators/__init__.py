@@ -13,8 +13,8 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           graph_lsh,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
-                                          retrieval, round10, similarity,
-                                          temporal,
+                                          retrieval, round10, round10b,
+                                          round10c, similarity, temporal,
                                           text, tpch_deep, tpch_final,
                                           tpch_more, tpch_shapes,
                                           volume_analytics, volume_channels,
@@ -29,7 +29,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_analytics, mutation, debounce, journeys, estimation,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
-            volume_components, asof_directions, tpch_final, round10)
+            volume_components, asof_directions, tpch_final, round10,
+            round10b, round10c)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

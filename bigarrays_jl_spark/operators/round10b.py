@@ -1,0 +1,449 @@
+"""Round-10 second batch: BFS over LSH-discovered edges, A-priori
+market-basket pairs, exact set-similarity join (prefix filter), a
+data-quality audit suite, and corpus-half divergence.
+
+Five more computation classes with distinct 100 TB plan shapes:
+
+- graph_hops_lsh: bounded-round BFS (unit-weight Bellman-Ford) over
+  the ``sim_lsh_pairs`` edge table — each round is one join + min-agg
+  shuffle over EDGES (∝ true near pairs, never the corpus), the
+  iterative-relaxation sibling of q62's pointer doubling.
+- basket_pairs: frequent co-occurring item pairs — the A-priori shape:
+  frequent singletons first (map-side agg + broadcast semi-join
+  prune), THEN the basket-keyed self-join whose per-basket cost is
+  bounded by basket size, then the pair-support threshold.
+- set_sim_join: EXACT Jaccard>=0.8 join via prefix filtering
+  (PPJoin-style): tokens globally ordered rarest-first, candidates
+  must share a PREFIX token — buckets are the rare tokens, so bucket
+  occupancy stays small by construction; the exact complement of the
+  approximate MinHash family in dedup.py.
+- dq_audit: Deequ-style constraint suite (completeness, uniqueness,
+  referential integrity, domain/range checks) — every check a
+  map-side conditional aggregate except the referential anti-join;
+  one pass over the fact table, constraints exploded from one row.
+- text_corpus_divergence: distribution drift between two corpus
+  halves — exact integer count tables full-outer merged, per-term
+  IEEE contributions rounded-then-DECIMAL-summed (the unigram-logprob
+  canon) so cross-partition order can't move the result.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.functions import tokens as _tokens
+from bigarrays_jl_spark.operators.graph_lsh import _LSH_EDGES_CTE, _lsh_edges
+from bigarrays_jl_spark.sources.tables import load
+
+# --------------------------------------------------------------------------
+# graph_hops_lsh — BFS hop distances from the min-id seed node over the
+# symmetrized LSH similarity graph.  HOP_ROUNDS rounds of frontier
+# relaxation: dist' = min(dist, 1 + min over in-edges of src dist) —
+# after r rounds every node within r hops has its final distance
+# (unit-weight Bellman-Ford; the frontier argument).  Nodes farther
+# than HOP_ROUNDS (or disconnected) report -1.
+#
+# Scale shape: each round shuffles the EDGE table once (join on src +
+# min-agg on dst) — never the corpus; lazy localCheckpoint truncates
+# the per-round lineage (the pagerank idiom).  The DuckDB twin unrolls
+# the same bounded relaxation over MATERIALIZED CTEs (a WITH RECURSIVE
+# min-dist walk would enumerate paths, not frontiers).
+# --------------------------------------------------------------------------
+
+HOP_ROUNDS = 4
+
+
+def graph_hops_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _lsh_edges(spark, sf)
+    nodes = edges.select(F.col("src").alias("vec_id")).distinct()
+    seed = nodes.agg(F.min("vec_id").alias("s"))
+    d = (nodes.crossJoin(F.broadcast(seed))
+         .select("vec_id",
+                 F.when(F.col("vec_id") == F.col("s"), F.lit(0))
+                  .cast("int").alias("dist")))
+    for _ in range(HOP_ROUNDS):
+        fr = (d.filter(F.col("dist").isNotNull())
+              .select(F.col("vec_id").alias("f_id"),
+                      F.col("dist").alias("f_d")))
+        cand = (edges.join(fr, edges.src == fr.f_id)
+                .groupBy("dst")
+                .agg((F.min("f_d") + F.lit(1)).cast("int").alias("nd")))
+        d = (d.join(cand, d.vec_id == cand.dst, "left")
+             .select(d.vec_id,
+                     F.when(F.col("dist").isNull(), F.col("nd"))
+                      .when(F.col("nd").isNull(), F.col("dist"))
+                      .otherwise(F.least("dist", "nd")).alias("dist"))
+             .localCheckpoint(eager=False))
+    return (d.groupBy(F.coalesce(F.col("dist"), F.lit(-1))
+                       .cast("bigint").alias("hops"))
+            .agg(F.count("*").alias("n_nodes")))
+
+
+def _hops_sql() -> str:
+    cte = [f"WITH {_LSH_EDGES_CTE},",
+           "nodes AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM edges),",
+           "seed AS (SELECT min(vec_id) AS s FROM nodes),",
+           "d0 AS (SELECT vec_id, CASE WHEN vec_id = s THEN 0 END AS dist"
+           "  FROM nodes CROSS JOIN seed)"]
+    for i in range(1, HOP_ROUNDS + 1):
+        cte.append(
+            f", c{i} AS (SELECT e.dst, CAST(min(d.dist) + 1 AS INTEGER) AS nd"
+            f"  FROM edges e JOIN d{i-1} d"
+            f"    ON e.src = d.vec_id AND d.dist IS NOT NULL"
+            f"  GROUP BY e.dst)"
+            f", d{i} AS (SELECT n.vec_id,"
+            f"  CASE WHEN n.dist IS NULL THEN c.nd"
+            f"       WHEN c.nd IS NULL THEN n.dist"
+            f"       ELSE least(n.dist, c.nd) END AS dist"
+            f"  FROM d{i-1} n LEFT JOIN c{i} c ON n.vec_id = c.dst)")
+    cte.append(f"SELECT CAST(coalesce(dist, -1) AS BIGINT) AS hops,"
+               f" count(*) AS n_nodes FROM d{HOP_ROUNDS} GROUP BY 1")
+    return "\n".join(cte)
+
+
+GRAPH_HOPS_SQL = _hops_sql()
+
+
+# --------------------------------------------------------------------------
+# basket_pairs — co-occurring part pairs across orders (market-basket
+# mining, the A-priori plan): (1) frequent singletons via map-side
+# count + HAVING; (2) the basket stream semi-joined against that
+# (broadcast) frequent-item set BEFORE pairing — at a real support
+# threshold this prune is what makes the pair join feasible at 100 TB;
+# (3) basket-keyed self-join (per-basket cost ∝ basket size², bounded
+# by the order line cap), pair-support threshold, and lift against the
+# singleton supports.  Lift is a quotient of exact int64 counts —
+# emitted UNROUNDED per the exact-tie canon.
+# --------------------------------------------------------------------------
+
+MIN_ITEM_SUP = 2
+MIN_PAIR_SUP = 2
+
+
+def basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    li = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    freq = (li.groupBy("l_partkey")
+            .agg(F.count("*").alias("item_sup"))
+            .filter(F.col("item_sup") >= MIN_ITEM_SUP))
+    li2 = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey",
+                  "semi").localCheckpoint(eager=False)
+    n = li2.select("l_orderkey").distinct().agg(
+        F.count("*").cast("double").alias("n_orders"))
+    a = li2.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li2.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count("*").alias("pair_sup"))
+             .filter(F.col("pair_sup") >= MIN_PAIR_SUP))
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("item_sup").alias("sup_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("item_sup").alias("sup_b"))
+    return (pairs.join(F.broadcast(fa), "part_a")
+            .join(F.broadcast(fb), "part_b")
+            .crossJoin(F.broadcast(n))
+            .select("part_a", "part_b", "pair_sup",
+                    (F.col("pair_sup").cast("double") * F.col("n_orders")
+                     / (F.col("sup_a") * F.col("sup_b"))).alias("lift")))
+
+
+BASKET_PAIRS_SQL = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS MATERIALIZED (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_sup
+  FROM li GROUP BY 1 HAVING count(*) >= {MIN_ITEM_SUP}),
+li2 AS MATERIALIZED (
+  SELECT * FROM li WHERE l_partkey IN (SELECT l_partkey FROM freq)),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM li2),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_sup
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_PAIR_SUP})
+SELECT part_a, part_b, pair_sup,
+       CAST(pair_sup AS DOUBLE) * n.n_orders
+         / (fa.item_sup * fb.item_sup) AS lift
+FROM pairs
+JOIN freq fa ON part_a = fa.l_partkey
+JOIN freq fb ON part_b = fb.l_partkey
+CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------------
+# set_sim_join — EXACT token-set Jaccard >= 0.8 document join via
+# prefix filtering (the PPJoin family).  Each document's DISTINCT
+# tokens are ordered globally rarest-first (df asc, token asc); a pair
+# with Jaccard >= t MUST share a token within each side's first
+# n - ceil(t*n) + 1 tokens (pigeonhole on the |A∩B| >= t/(1+t)*(na+nb)
+# overlap bound), so candidate generation joins PREFIXES only — and
+# because prefixes hold the RAREST tokens, join-key buckets stay small
+# by construction (the skew-dodging heart of prefix filtering).
+# Verification counts the exact intersection by routing candidate
+# pairs through the token table — never tokens × tokens.  The Jaccard
+# threshold compares as 5·isect >= 4·union in exact integers; the
+# emitted jaccard is the UNROUNDED int quotient (exact-tie canon).
+# All thresholds use integer arithmetic: ceil(0.8n) = (4n+4) div 5.
+#
+# The registry entry runs the deterministic doc_id%4=0 shard: the
+# synthetic corpus is near-dup-saturated (≥0.8 pairs are ~quadratic in
+# template families — 2.97M pairs corpus-wide at sf0.1), so the shard
+# bounds oracle cost while exercising the identical plan; exactness vs
+# brute-force all-pairs is pytest-proven shard-free on the full
+# sf0.001 corpus (test_set_sim_join_is_exact).
+# --------------------------------------------------------------------------
+
+SHARD_MOD = 4
+
+
+def set_sim_join(spark: SparkSession, sf: str,
+                 shard_mod: int = SHARD_MOD) -> DataFrame:
+    docs = (load(spark, sf, "documents")
+            .filter(F.col("doc_id") % shard_mod == 0))
+    tok = (docs.select("doc_id",
+                       F.explode(_tokens("text")).alias("token"))
+           .distinct().localCheckpoint(eager=False))
+    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    r = (tok.join(df, "token")
+         .select("doc_id", "token",
+                 F.row_number().over(w).alias("rn"),
+                 F.count("*").over(Window.partitionBy("doc_id"))
+                  .alias("ntok")))
+    pref = r.filter(
+        F.col("rn") <= F.expr("ntok - (4*ntok + 4) div 5 + 1"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "token",
+                    F.col("ntok").alias("na"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "token",
+                    F.col("ntok").alias("nb"))
+    cand = (a.join(b, "token")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "na", "nb").distinct())
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    isect = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count("*").alias("ints")))
+    return (isect.filter(5 * F.col("ints")
+                         >= 4 * (F.col("na") + F.col("nb") - F.col("ints")))
+            .select("doc_a", "doc_b",
+                    (F.col("ints").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("ints")))
+                    .alias("jaccard")))
+
+
+SET_SIM_JOIN_SQL = r"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE doc_id % 4 = 0),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+r AS (SELECT t.doc_id, t.token,
+        row_number() OVER (PARTITION BY t.doc_id
+                           ORDER BY d.df, t.token) AS rn,
+        count(*) OVER (PARTITION BY t.doc_id) AS ntok
+      FROM tok t JOIN df d ON t.token = d.token),
+pref AS (SELECT * FROM r WHERE rn <= ntok - (4*ntok + 4) // 5 + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.ntok AS na, b.ntok AS nb
+         FROM pref a JOIN pref b
+           ON a.token = b.token AND a.doc_id < b.doc_id),
+isect AS (SELECT c.doc_a, c.doc_b, c.na, c.nb,
+                 CAST(count(*) AS BIGINT) AS ints
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.doc_a
+          JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+          GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       CAST(ints AS DOUBLE) / (na + nb - ints) AS jaccard
+FROM isect WHERE 5 * ints >= 4 * (na + nb - ints)
+"""
+
+
+# --------------------------------------------------------------------------
+# dq_audit — Deequ-style data-quality constraint suite over the fact
+# tables: completeness, uniqueness, referential integrity, range and
+# domain membership.  Plan shape: ONE conditional-aggregate pass over
+# lineitem (every range/domain check a map-side sum), one over orders,
+# one broadcast anti-join for the orphan count — the three single-row
+# results cross-joined and exploded into the constraint rows, so the
+# fact table is scanned once no matter how many checks ride it.
+# Fraction metrics are exact-int quotients, emitted unrounded.
+# --------------------------------------------------------------------------
+
+def dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    od = load(spark, sf, "orders")
+    frac = lambda c: (F.sum(F.when(c, 1).otherwise(0)).cast("double")
+                      / F.count("*"))
+    li_stats = li.agg(
+        F.count("*").cast("double").alias("li_rows"),
+        frac(F.col("l_quantity").between(1, 50)).alias("qty_ok"),
+        frac(F.col("l_returnflag").isin("A", "N", "R")).alias("flag_ok"),
+        frac(F.col("l_extendedprice") > 0).alias("price_ok"),
+        frac(F.col("l_shipdate").isNotNull()).alias("ship_ok"),
+        frac(F.col("l_discount").between(0, 1)).alias("disc_ok"))
+    od_stats = od.agg(
+        (F.count_distinct(F.col("o_orderkey")).cast("double")
+         / F.count("*")).alias("okey_uniq"))
+    orphans = (li.select("l_orderkey")
+               .join(F.broadcast(od.select("o_orderkey")),
+                     F.col("l_orderkey") == F.col("o_orderkey"),
+                     "left_anti")
+               .agg(F.count("*").cast("double").alias("orphan_rows")))
+    row = li_stats.crossJoin(od_stats).crossJoin(orphans)
+    mk = lambda name, metric, ok: F.struct(
+        F.lit(name).alias("check"), metric.alias("metric"), ok.alias("ok"))
+    return (row.select(F.explode(F.array(
+        mk("lineitem_rowcount", F.col("li_rows"), F.col("li_rows") > 0),
+        mk("orderkey_unique", F.col("okey_uniq"),
+           F.col("okey_uniq") == 1.0),
+        mk("lineitem_orphans", F.col("orphan_rows"),
+           F.col("orphan_rows") == 0.0),
+        mk("quantity_in_range", F.col("qty_ok"), F.col("qty_ok") == 1.0),
+        mk("returnflag_domain", F.col("flag_ok"), F.col("flag_ok") == 1.0),
+        mk("price_positive", F.col("price_ok"), F.col("price_ok") == 1.0),
+        mk("shipdate_complete", F.col("ship_ok"), F.col("ship_ok") >= 0.99),
+        mk("discount_in_range", F.col("disc_ok"),
+           F.col("disc_ok") == 1.0))).alias("c"))
+        .select("c.*"))
+
+
+DQ_AUDIT_SQL = """
+WITH li AS (
+  SELECT CAST(count(*) AS DOUBLE) AS li_rows,
+         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS qty_ok,
+         CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS flag_ok,
+         CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS price_ok,
+         CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS ship_ok,
+         CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS disc_ok
+  FROM lineitem),
+od AS (
+  SELECT CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS okey_uniq
+  FROM orders),
+orph AS (
+  SELECT CAST(count(*) AS DOUBLE) AS orphan_rows
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT 'lineitem_rowcount' AS check, li_rows AS metric, li_rows > 0 AS ok
+  FROM li
+UNION ALL SELECT 'orderkey_unique', okey_uniq, okey_uniq = 1.0 FROM od
+UNION ALL SELECT 'lineitem_orphans', orphan_rows, orphan_rows = 0.0
+  FROM orph
+UNION ALL SELECT 'quantity_in_range', qty_ok, qty_ok = 1.0 FROM li
+UNION ALL SELECT 'returnflag_domain', flag_ok, flag_ok = 1.0 FROM li
+UNION ALL SELECT 'price_positive', price_ok, price_ok = 1.0 FROM li
+UNION ALL SELECT 'shipdate_complete', ship_ok, ship_ok >= 0.99 FROM li
+UNION ALL SELECT 'discount_in_range', disc_ok, disc_ok = 1.0 FROM li
+"""
+
+
+# --------------------------------------------------------------------------
+# text_corpus_divergence — distribution drift between the two doc_id-
+# parity halves of the corpus: unigram count tables (exact integers)
+# full-outer merged over the union vocabulary, then two divergences:
+# Hellinger² = ½ Σ (√p − √q)²  (sqrt is IEEE-correctly-rounded, so
+# per-term doubles are bit-identical across engines) and Jensen-
+# Shannon in bits (log2 follows the unigram-logprob canon).  Each
+# per-term contribution is rounded to 9 decimals and accumulated in
+# DECIMAL(28,9) — exact, order-independent — so cross-partition sum
+# order cannot move the result (float-parity canon).
+#
+# Scale shape: groupBy(half, token) is a map-side-combined count over
+# the token stream; the merge shuffles ∝ vocabulary, never tokens;
+# totals broadcast.
+# --------------------------------------------------------------------------
+
+def text_corpus_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    t = docs.select((F.col("doc_id") % 2).alias("half"),
+                    F.explode(_tokens("text")).alias("token"))
+    cnt = (t.groupBy("token")
+           .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                 .alias("ca"),
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                 .alias("cb")))
+    tots = cnt.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    c = cnt.crossJoin(F.broadcast(tots))
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    hell = 0.5 * (F.sqrt(pa) - F.sqrt(pb)) * (F.sqrt(pa) - F.sqrt(pb))
+    js = (F.when(F.col("ca") > 0,
+                 0.5 * pa * F.log2(2.0 * pa / (pa + pb))).otherwise(0.0)
+          + F.when(F.col("cb") > 0,
+                   0.5 * pb * F.log2(2.0 * pb / (pa + pb))).otherwise(0.0))
+    return (c.agg(
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)
+               .otherwise(0)).cast("bigint").alias("n_shared"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") == 0), 1)
+               .otherwise(0)).cast("bigint").alias("n_only_a"),
+        F.sum(F.when((F.col("ca") == 0) & (F.col("cb") > 0), 1)
+               .otherwise(0)).cast("bigint").alias("n_only_b"),
+        F.sum(F.round(hell, 9).cast("decimal(28,9)"))
+         .cast("double").alias("hellinger_sq"),
+        F.sum(F.round(js, 9).cast("decimal(28,9)"))
+         .cast("double").alias("js_bits")))
+
+
+TEXT_CORPUS_DIVERGENCE_SQL = r"""
+WITH t AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+cnt AS (
+  SELECT token,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM t GROUP BY 1),
+tots AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                CAST(sum(cb) AS BIGINT) AS tb FROM cnt),
+c AS (SELECT cnt.*, tots.ta, tots.tb,
+             CAST(ca AS DOUBLE) / ta AS pa,
+             CAST(cb AS DOUBLE) / tb AS pb
+      FROM cnt CROSS JOIN tots)
+SELECT CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_a,
+       CAST(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_b,
+       CAST(sum(CAST(round(
+           0.5 * (sqrt(pa) - sqrt(pb)) * (sqrt(pa) - sqrt(pb)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS hellinger_sq,
+       CAST(sum(CAST(round(
+           (CASE WHEN ca > 0
+                 THEN 0.5 * pa * log2(2.0 * pa / (pa + pb))
+                 ELSE 0.0 END)
+         + (CASE WHEN cb > 0
+                 THEN 0.5 * pb * log2(2.0 * pb / (pa + pb))
+                 ELSE 0.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS js_bits
+FROM c
+"""
+
+
+QUERIES = {
+    "graph_hops_lsh": graph_hops_lsh,
+    "basket_pairs": basket_pairs,
+    "set_sim_join": set_sim_join,
+    "dq_audit": dq_audit,
+    "text_corpus_divergence": text_corpus_divergence,
+}
+
+ORACLES = {
+    "graph_hops_lsh": GRAPH_HOPS_SQL,
+    "basket_pairs": BASKET_PAIRS_SQL,
+    "set_sim_join": SET_SIM_JOIN_SQL,
+    "dq_audit": DQ_AUDIT_SQL,
+    "text_corpus_divergence": TEXT_CORPUS_DIVERGENCE_SQL,
+}
