@@ -46,6 +46,10 @@ SECONDARY = [
     "graph_hops_lsh", "basket_pairs", "set_sim_join",
     "dq_audit", "text_corpus_divergence",
     "scd2_history", "phrase_search", "emb_covariance",
+    "scd2_point_in_time",
+    "q65_pareto_frontier", "q66_allocation", "q68_cusum",
+    "volume_rag",
+    "q69_interval_coverage", "q70_mad_outliers",
 ]
 
 

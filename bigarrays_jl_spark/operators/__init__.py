@@ -14,12 +14,14 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           journeys, multijoin, multimodal,
                                           mutation, pipeline, relational,
                                           retrieval, round10, round10b,
-                                          round10c, similarity, temporal,
+                                          round10c, round10d, round10e,
+                                          similarity, temporal,
                                           text, tpch_deep, tpch_final,
                                           tpch_more, tpch_shapes,
                                           volume_analytics, volume_channels,
                                           volume_components,
-                                          volume_pyramid, volume_seg)
+                                          volume_pyramid, volume_rag,
+                                          volume_seg)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval round 8, tpch_deep round 9) append AFTER extensions so
@@ -30,7 +32,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
             volume_components, asof_directions, tpch_final, round10,
-            round10b, round10c)
+            round10b, round10c, round10d, volume_rag, round10e)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

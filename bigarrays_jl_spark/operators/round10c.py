@@ -242,14 +242,82 @@ CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_point_in_time — the feature-store / training-data join: each
+# purchase event is enriched with the user's state AS OF the purchase
+# time (the last non-purchase event type at or before it) — the
+# point-in-time-correctness lookup that prevents feature leakage.
+#
+# Scale shape: NOT a range join against the interval table (per-user
+# interval×fact products) — states and facts union into ONE per-user
+# event stream and a single window's last_value(IGNORE NULLS) carries
+# the state forward: one user-keyed shuffle, state O(1) per row,
+# regardless of how many facts or state changes a user has.  Ties at
+# equal t resolve by (is-state-first, event_id) on both engines, so a
+# same-instant state change is visible to the same-instant purchase.
+# Revenue accumulates in DECIMAL(28,12) per the float canon.
+# --------------------------------------------------------------------------
+
+
+def scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("long").alias("t"), "event_id",
+        "event_type", "value")
+    states = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "t", "event_id", F.lit(0).alias("kind"),
+        F.col("event_type").alias("state"), F.lit(None).cast("double")
+         .alias("value"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"), "value")
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tl = (states.unionByName(facts)
+          .withColumn("cur", F.last("state", ignorenulls=True).over(w)))
+    return (tl.filter(F.col("kind") == 1)
+            .groupBy(F.coalesce(F.col("cur"), F.lit("none"))
+                      .alias("state_at_purchase"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,12)"))
+                          .cast("double"), 2).alias("revenue")))
+
+
+SCD2_POINT_IN_TIME_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts)/1000000) AS BIGINT) AS t,
+         event_id, event_type, value
+  FROM events),
+tl AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN event_type <> 'purchase' THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS state,
+         CASE WHEN event_type = 'purchase' THEN value END AS value
+  FROM ev),
+c AS (
+  SELECT *, last_value(state IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t, kind, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM tl)
+SELECT coalesce(cur, 'none') AS state_at_purchase,
+       count(*) AS n_purchases,
+       CAST(round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 2)
+            AS DOUBLE) AS revenue
+FROM c WHERE kind = 1 GROUP BY 1
+"""
+
+
 QUERIES = {
     "scd2_history": scd2_history,
     "phrase_search": phrase_search,
     "emb_covariance": emb_covariance,
+    "scd2_point_in_time": scd2_point_in_time,
 }
 
 ORACLES = {
     "scd2_history": SCD2_HISTORY_SQL,
     "phrase_search": PHRASE_SEARCH_SQL,
     "emb_covariance": EMB_COVARIANCE_SQL,
+    "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
 }

@@ -142,3 +142,18 @@ def test_corpus_divergence_matches_python(spark, sf_dir):
         js += round(term, 9)
     assert abs(r["hellinger_sq"] - hell) < 1e-7
     assert abs(r["js_bits"] - js) < 1e-7
+
+
+def test_prefix_length_integer_formula():
+    # (4n+4) div 5 == ceil(0.8 n) exactly, for any set size — the
+    # integer arithmetic both engines share (no float ceil drift)
+    import math
+    for n in range(0, 10_000):
+        assert (4 * n + 4) // 5 == math.ceil(0.8 * n)
+
+
+def test_set_sim_join_plan_no_cartesian(spark, sf_dir):
+    plan = (set_sim_join(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

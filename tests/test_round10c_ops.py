@@ -81,3 +81,32 @@ def test_emb_covariance_plan_has_no_vector_self_join(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan        # only broadcast closes
+
+
+def test_scd2_point_in_time_matches_python(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round10c import scd2_point_in_time
+    got = {r["state_at_purchase"]: (r["n_purchases"], r["revenue"])
+           for r in scd2_point_in_time(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value").collect()
+    per_user = {}
+    for r in ev:
+        kind = 1 if r["event_type"] == "purchase" else 0
+        per_user.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp()), kind, r["event_id"],
+             r["event_type"], r["value"]))
+    agg = {}
+    for rows in per_user.values():
+        rows.sort(key=lambda x: x[:3])
+        cur = None
+        for _, kind, _, et, v in rows:
+            if kind == 0:
+                cur = et
+            else:
+                st = cur if cur is not None else "none"
+                n, s = agg.get(st, (0, 0.0))
+                agg[st] = (n + 1, s + (v or 0.0))
+    for st, (n, s) in agg.items():
+        assert got[st][0] == n
+        assert abs(got[st][1] - round(s, 2)) < 1e-6
+    assert set(got) == set(agg)
