@@ -50,6 +50,8 @@ SECONDARY = [
     "q65_pareto_frontier", "q66_allocation", "q68_cusum",
     "volume_rag",
     "q69_interval_coverage", "q70_mad_outliers",
+    "volume_agglomerate",
+    "q71_quantile_screen", "q72_winsorized_mean",
 ]
 
 

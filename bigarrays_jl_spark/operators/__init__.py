@@ -15,9 +15,11 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           mutation, pipeline, relational,
                                           retrieval, round10, round10b,
                                           round10c, round10d, round10e,
+                                          round10f,
                                           similarity, temporal,
                                           text, tpch_deep, tpch_final,
                                           tpch_more, tpch_shapes,
+                                          volume_agglo,
                                           volume_analytics, volume_channels,
                                           volume_components,
                                           volume_pyramid, volume_rag,
@@ -32,7 +34,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             tpch_deep, graph_lsh, cdc_null, volume_channels, tpch_more,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
             volume_components, asof_directions, tpch_final, round10,
-            round10b, round10c, round10d, volume_rag, round10e)
+            round10b, round10c, round10d, volume_rag, round10e,
+            volume_agglo, round10f)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

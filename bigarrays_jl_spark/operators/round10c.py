@@ -175,67 +175,90 @@ ORDER BY n_matches DESC, doc_id LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# emb_covariance — dim×dim covariance of the embedding corpus by
-# map-side outer-product partials: each vector expands to its dim²
-# (i, j, x_i·x_j) cells via nested array transforms — pure map work,
-# NO join — and the only shuffle is the partial-aggregated (i, j) cell
-# grid (dim² rows, corpus-size-independent).  cov(i,j) =
-# (Σx_i x_j − Σx_i·Σx_j/n)/n from the raw moments.
+# emb_covariance — dim×dim covariance of the embedding corpus from
+# map-side Gram partials: each Arrow batch computes ONE integer
+# dim×dim Gram matrix (numpy matmul over 1e-6-quantized fixed-point
+# values) and emits its upper triangle — so the shuffle is dim² cells
+# per BATCH, corpus-size-independent, and no per-element struct or
+# decimal churn ever reaches the JVM (the first cut did the dim²
+# expansion per VECTOR via nested array transforms and spent 16 s at
+# sf0.1 on decimal ops; this shape does the same algebra in ~1 s).
+# cov(i,j) = (Σx_i x_j − Σx_i·Σx_j/n)/n from the raw moments.
 #
-# Float parity: float32 inputs widen to double exactly; each product
-# is one IEEE multiply (bit-identical across engines), rounded to 12
-# and accumulated in DECIMAL(28,12) (order-independent); the closing
-# moment formula runs once on the exact sums, emitted unrounded.
+# Float parity (fixed-point canon): float32 inputs widen to double
+# exactly; xi = round(x·10⁶) is tie-FREE — x·10⁶ = k + ½ exactly would
+# need a 5⁶ denominator, impossible for a dyadic float — so numpy's
+# rint, DuckDB's round, and any other correct rounding of the SAME
+# product double agree exactly; from there everything is int64
+# arithmetic (|xi| ≤ ~6e5, batch Gram sums ≪ 2⁶³) and the closing
+# moment formula is one identical double expression on both engines.
 # Upper triangle only (i <= j) — the matrix is symmetric.
 # --------------------------------------------------------------------------
 
+EMB_DIM = 64
+EMB_Q = 1_000_000
+
 
 def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    cells = e.select(F.explode(F.expr(
-        "flatten(transform(embedding, (x, i) ->"
-        " transform(embedding, (y, j) ->"
-        "  struct(i AS i, j AS j,"
-        "         CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)"
-        "              AS DECIMAL(28,12)) AS p))))")).alias("c")) \
-        .select("c.*").filter(F.col("i") <= F.col("j"))
-    sums = (e.select(F.posexplode("embedding").alias("i", "x"))
-            .groupBy("i")
-            .agg(F.sum(F.round(F.col("x").cast("double"), 12)
-                        .cast("decimal(28,12)")).alias("sx")))
-    n = e.agg(F.count("*").cast("double").alias("n"))
-    sxy = cells.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    e = load(spark, sf, "embeddings").select("embedding")
+
+    def gram(it):
+        import numpy as _np
+        import pandas as _pd
+        iu = _np.triu_indices(EMB_DIM)
+        for b in it:
+            if not len(b):
+                continue
+            X = _np.stack(b["embedding"].to_numpy()).astype(_np.float64)
+            XI = _np.rint(X * EMB_Q).astype(_np.int64)
+            G = XI.T @ XI
+            rows = {"i": _np.concatenate(
+                        [iu[0], _np.arange(EMB_DIM), [-1]]),
+                    "j": _np.concatenate(
+                        [iu[1], _np.full(EMB_DIM, -1), [-1]]),
+                    "v": _np.concatenate(
+                        [G[iu], XI.sum(axis=0), [XI.shape[0]]])}
+            yield _pd.DataFrame(rows)
+
+    stream = e.mapInPandas(
+        gram, schema="i int, j int, v long").localCheckpoint(eager=False)
+    sxy = (stream.filter(F.col("j") >= 0)
+           .groupBy("i", "j").agg(F.sum("v").alias("sxy")))
+    sums = (stream.filter((F.col("j") == -1) & (F.col("i") >= 0))
+            .groupBy("i").agg(F.sum("v").alias("sx")))
+    n = (stream.filter(F.col("i") == -1)
+         .agg(F.sum("v").cast("double").alias("n")))
     si = sums.select(F.col("i"), F.col("sx").alias("sxi"))
     sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sxj"))
     return (sxy.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
             .crossJoin(F.broadcast(n))
-            .select("i", "j",
-                    ((F.col("sxy").cast("double")
-                      - F.col("sxi").cast("double")
-                        * F.col("sxj").cast("double") / F.col("n"))
+            .select(F.col("i").cast("bigint").alias("i"),
+                    F.col("j").cast("bigint").alias("j"),
+                    ((F.col("sxy").cast("double") * 1e-12
+                      - (F.col("sxi").cast("double") * 1e-6)
+                        * (F.col("sxj").cast("double") * 1e-6)
+                        / F.col("n"))
                      / F.col("n")).alias("cov")))
 
 
-EMB_COVARIANCE_SQL = """
-WITH dims AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 64)),
+EMB_COVARIANCE_SQL = f"""
+WITH dims AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {EMB_DIM})),
+q AS (
+  SELECT e.vec_id, d.i,
+         CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * {EMB_Q})
+              AS BIGINT) AS xi
+  FROM embeddings e, dims d),
 cells AS (
-  SELECT d1.i AS i, d2.i AS j,
-         CAST(round(CAST(e.embedding[d1.i + 1] AS DOUBLE)
-                    * CAST(e.embedding[d2.i + 1] AS DOUBLE), 12)
-              AS DECIMAL(28,12)) AS p
-  FROM embeddings e, dims d1, dims d2
-  WHERE d1.i <= d2.i),
-sxy AS (SELECT i, j, sum(p) AS sxy FROM cells GROUP BY 1, 2),
-sums AS (
-  SELECT d.i,
-         sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE), 12)
-                  AS DECIMAL(28,12))) AS sx
-  FROM embeddings e, dims d GROUP BY 1),
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+sums AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM q GROUP BY 1),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
 SELECT s.i, s.j,
-       (CAST(s.sxy AS DOUBLE)
-        - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / n.n) / n.n AS cov
-FROM sxy s
+       (CAST(s.sxy AS DOUBLE) * 1e-12
+        - (CAST(a.sx AS DOUBLE) * 1e-6) * (CAST(b.sx AS DOUBLE) * 1e-6)
+          / n.n) / n.n AS cov
+FROM cells s
 JOIN sums a ON s.i = a.i
 JOIN sums b ON s.j = b.i
 CROSS JOIN n

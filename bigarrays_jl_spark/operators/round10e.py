@@ -124,7 +124,11 @@ def q70_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint")
          .alias("cents"))
-    h1 = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("w"))
+    # h1 feeds BOTH the median and the deviation histogram —
+    # ReuseExchange won't match column-pruned duplicate subplans, so
+    # checkpoint the aggregate once (the q50/text_bm25 idiom)
+    h1 = (li.groupBy("l_returnflag", "cents")
+          .agg(F.count("*").alias("w")).localCheckpoint(eager=False))
     med = _lower_median(h1, "l_returnflag", "cents", "w", "med")
     dev = (h1.join(F.broadcast(med), "l_returnflag")
            .withColumn("d", F.abs(F.col("cents") - F.col("med"))))
