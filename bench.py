@@ -52,6 +52,12 @@ SECONDARY = [
     "q69_interval_coverage", "q70_mad_outliers",
     "volume_agglomerate",
     "q71_quantile_screen", "q72_winsorized_mean",
+    "q73_ema_decay", "graph_sssp_lsh", "q75_stock_runout",
+    "q76_attribution", "q77_regression_slope",
+    "q78_kanonymity", "retrieval_rrf_hybrid", "q79_mutual_info",
+    "volume_label_moments",
+    "graph_lpa_lsh", "q80_welch_ttest", "q81_cuped", "volume_roi_stats",
+    "entity_res_golden", "q82_gini", "q83_seasonal_backtest",
 ]
 
 

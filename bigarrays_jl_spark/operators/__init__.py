@@ -15,7 +15,8 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           mutation, pipeline, relational,
                                           retrieval, round10, round10b,
                                           round10c, round10d, round10e,
-                                          round10f,
+                                          round10f, round10g, round10h,
+                                          round10i, round10j,
                                           similarity, temporal,
                                           text, tpch_deep, tpch_final,
                                           tpch_more, tpch_shapes,
@@ -35,7 +36,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_seg, volume_pyramid, events_cep, tpch_shapes,
             volume_components, asof_directions, tpch_final, round10,
             round10b, round10c, round10d, volume_rag, round10e,
-            volume_agglo, round10f)
+            volume_agglo, round10f, round10g, round10h, round10i,
+            round10j)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
