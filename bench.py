@@ -59,6 +59,7 @@ SECONDARY = [
     "graph_lpa_lsh", "q80_welch_ttest", "q81_cuped", "volume_roi_stats",
     "entity_res_golden", "q82_gini", "q83_seasonal_backtest",
     "volume_equalized_histogram", "q84_rfm_segments", "q85_qq_drift",
+    "q86_kaplan_meier", "q87_autocorr", "q88_cohort_ltv",
 ]
 
 
