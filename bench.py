@@ -60,6 +60,7 @@ SECONDARY = [
     "entity_res_golden", "q82_gini", "q83_seasonal_backtest",
     "volume_equalized_histogram", "q84_rfm_segments", "q85_qq_drift",
     "q86_kaplan_meier", "q87_autocorr", "q88_cohort_ltv",
+    "volume_slice_qc", "volume_slice_ncc",
 ]
 
 

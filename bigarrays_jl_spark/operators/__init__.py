@@ -23,7 +23,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           tpch_more, tpch_shapes,
                                           volume_agglo,
                                           volume_analytics, volume_channels,
-                                          volume_components,
+                                          volume_components, volume_qc,
                                           volume_pyramid, volume_rag,
                                           volume_seg)
 
@@ -38,7 +38,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_components, asof_directions, tpch_final, round10,
             round10b, round10c, round10d, volume_rag, round10e,
             volume_agglo, round10f, round10g, round10h, round10i,
-            round10j, round10k, round10l)
+            round10j, round10k, round10l, volume_qc)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
