@@ -61,6 +61,7 @@ SECONDARY = [
     "volume_equalized_histogram", "q84_rfm_segments", "q85_qq_drift",
     "q86_kaplan_meier", "q87_autocorr", "q88_cohort_ltv",
     "volume_slice_qc", "volume_slice_ncc",
+    "q89_stratified_effect", "q90_benford", "q91_dow_seasonality",
 ]
 
 
