@@ -14,10 +14,13 @@ least-squares regression.
   Bellman-Ford frontier relaxation, the weighted sibling of
   graph_hops_lsh's unit-weight BFS: nd(dst) = min(dist(src) + w).
 - q75_stock_runout: clamped running inventory b_n = max(0, b_{n-1} +
-  delta_n) — a NON-ASSOCIATIVE scan no window frame can express
-  (the clamp makes prefix sums wrong the moment any prefix dips
-  below zero).  This is the documented custom-operator fallback tier
-  (b): an Arrow-batched applyInPandas per-user ordered scan — state is
+  delta_n) — the sequential-scan operator class.  The ZERO-floor
+  special case admits a window closed form (b_n = prefix_n − min(0,
+  running-min(prefix)); ``q75_windowed`` implements it and pytest pins
+  exact equality), but the general business recurrence — two-sided
+  clamps (capacity caps), conditional refill rules — has no such
+  identity, so the REGISTERED operator is the honest tier-(b) shape:
+  an Arrow-batched applyInPandas per-user ordered scan — state is
   one integer per user, groups are independent, so the operator
   parallelizes across users exactly like any keyed shuffle.  The
   DuckDB twin is a genuine recursive CTE walking rn -> rn+1.
@@ -243,6 +246,30 @@ def q75_stock_runout(spark: SparkSession, sf: str) -> DataFrame:
                            .otherwise(-1)).alias("d")))
     return e.groupBy("user_id").applyInPandas(
         _runout_group, schema=_RUNOUT_SCHEMA)
+
+
+def q75_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """The zero-floor clamp's window closed form — pytest-pinned equal
+    to the stateful scan: with p_n the plain prefix sum,
+    b_n = p_n − min(0, min_{k≤n} p_k), and a stockout happens exactly
+    when p_n strikes a NEW strict running minimum below zero."""
+    e = (load(spark, sf, "events")
+         .filter(F.col("event_type").isin("click", "purchase"))
+         .select("user_id", "ts", "event_id",
+                 (_vi() * F.when(F.col("event_type") == "click", 1)
+                           .otherwise(-1)).alias("d")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    t = (e.withColumn("p", F.sum("d").over(cur))
+         .withColumn("so", (F.col("p") < F.least(
+             F.lit(0), F.coalesce(F.min("p").over(prev), F.lit(0))))
+             .cast("long")))
+    return (t.groupBy("user_id")
+            .agg(F.count("*").alias("n_moves"),
+                 F.sum("so").alias("n_stockouts"),
+                 (F.max_by(F.col("p"), F.struct("ts", "event_id"))
+                  - F.least(F.lit(0), F.min("p"))).alias("final_balance")))
 
 
 Q75_SQL = f"""

@@ -124,3 +124,17 @@ def test_regression_matches_numpy(spark, sf_dir):
         assert abs(gs - slope) / abs(slope) < 1e-6, t
         assert abs(gi - intercept) / abs(intercept) < 1e-6, t
     assert set(got) == set(per_type)
+
+
+def test_windowed_clamp_identity_equals_stateful_scan(spark, sf_dir):
+    """The zero-floor closed form (prefix - min(0, running-min)) must
+    reproduce the applyInPandas scan exactly — balances AND stockout
+    counts (a stockout = a new strict running minimum below zero)."""
+    from bigarrays_jl_spark.operators.round10g import q75_windowed
+    a = {r["user_id"]: (r["n_moves"], r["n_stockouts"],
+                        r["final_balance"])
+         for r in q75_stock_runout(spark, sf_dir).collect()}
+    b = {r["user_id"]: (r["n_moves"], r["n_stockouts"],
+                        r["final_balance"])
+         for r in q75_windowed(spark, sf_dir).collect()}
+    assert a == b
