@@ -19,7 +19,8 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10i, round10j, round10k,
                                           round10l, round10m,
                                           similarity, temporal,
-                                          text, tpch_deep, tpch_final,
+                                          text, tpch_canon, tpch_deep,
+                                          tpch_final,
                                           tpch_more, tpch_shapes,
                                           volume_agglo,
                                           volume_analytics, volume_channels,
@@ -38,7 +39,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_components, asof_directions, tpch_final, round10,
             round10b, round10c, round10d, volume_rag, round10e,
             volume_agglo, round10f, round10g, round10h, round10i,
-            round10j, round10k, round10l, volume_qc, round10m)
+            round10j, round10k, round10l, volume_qc, round10m, tpch_canon)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

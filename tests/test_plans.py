@@ -484,3 +484,43 @@ def test_q61_q16_not_in_plans_anti_join_no_cartesian(spark, sf_dir):
     assert "LeftAnti" in plan, plan        # NOT IN → anti-join, never a filter-per-row
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q92_q4_shape_semi_join_pushed_quarter(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_canon import q92_priority_count
+    df = q92_priority_count(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "LeftSemi" in plan, plan        # EXISTS → semi join, never inner+distinct
+    assert "CartesianProduct" not in plan, plan
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, f"quarter filter not pushed: {pf}"
+
+
+def test_q93_q6_shape_all_filters_pushed_partial_agg(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_canon import q93_revenue_delta
+    df = q93_revenue_delta(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    assert has_partial_aggregation(df)
+    rs = read_schemas(df)[0]
+    assert "l_returnflag" not in rs        # column pruning holds
+
+
+def test_q94_q10_shape_take_ordered_broadcast_dims(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_canon import q94_returned_item_top20
+    df = q94_returned_item_top20(spark, sf_dir)
+    assert uses_take_ordered(df)           # top-20, never a global sort
+    assert has_broadcast_join(df)          # customer⋈nation broadcast
+    pf = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pf and "o_orderdate" in pf, pf
+
+
+def test_q96_q14_shape_single_fact_scan_broadcast_part(spark, sf_dir):
+    from bigarrays_jl_spark.operators.tpch_canon import q96_promo_share
+    df = q96_promo_share(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # ONE lineitem scan: both conditional sums ride the same aggregation
+    assert plan.count("lineitem") <= plan.count("part") + 2
+    assert sum(1 for rs in read_schemas(df) if "l_extendedprice" in rs) == 1
