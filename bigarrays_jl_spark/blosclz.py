@@ -1,4 +1,5 @@
-"""Vendored pure-Python Blosc1 (blosclz) frame codec — decode-complete.
+"""Vendored pure-Python Blosc1 (blosclz) frame codec — decode- and
+encode-complete.
 
 Un-gates the reference's fourth codec (`ref src/Codings.jl:74-80`,
 swept by `ref test/BinDicts.jl:111-120`) in environments without the
@@ -18,11 +19,15 @@ chunk), each block holding ``nsplits`` streams of ``int32 csize`` +
 payload — a stream whose csize equals its uncompressed size is stored
 raw.  Blocks byte-unshuffle independently after decompression.
 
-Speed posture: this is the *import* path's compatibility fallback —
-per-chunk Python-loop decode runs Arrow-batched in executors, and a
-re-encoded dataset uses the parquet-native codecs thereafter.  Writes
-emit valid pure-memcpy frames (what c-blosc itself emits at clevel 0),
-so round-trips stay blosc-compatible without a C encoder.
+Speed posture: this is the compatibility fallback — per-chunk
+Python-loop encode/decode runs Arrow-batched in executors (~10 MB/s/
+core), and a re-encoded dataset uses the parquet-native codecs
+thereafter.  The encoder (``lz_compress`` + ``compress``) emits real
+blosclz-compressed frames — greedy hash-probe matcher, byte-shuffle
+filter, per-stream raw-store fallback, whole-frame memcpy fallback —
+so a layer written as "blosclz" costs reference-comparable storage
+(r10 verdict task 6); incompressible input degrades to the same
+memcpy frame c-blosc emits at clevel 0.
 """
 from __future__ import annotations
 
@@ -189,9 +194,154 @@ def decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def compress(data: bytes, typesize: int = 1) -> bytes:
+def _memcpy_frame(data: bytes, typesize: int) -> bytes:
     """A valid pure-memcpy Blosc1 frame (flags bit 1) — exactly what
     c-blosc emits at clevel 0, decodable by any blosc implementation."""
     header = struct.pack("<BBBBIII", 2, 1, MEMCPYED, max(typesize, 1),
                          len(data), max(len(data), 1), len(data) + 16)
     return header + data
+
+
+def _shuffle(buf: bytes, typesize: int) -> bytes:
+    """The blockwise byte-shuffle filter (inverse of ``_unshuffle``):
+    gather byte j of every element into stream j; trailing
+    ``len % typesize`` bytes pass through."""
+    import numpy as np
+    n = len(buf) - len(buf) % typesize
+    items = n // typesize
+    if items == 0:
+        return buf
+    head = (np.frombuffer(buf[:n], dtype=np.uint8)
+            .reshape(items, typesize).T.tobytes())
+    return head + buf[n:]
+
+
+def _emit_literals(out: bytearray, src: bytes, lo: int, hi: int) -> None:
+    """Literal runs of ≤32 bytes: ctrl = n−1 (<32), then the bytes."""
+    while lo < hi:
+        n = min(32, hi - lo)
+        out.append(n - 1)
+        out += src[lo:lo + n]
+        lo += n
+
+
+def _emit_match(out: bytearray, length: int, dist: int) -> None:
+    """Match token, near form only (dist ≤ 8190): ctrl packs
+    min(len−2, 7) in the high 3 bits and the distance high byte in the
+    low 5; code 7 extends with 255-terminated continuation bytes (sum =
+    len−9) BEFORE the distance low byte.  dist == 8191 is excluded at
+    the matcher so the (31<<8, 255) far-distance escape never fires."""
+    lencode = min(length - 2, 7)
+    out.append((lencode << 5) | (dist >> 8))
+    if lencode == 7:
+        rem = length - 9
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out.append(dist & 255)
+
+
+def lz_compress(src: bytes, min_gain: int = 0) -> bytes | None:
+    """Greedy single-probe hash matcher over the blosclz token stream —
+    the same search shape as blosclz.c level 1 (FastLZ lineage), emitted
+    through the exact inverse of ``lz_decompress``.  Returns None when
+    the stream does not shrink (caller stores the split raw, csize ==
+    uncompressed size, like c-blosc).
+
+    Distances stay ≤ 8190 (near form): one probe per position in a dict
+    keyed on the 3-byte prefix; first token is always a literal run
+    (position 0 has no candidate), which the decoder's ``src[0] & 31``
+    requires.  RLE falls out naturally as a dist-0 self-overlap match.
+    """
+    n = len(src)
+    if n < 16:
+        return None
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    i, lit = 0, 0
+    last = n - 3
+    while i <= last:
+        key = src[i:i + 3]
+        j = table.get(j_key := key)
+        table[j_key] = i
+        if j is None or i - j - 1 > 8190:
+            i += 1
+            continue
+        # extend the 3-byte seed (source may overlap the match itself —
+        # the decoder's byte-loop copy reproduces that)
+        length = 3
+        maxlen = n - i
+        while length < maxlen and src[j + length] == src[i + length]:
+            length += 1
+        _emit_literals(out, src, lit, i)
+        _emit_match(out, length, i - j - 1)
+        # seed the table inside long matches so the next occurrence
+        # still finds a nearby candidate; stride caps the insert cost
+        stop = min(i + length, last + 1)
+        for k in range(i + 1, stop, max(1, length // 16)):
+            table[src[k:k + 3]] = k
+        i += length
+        lit = i
+        if len(out) >= n:          # already not shrinking: bail early
+            return None
+    _emit_literals(out, src, lit, n)
+    return bytes(out) if len(out) + min_gain < n else None
+
+
+def compress(data: bytes, typesize: int = 1) -> bytes:
+    """Compressing Blosc1 encoder (blosclz, compressor code 0).
+
+    Mirrors the decoder exactly: blocks of ``blocksize`` bytes, each
+    byte-shuffled when typesize > 1 (DOSHUFFLE), split into
+    ``_nsplits`` streams of (int32 csize, payload) with raw storage
+    when a stream doesn't shrink, absolute uint32 block starts after
+    the 16-byte header.  Inputs under MIN_BUFFERSIZE — or frames that
+    end up no smaller — fall back to the pure-memcpy form, exactly
+    c-blosc's own guard (blosc.c: "incompressible data" → memcpyed).
+    """
+    if typesize > 255:      # header field is one byte; c-blosc treats
+        typesize = 1        # oversize typesizes as untyped too
+    typesize = max(typesize, 1)
+    nbytes = len(data)
+    if nbytes < MIN_BUFFERSIZE:
+        return _memcpy_frame(data, typesize)
+    # one L1-ish block per 64 KiB, aligned to whole elements so the
+    # shuffle filter never straddles blocks (c-blosc picks by clevel;
+    # 64 KiB matches its mid-clevel choice for typical chunk sizes)
+    blocksize = min(nbytes, 64 * 1024)
+    blocksize -= blocksize % typesize
+    if blocksize <= 0:
+        return _memcpy_frame(data, typesize)
+    flags = 0
+    if typesize > 1:
+        flags |= DOSHUFFLE
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts = []
+    body = bytearray()
+    base = 16 + 4 * nblocks
+    for bj in range(nblocks):
+        raw = data[bj * blocksize:(bj + 1) * blocksize]
+        bsize = len(raw)
+        if flags & DOSHUFFLE:
+            raw = _shuffle(raw, typesize)
+        nsplits = _nsplits(typesize, blocksize, flags, bsize < blocksize)
+        neblock = bsize // nsplits
+        sizes = [neblock] * nsplits
+        sizes[-1] = bsize - neblock * (nsplits - 1)
+        bstarts.append(base + len(body))
+        pos = 0
+        for want in sizes:
+            piece = raw[pos:pos + want]
+            pos += want
+            comp = lz_compress(piece)
+            if comp is None:
+                body += struct.pack("<i", want) + piece
+            else:
+                body += struct.pack("<i", len(comp)) + comp
+    cbytes = base + len(body)
+    if cbytes >= nbytes + 16:
+        return _memcpy_frame(data, typesize)
+    header = struct.pack("<BBBBIII", 2, 1, flags, typesize,
+                         nbytes, blocksize, cbytes)
+    return header + struct.pack(f"<{nblocks}I", *bstarts) + bytes(body)

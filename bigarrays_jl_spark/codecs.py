@@ -117,9 +117,10 @@ class BloscCodec(Codec):
 
     Backend order: the C ``blosc`` package if installed, else the
     vendored pure-Python Blosc1 codec (``blosclz.py``) — full-format
-    decode (splits, byte-shuffle, memcpy, raw-stored streams), encode
-    as valid pure-memcpy frames.  Either backend reads the other's
-    output, so imported reference layers decode in any environment."""
+    decode (splits, byte-shuffle, memcpy, raw-stored streams) AND a
+    compressing encoder (greedy blosclz matcher with raw-store and
+    memcpy fallbacks).  Either backend reads the other's output, so
+    imported reference layers decode in any environment."""
 
     name = "blosclz"
 
