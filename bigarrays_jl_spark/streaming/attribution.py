@@ -24,7 +24,13 @@ over the same prefix (pytest-pinned, multi-batch + timeout paths).
 
 State bound: touches are capped by the 24 h window × per-user view
 rate (the lookback IS the retention bound) + watermark-pending events;
-purchases keep NO state once allocated.
+purchases keep NO state once allocated.  The prune is watermark-based
+(not newly-final-based) so it also runs on timeout invocations, and an
+idle event-time TTL at newest-touch + 24 h removes quiet users' state
+entirely — total state tracks users ACTIVE inside one lookback window,
+not every user ever seen (r10 verdict task 7; same proof as cep.py:
+an admissible future event has sec > watermark, so a touch older than
+watermark − 24 h can never re-enter any purchase's lookback).
 """
 from __future__ import annotations
 
@@ -109,12 +115,27 @@ def _update(key, pdfs, state):
             if eligible:
                 for tid, ch, alloc in _allocate(int(amt), eligible):
                     out.append((key[0], eid, ch, alloc))
-    if newly:
-        horizon = newly[-1][0] - ATTR_WINDOW_S
-        touches = [t for t in touches if t[0] >= horizon]
+    # retention bound, watermark-based so it fires on TIMEOUT
+    # invocations too (not just when this user has newly-final rows):
+    # any event the engine still admits arrives with sec > wm_sec, so
+    # its lookback floor sec − ATTR_WINDOW_S exceeds wm_sec −
+    # ATTR_WINDOW_S — touches at or below that floor are provably
+    # never eligible again and the allocation stream is unchanged by
+    # dropping them (adversarial late views inside the window are the
+    # watermark's contract: later than the delay ⇒ dropped upstream)
+    touches = [t for t in touches if t[0] >= wm_sec - ATTR_WINDOW_S]
 
     if pend:
         state.setTimeoutTimestamp((pend[0][0] + 1) * 1000)
+    elif touches:
+        # idle TTL: wake when the watermark passes the newest touch's
+        # eligibility horizon so a user who goes quiet self-evicts
+        # instead of parking a 24 h touch list in state forever
+        ttl_ms = (max(t[0] for t in touches) + ATTR_WINDOW_S + 1) * 1000
+        if ttl_ms <= state.getCurrentWatermarkMs():
+            touches = []
+        else:
+            state.setTimeoutTimestamp(ttl_ms)
     if not touches and not pend:
         state.remove()
     else:

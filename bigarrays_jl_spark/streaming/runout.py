@@ -20,14 +20,27 @@ newly-final moves through the clamp recurrence, emit one snapshot row
 row per user — and after any prefix of the stream the snapshot equals
 the batch operator run over the same prefix (pytest-pinned).
 
-State bound: the rolled-up scalars are O(1) per user FOREVER — unlike
-the CEP suffix there is no idle TTL, because an inventory balance is
-permanent business state (the operator's contract; at 100 TB the key
-cardinality is the SKU/user catalogue, which is what RocksDB state
-via ``session.use_rocksdb_state`` is for).  Pending moves are bounded
-by (watermark horizon × per-user event rate), the package-wide bound.
-An event-time timeout one second past the oldest pending move
-finalizes quiet users without requiring new rows.
+State bound: the rolled-up scalars are O(1) per user FOREVER by
+default — unlike the CEP suffix there is no implied idle TTL, because
+an inventory balance is permanent business state (the operator's
+contract; at 100 TB the key cardinality is the SKU/user catalogue,
+which is what RocksDB state via ``session.use_rocksdb_state`` is
+for).  Pending moves are bounded by (watermark horizon × per-user
+event rate), the package-wide bound.  An event-time timeout one
+second past the oldest pending move finalizes quiet users without
+requiring new rows.
+
+Optional eviction (``idle_ttl_s``, r10 verdict task 7): when set,
+a user whose last move is ``idle_ttl_s`` behind the watermark has its
+state dropped.  Re-admission semantics — the emitted snapshot stream
+is the durable record (max ``n_moves`` per user is always the current
+truth, and the final pre-eviction snapshot was already emitted when
+the last move finalized, so eviction loses NOTHING downstream); if
+the user later reappears, the in-operator recurrence restarts from
+balance 0, so enable the TTL only when the consumer restores evicted
+balances from the snapshot sink (the lambda re-admission pattern) or
+the domain treats long-idle inventory as re-initialized.  With the
+TTL off (default) the batch-prefix equivalence holds unconditionally.
 """
 from __future__ import annotations
 
@@ -54,13 +67,20 @@ STATE_SCHEMA = T.StructType([
 
 _MOVE_TYPES = ("click", "purchase")
 
+STATE_SCHEMA_TTL = T.StructType(
+    STATE_SCHEMA.fields + [T.StructField("last_sec", T.LongType())])
 
-def _update(key, pdfs, state):
+
+def _update(key, pdfs, state, idle_ttl_s=None):
     import numpy as np
     import pandas as pd
 
+    last_sec = 0
     if state.exists:
-        bal, so, n, pend_sec, pend_id, pend_d = state.get
+        if idle_ttl_s is None:
+            bal, so, n, pend_sec, pend_id, pend_d = state.get
+        else:
+            bal, so, n, pend_sec, pend_id, pend_d, last_sec = state.get
         pend = list(zip(pend_sec, pend_id, pend_d))
     else:
         bal, so, n, pend = 0, 0, 0, []
@@ -94,32 +114,58 @@ def _update(key, pdfs, state):
         bal = nb
     n += len(newly)
 
+    if newly:
+        last_sec = max(last_sec, newly[-1][0])
+
     if pend:
         state.setTimeoutTimestamp((pend[0][0] + 1) * 1000)
+    elif idle_ttl_s is not None and (n > 0 or state.exists):
+        # optional quiet-user eviction: the snapshot at last_sec was
+        # already emitted, so dropping the state loses nothing the
+        # consumer hasn't seen (re-admission contract in the module
+        # docstring)
+        ttl_ms = (last_sec + idle_ttl_s) * 1000
+        if ttl_ms <= state.getCurrentWatermarkMs():
+            if state.exists:
+                state.remove()
+            if newly:
+                yield pd.DataFrame([(key[0], n, so, bal)],
+                                   columns=[f.name for f in OUT_SCHEMA])
+            return
+        state.setTimeoutTimestamp(ttl_ms)
     if not pend and not newly and not state.exists:
         # sentinel/noop-only key: nothing to carry
         return
-    state.update((bal, so, n,
-                  [p[0] for p in pend], [p[1] for p in pend],
-                  [p[2] for p in pend]))
+    row = (bal, so, n, [p[0] for p in pend], [p[1] for p in pend],
+           [p[2] for p in pend])
+    state.update(row if idle_ttl_s is None else row + (last_sec,))
     if newly:
         yield pd.DataFrame([(key[0], n, so, bal)],
                            columns=[f.name for f in OUT_SCHEMA])
 
 
 def streaming_stock_runout(events: DataFrame,
-                           watermark: str = "0 seconds") -> DataFrame:
+                           watermark: str = "0 seconds",
+                           idle_ttl_s: int | None = None) -> DataFrame:
     """Maintain per-user clamped inventory balances on the live events
     stream.  ``events`` must carry (user_id, event_id, event_type, ts,
     value); emits a monotone snapshot row per user per trigger that
     changed it — max(n_moves) per user is the current state and equals
-    the batch ``q75_stock_runout`` over the same event prefix."""
+    the batch ``q75_stock_runout`` over the same event prefix.
+
+    ``idle_ttl_s``: optionally evict users idle that long past the
+    watermark (state then tracks ACTIVE keys only); see the module
+    docstring for the re-admission contract this trades away."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    def update(key, pdfs, state):
+        yield from _update(key, pdfs, state, idle_ttl_s)
+
+    schema = STATE_SCHEMA if idle_ttl_s is None else STATE_SCHEMA_TTL
     return (events
             .select("user_id", "event_id", "event_type", "ts", "value")
             .withWatermark("ts", watermark)
             .groupBy("user_id")
-            .applyInPandasWithState(_update, OUT_SCHEMA, STATE_SCHEMA,
+            .applyInPandasWithState(update, OUT_SCHEMA, schema,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))

@@ -90,3 +90,51 @@ def test_streaming_attribution_cent_conservation(spark, sf_dir,
            .filter(F.col("tot") != F.col("cents")).count())
     assert bad == 0
     assert alloc.count() > 0
+
+
+def test_streaming_attribution_idle_state_evicted(spark, tmp_path):
+    """Touches older than watermark − 24 h can never re-enter any
+    future purchase's lookback, so a quiet user's state must vanish
+    (r10 verdict task 7) — observed via the state-store row count."""
+    import os
+
+    from bigarrays_jl_spark.operators.round10g import ATTR_WINDOW_S
+
+    t = dt.datetime(2020, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def noop(hours, i):
+        return mk([(-1, -100 - i, "noop",
+                    t + dt.timedelta(hours=hours), 0.0, "{}")])
+
+    batches = [
+        mk([(1, 1, "view", t, 0.0, '{"k": 1}'),
+            (1, 2, "view", t + dt.timedelta(minutes=5), 0.0, '{"k": 2}')]),
+        noop(1, 0),    # wm→00:05: views finalize into the touch list
+        noop(26, 1),   # wm→01:00: TTL armed at 00:05+24h, not yet due
+        noop(27, 2),   # wm→26:00: TTL fires → touches pruned, state gone
+        noop(28, 3),   # one more batch so metrics reflect the removal
+    ]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_attribution(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName("t_attr_ttl").option("checkpointLocation", ckpt).start())
+    totals = []
+    try:
+        for df in batches:
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            prog = q.lastProgress
+            if prog and prog["stateOperators"]:
+                totals.append(prog["stateOperators"][0]["numRowsTotal"])
+    finally:
+        q.stop()
+    assert ATTR_WINDOW_S == 24 * 3600          # the proof's constant
+    assert totals and totals[1] >= 1           # touches held while live
+    assert totals[-1] == 0, totals             # …and evicted when idle
+    # no spurious allocations were emitted by the eviction machinery
+    assert spark.sql("SELECT * FROM t_attr_ttl").count() == 0

@@ -108,3 +108,55 @@ def test_streaming_runout_prefix_equals_batch_prefix(spark, sf_dir,
             bal = nb
         want[u] = (len(ds), so, bal)
     assert got == want
+
+
+def test_streaming_runout_idle_ttl_evicts_and_restarts(spark, tmp_path):
+    """With ``idle_ttl_s`` set, a quiet user's state is dropped after
+    the TTL (the pre-eviction snapshot was already emitted) and a later
+    reappearance restarts the recurrence from zero — the documented
+    re-admission contract.  Without the TTL the recurrence continues."""
+    import os
+
+    from bigarrays_jl_spark.operators.round10g import VQ
+
+    t = dt.datetime(2020, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def noop(minutes, i):
+        return mk([(-1, -100 - i, "noop",
+                    t + dt.timedelta(minutes=minutes), 0.0)])
+
+    batches = [
+        mk([(1, 1, "click", t, 5.0),                       # +5
+            (1, 2, "purchase", t + dt.timedelta(minutes=10), 10.0)]),
+        noop(120, 0),     # wm→00:10: both moves finalize, snapshot out
+        noop(150, 1),     # wm→02:00: TTL (1 h past 00:10) fires → evict
+        mk([(1, 3, "click", t + dt.timedelta(minutes=180), 3.0)]),
+        noop(300, 2),     # wm→02:30 admits the 03:00 move
+        noop(330, 3),     # wm→05:00: timeout finalizes it
+    ]
+
+    def run(name, **kw):
+        src, ckpt = str(tmp_path / f"src_{name}"), str(tmp_path / f"ck_{name}")
+        os.makedirs(src, exist_ok=True)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (streaming_stock_runout(stream, **kw).writeStream
+             .outputMode("append").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt).start())
+        try:
+            for df in batches:
+                df.coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted((r["n_moves"], r["n_stockouts"], r["final_balance"])
+                      for r in spark.sql(f"SELECT * FROM {name}").collect()
+                      if r["user_id"] == 1)
+
+    # TTL on: balance restarts from zero after eviction (n resets too)
+    assert run("t_ttl", idle_ttl_s=3600) == \
+        [(1, 0, 3 * VQ), (2, 1, 0)]
+    # TTL off (default): the recurrence continues across the quiet gap
+    assert run("t_nottl") == [(2, 1, 0), (3, 1, 3 * VQ)]
