@@ -1,0 +1,78 @@
+"""Oracle-artifact staleness guard (r10 verdict task 3).
+
+The full-registry artifacts (ORACLE_FULL.json, ORACLE_FULL_SF01.json)
+record the commit they were generated at (``commit`` key, stamped by
+check_oracle.py --json).  This check fails when any commit AFTER that
+one touches registry-affecting code — the operator modules, the source
+loaders, the driver contract, or the oracle harness itself — i.e. when
+the artifact no longer proves anything about HEAD.
+
+Round-close checklist:
+
+    python tools/check_oracle.py --json ORACLE_FULL.json /root/testdata/sf0.01
+    python tools/check_oracle.py --json ORACLE_FULL_SF01.json /root/testdata/sf0.1
+    python tools/check_artifact_fresh.py          # must exit 0
+
+Exit codes: 0 fresh, 1 stale/unverifiable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACTS = ("ORACLE_FULL.json", "ORACLE_FULL_SF01.json")
+# paths whose changes can alter any registry query's plan or result
+REGISTRY_PATHS = ("bigarrays_jl_spark/", "__spark_entry__.py",
+                  "tools/check_oracle.py")
+
+
+def _git(*argv: str) -> str:
+    return subprocess.run(["git", *argv], capture_output=True, text=True,
+                          cwd=REPO, check=True).stdout.strip()
+
+
+def check(path: str) -> list[str]:
+    """Problems for one artifact ([] = fresh)."""
+    full = os.path.join(REPO, path)
+    if not os.path.exists(full):
+        return [f"{path}: missing"]
+    with open(full) as f:
+        art = json.load(f)
+    commit = art.get("commit")
+    if not commit:
+        return [f"{path}: no generating-commit stamp (regenerate with "
+                "the current tools/check_oracle.py)"]
+    try:
+        _git("cat-file", "-e", f"{commit}^{{commit}}")
+    except subprocess.CalledProcessError:
+        return [f"{path}: stamped commit {commit[:12]} unknown to this repo"]
+    stale = _git("log", "--oneline", f"{commit}..HEAD", "--",
+                 *REGISTRY_PATHS)
+    if stale:
+        lines = stale.splitlines()
+        return [f"{path}: {len(lines)} registry-touching commit(s) after "
+                f"{commit[:12]}:"] + [f"  {ln}" for ln in lines]
+    if art.get("n_failures", 1) != 0:
+        return [f"{path}: records {art['n_failures']} failures"]
+    return []
+
+
+def main() -> int:
+    problems = []
+    for a in ARTIFACTS:
+        problems += check(a)
+    if problems:
+        print("STALE oracle artifacts:")
+        print("\n".join(problems))
+        return 1
+    print("oracle artifacts fresh: generated at HEAD-equivalent registry "
+          "state, 0 failures")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -217,9 +217,21 @@ def main():
           else "\nall queries match")
     if json_out:
         import json
+        import subprocess
+        # stamp the generating commit so tools/check_artifact_fresh.py
+        # can fail the round-close when registry-touching commits
+        # postdate the artifact (r10 verdict task 3)
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).stdout.strip() or None
+        except OSError:
+            commit = None
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_queries": len(report),
-                       "n_failures": len(failures), "queries": report},
+                       "n_failures": len(failures), "commit": commit,
+                       "queries": report},
                       f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
