@@ -17,7 +17,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10c, round10d, round10e,
                                           round10f, round10g, round10h,
                                           round10i, round10j, round10k,
-                                          round10l, round10m,
+                                          round10l, round10m, round11,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -26,7 +26,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           volume_analytics, volume_channels,
                                           volume_components, volume_qc,
                                           volume_pyramid, volume_rag,
-                                          volume_seg)
+                                          volume_seg, volume_stencil)
 
 # ordering is the driver-grading contract: new modules (graph/temporal/
 # retrieval round 8, tpch_deep round 9) append AFTER extensions so
@@ -39,7 +39,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_components, asof_directions, tpch_final, round10,
             round10b, round10c, round10d, volume_rag, round10e,
             volume_agglo, round10f, round10g, round10h, round10i,
-            round10j, round10k, round10l, volume_qc, round10m, tpch_canon)
+            round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
+            round11, volume_stencil)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -524,3 +524,40 @@ def test_q96_q14_shape_single_fact_scan_broadcast_part(spark, sf_dir):
     # ONE lineitem scan: both conditional sums ride the same aggregation
     assert plan.count("lineitem") <= plan.count("part") + 2
     assert sum(1 for rs in read_schemas(df) if "l_extendedprice" in rs) == 1
+
+
+def test_round11_plan_shapes(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round11 import (
+        chi2_type_dow, interval_overlap_join, sample_weighted_exact)
+    df = sample_weighted_exact(spark, sf_dir)
+    plan = simple_plan(df)
+    # A-RES top-k rides a heap, never a global sort of the corpus;
+    # the only single-partition stage is the 50-row rank window
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    df2 = interval_overlap_join(spark, sf_dir)
+    p2 = simple_plan(df2)
+    # non-equi overlap predicate → broadcast NESTED-LOOP with the tiny
+    # burst table built, never a cartesian of two shuffled sides
+    assert "BroadcastNestedLoopJoin" in p2, p2
+    assert "CartesianProduct" not in p2, p2
+    df3 = chi2_type_dow(spark, sf_dir)
+    assert has_broadcast_join(df3)         # marginals broadcast
+    assert has_partial_aggregation(df3)
+
+
+def test_volume_stencil_shuffles_surface_only(spark, sf_dir):
+    """The halo exchange ships chunk-surface voxels, never the volume:
+    interior voxels reduce inside the UDF to per-slice rows."""
+    from bigarrays_jl_spark.operators.volume_stencil import (
+        BOX, _stencil_stream)
+    from bigarrays_jl_spark.operators.advanced import demo_volume
+    vol = demo_volume(spark)
+    stream = _stencil_stream(vol, BOX)
+    kinds = {r["kind"]: r["n"] for r in
+             stream.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    # 64 chunks of 16³: surface 16³−14³ = 1352/chunk partials
+    assert kinds[1] < 64 * (1352 + 6 * 256) + 1    # partials + 6 faces
+    assert kinds[0] == 64 * 14                     # interior slice rows
+    n_vox = 64 ** 3
+    assert kinds[1] < n_vox, "halo traffic must be sub-volume"
