@@ -384,12 +384,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     pairs = sim_lsh_pairs(spark, sf)  # (vec_a, vec_b, cosine >= threshold)
     docs = load(spark, sf, "documents").select("doc_id", "source")
     da, db = docs.alias("da"), docs.alias("db")
-    # the pair table is the tiny side after the cosine filter — IT
-    # broadcasts into the (corpus-sized) documents scans, never the
-    # other way around: broadcasting docs would ship the whole corpus
-    # through the driver at scale
-    j1 = da.join(F.broadcast(pairs), F.col("da.doc_id") == F.col("vec_a"))
-    return (db.join(F.broadcast(j1), F.col("db.doc_id") == F.col("vec_b"))
+    # the pair table is USUALLY the tiny side after the cosine filter —
+    # but its size is data-dependent (a dup-saturated corpus makes it
+    # huge), so the join strategy is left to AQE, which broadcasts at
+    # the observed runtime size and falls back to a shuffle join when
+    # the filter wasn't selective.  A forced broadcast here OOM'd the
+    # r11 sf1 scale proof on an adversarially saturated corpus; never
+    # force-broadcast a data-dependent-cardinality relation.
+    j1 = da.join(pairs, F.col("da.doc_id") == F.col("vec_a"))
+    return (db.join(j1, F.col("db.doc_id") == F.col("vec_b"))
                  .select(F.col("vec_a").alias("keep_id"),
                          F.col("vec_b").alias("dup_id"),
                          "cosine",

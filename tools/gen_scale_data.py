@@ -204,13 +204,26 @@ def gen(spark: SparkSession, mult: int, out: str) -> None:
     w(docs.select("doc_id", "text", "lang", "source",
                   F.length("text").alias("n_chars")), "documents")
 
+    # embeddings mirror the REAL corpus structure (measured at sf0.1):
+    # isotropic unit-norm vectors with NO label-cosine clustering
+    # (labels are arbitrary there: same-label mean cosine 0.0) and no
+    # exact near-dups (zero pairs ≥ 0.9) — cosine between vectors is
+    # ~N(0, 1/64), giving the same ~0.75 % pair density at the 0.3
+    # demo threshold.  Noise must be HASH-mixed per (id, dim): a sin of
+    # a linear phase aliases into thousands of accidental
+    # near-identical pairs (three-distance theorem), which made the
+    # first sf1 corpus near-dup-saturated and OOM'd every pair operator
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.hash(F.col("id") * 64 + j, F.lit(SEED)),
+                          F.lit(1_000_003)).cast("double")
+                   / 500001.5 - 1.0))
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
     w(spark.range(0, n_emb, 1, par).select(
         F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j: (F.sin(F.col("id") * 7919 + j * 104729) * 3
-                       + F.when(j == (F.col("id") % 10), 3.0).otherwise(0.0)
-                       ).cast("float")).alias("embedding"),
+        F.transform(raw, lambda x: (x / norm).cast("float"))
+        .alias("embedding"),
         (F.col("id") % 10).cast("int").alias("label")), "embeddings")
 
 

@@ -73,6 +73,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             rows[name] = {"err": str(e)[:300]}
             print(f"ERR  {name}: {e}", file=sys.stderr)
+            # an executor OOM can kill the whole local JVM — rebuild
+            # the session so one pathological query can't void the
+            # measurements of everything after it
+            if spark.sparkContext._jsc.sc().isStopped():
+                print("# SparkContext died — rebuilding", file=sys.stderr)
+                spark.stop()
+                spark = get_spark("scale-proof-recovered")
             continue
         ratio = round(t_big / max(t_small, 1e-9), 2)
         rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "ratio": ratio}
