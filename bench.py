@@ -62,6 +62,11 @@ SECONDARY = [
     "q86_kaplan_meier", "q87_autocorr", "q88_cohort_ltv",
     "volume_slice_qc", "volume_slice_ncc",
     "q89_stratified_effect", "q90_benford", "q91_dow_seasonality",
+    "q92_priority_count", "q93_revenue_delta", "q94_returned_item_top20",
+    "q95_priority_by_class", "q96_promo_share",
+    "chi2_type_dow", "sample_weighted_exact", "interval_overlap_join",
+    "volume_stencil_smooth", "ks_two_sample", "wilson_error_ci",
+    "theil_sen_slope", "mann_whitney_u", "events_twap",
 ]
 
 
