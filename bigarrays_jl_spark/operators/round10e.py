@@ -109,14 +109,13 @@ FROM isl GROUP BY 1
 
 def _lower_median(hist: DataFrame, group: str, val: str,
                   cnt: str, out: str) -> DataFrame:
-    """Smallest ``val`` per ``group`` with 2·cum(count) ≥ total."""
-    w_cum = (Window.partitionBy(group).orderBy(val)
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy(group)
-    return (hist.withColumn("cum", F.sum(cnt).over(w_cum))
-            .withColumn("tot", F.sum(cnt).over(w_all))
-            .filter(2 * F.col("cum") >= F.col("tot"))
-            .groupBy(group).agg(F.min(val).alias(out)))
+    """Smallest ``val`` per ``group`` with 2·cum(count) ≥ total —
+    bucketed two-phase pick, so no task ever windows a group's whole
+    value domain (r11: the old per-flag window was the 4.8× family in
+    the sf1 scale proof; the bucket pick is bit-identical by the
+    monotone-bucket offset argument in ordering.py)."""
+    from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+    return bucketed_quantile_pick(hist, group, val, cnt, 1, 2, out)
 
 
 def q70_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:

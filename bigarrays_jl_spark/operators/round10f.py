@@ -100,14 +100,13 @@ GROUP BY 1, 2
 
 def _lower_quantile(hist: DataFrame, num: int, den: int,
                     out: str) -> DataFrame:
-    """Smallest cents per flag with den·cum ≥ num·tot."""
-    w_cum = (Window.partitionBy("l_returnflag").orderBy("cents")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy("l_returnflag")
-    return (hist.withColumn("cum", F.sum("w").over(w_cum))
-            .withColumn("tot", F.sum("w").over(w_all))
-            .filter(den * F.col("cum") >= num * F.col("tot"))
-            .groupBy("l_returnflag").agg(F.min("cents").alias(out)))
+    """Smallest cents per flag with den·cum ≥ num·tot — bucketed
+    two-phase pick (ordering.bucketed_quantile_pick), bit-identical to
+    the naive per-flag window without ever funneling a flag's whole
+    distinct-cents domain through one task (the 4.9× sf1 family)."""
+    from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+    return bucketed_quantile_pick(hist, "l_returnflag", "cents", "w",
+                                  num, den, out)
 
 
 def q72_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:

@@ -561,3 +561,31 @@ def test_volume_stencil_shuffles_surface_only(spark, sf_dir):
     assert kinds[0] == 64 * 14                     # interior slice rows
     n_vox = 64 ** 3
     assert kinds[1] < n_vox, "halo traffic must be sub-volume"
+
+
+def test_bucketed_quantile_pick_no_whole_domain_window(spark, sf_dir):
+    """The q70/q72 quantile picks must never window a group's whole
+    value domain through one task: every window is partitioned by
+    (group, bucket) or (group) over ≤ n_buckets offset rows, and the
+    answer is bit-identical to the naive single-window rule."""
+    from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+    from bigarrays_jl_spark.sources.tables import load
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    hist = li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("w"))
+    got = bucketed_quantile_pick(hist, "l_returnflag", "cents", "w",
+                                 1, 2, "q")
+    plan = simple_plan(got)
+    assert "Exchange SinglePartition" not in plan, plan
+    from pyspark.sql import Window as SW
+    w_cum = (SW.partitionBy("l_returnflag").orderBy("cents")
+             .rowsBetween(SW.unboundedPreceding, 0))
+    w_all = SW.partitionBy("l_returnflag")
+    ref = (hist.withColumn("cum", F.sum("w").over(w_cum))
+           .withColumn("tot", F.sum("w").over(w_all))
+           .filter(2 * F.col("cum") >= F.col("tot"))
+           .groupBy("l_returnflag").agg(F.min("cents").alias("q")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
