@@ -67,6 +67,7 @@ SECONDARY = [
     "chi2_type_dow", "sample_weighted_exact", "interval_overlap_join",
     "volume_stencil_smooth", "ks_two_sample", "wilson_error_ci",
     "theil_sen_slope", "mann_whitney_u", "events_twap",
+    "kmv_distinct_users", "markov_backtest", "text_zipf_fit",
 ]
 
 
