@@ -58,9 +58,15 @@ def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
            .select("event_type", F.col("h").alias("kth")))
     exact = (e.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n_exact")))
-    est = (F.lit(float(KMV_K - 1))
-           / (F.col("kth").cast("double") / F.lit(float(2 ** HASH_BITS))))
-    return (exact.join(kth, "event_type")
+    # sub-k keys (a corpus with fewer than k distinct users) estimate
+    # exactly by fill count — the standard KMV small-cardinality case,
+    # and what the streaming twin reports before its sketch fills
+    est = (F.when(F.col("kth").isNull(),
+                  F.col("n_exact").cast("double"))
+           .otherwise(F.lit(float(KMV_K - 1))
+                      / (F.col("kth").cast("double")
+                         / F.lit(float(2 ** HASH_BITS)))))
+    return (exact.join(kth, "event_type", "left")
             .select("event_type",
                     F.col("n_exact").cast("bigint").alias("n_exact"),
                     F.round(est, 4).alias("kmv_estimate"),
@@ -91,14 +97,18 @@ kth AS (
 exact AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact FROM e GROUP BY 1)
 SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
-       round(CAST({KMV_K - 1} AS DOUBLE)
-             / (CAST(kth AS DOUBLE) / CAST({2 ** HASH_BITS} AS DOUBLE)), 4)
+       round(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+             ELSE CAST({KMV_K - 1} AS DOUBLE)
+                  / (CAST(kth AS DOUBLE)
+                     / CAST({2 ** HASH_BITS} AS DOUBLE)) END, 4)
          AS kmv_estimate,
-       round((CAST({KMV_K - 1} AS DOUBLE)
-              / (CAST(kth AS DOUBLE) / CAST({2 ** HASH_BITS} AS DOUBLE))
+       round((CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+              ELSE CAST({KMV_K - 1} AS DOUBLE)
+                   / (CAST(kth AS DOUBLE)
+                      / CAST({2 ** HASH_BITS} AS DOUBLE)) END
               - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
          AS rel_err
-FROM exact JOIN kth USING (event_type)
+FROM exact LEFT JOIN kth USING (event_type)
 """
 
 

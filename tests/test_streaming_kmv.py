@@ -1,0 +1,78 @@
+"""Streaming KMV distinct sketch vs the batch operator.
+
+The sketch state is commutative and idempotent-mergeable, so after ANY
+stream prefix — however the rows were batched, and even with replayed
+deliveries — the (kth_min, estimate) per type equals the batch
+operator over the same prefix.  No watermark discipline involved;
+that's the property that makes sketches the easy case at 100 TB."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.round11d import KMV_K, kmv_distinct_users
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.streaming.kmv import streaming_kmv_distinct
+
+EVENT_SCHEMA = "event_type string, user_id long, ts timestamp"
+
+
+def _run(spark, tmp_path, files, name):
+    import os
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (streaming_kmv_distinct(stream).writeStream
+         .outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        for df in files:
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
+    e = (load(spark, sf_dir, "events")
+         .select("event_type", "user_id", "ts",
+                 F.col("event_id").alias("eid")))
+    lo, hi = e.agg(F.min("eid"), F.max("eid")).first()
+    cut = lo + (hi - lo) // 2
+    batches = [
+        e.filter(F.col("eid") <= cut).drop("eid"),
+        e.filter(F.col("eid") > cut).drop("eid"),
+        # replay the first half: set semantics must make it a no-op
+        e.filter(F.col("eid") <= cut).drop("eid"),
+    ]
+    out = _run(spark, tmp_path, batches, "t_kmv").collect()
+    # freshest snapshot per type = the row with the most minima, then
+    # the smallest kth (kth_min is non-increasing as the sketch fills)
+    latest = {}
+    for r in out:
+        cur = latest.get(r["event_type"])
+        key = (r["n_mins"], -(r["kth_min"] or 0))
+        if cur is None or key > (cur["n_mins"], -(cur["kth_min"] or 0)):
+            latest[r["event_type"]] = r
+    want = {r["event_type"]: r
+            for r in kmv_distinct_users(spark, sf_dir).collect()}
+    assert set(latest) == set(want)
+    for t, w in want.items():
+        got = latest[t]
+        assert got["n_mins"] == min(KMV_K, w["n_exact"])
+        assert abs(got["kmv_estimate"] - w["kmv_estimate"]) < 1e-9, \
+            (t, got["kmv_estimate"], w["kmv_estimate"])
+
+
+def test_streaming_kmv_small_sketch_prefix(spark, tmp_path):
+    """Below k distinct users the 'estimate' is the exact fill count."""
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("view", i % 5, t) for i in range(40)], EVENT_SCHEMA)
+    out = _run(spark, tmp_path, [df], "t_kmv_small").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_mins"] == 5 and r["kth_min"] is None
+    assert r["kmv_estimate"] == 5.0
