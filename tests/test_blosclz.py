@@ -270,3 +270,44 @@ def test_encoder_fuzz_roundtrip():
             data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
         frame = blosclz.compress(data, typesize=ts)
         assert blosclz.decompress(frame) == data, (trial, n, ts)
+
+
+def test_blosclz_layer_writes_compressed_and_roundtrips(spark, tmp_path):
+    """A layer WRITTEN as blosclz must cost compressed-size storage
+    (the r10 'storage cost only' residual, closed): segmentation-like
+    chunks come out several times smaller than raw, export produces
+    reference-readable loose files of the same compressed size, and
+    the re-import cutouts byte-identically."""
+    import os
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "segmentation", "data_type": "uint32",
+        "scales": [{"encoding": "blosclz", "chunk_sizes": [[32, 32, 32]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [64, 32, 32]}]})
+    vol = Volume.create(spark, str(tmp_path / "v"), info)
+    # blocky labels — the compressible shape segmentation data has
+    a = np.repeat(np.arange(512, dtype=np.uint32), 128).reshape(
+        (64, 32, 32))
+    vol.write(a, (0, 0, 0))
+    raw_chunk = 32 * 32 * 32 * 4
+    sizes = [len(r["payload"]) for r in
+             vol.chunks_df().select("payload").collect()]
+    assert len(sizes) == 2
+    assert all(s < raw_chunk // 3 for s in sizes), sizes
+    out, _ = vol.cutout(((0, 64), (0, 32), (0, 32)))
+    np.testing.assert_array_equal(out, a)
+    # export → loose files keep the compressed payloads as stored
+    dest = tmp_path / "exported"
+    assert vol.export_precomputed(str(dest)) == 2
+    files = [f for f in os.listdir(dest / "1_1_1")]
+    assert sorted(os.path.getsize(dest / "1_1_1" / f)
+                  for f in files) == sorted(sizes)
+    # …and the reference-format layer re-imports byte-identically
+    vol2 = Volume.import_precomputed(spark, str(dest),
+                                     str(tmp_path / "reimported"))
+    out2, _ = vol2.cutout(((0, 64), (0, 32), (0, 32)))
+    np.testing.assert_array_equal(out2, a)
