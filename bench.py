@@ -68,6 +68,7 @@ SECONDARY = [
     "volume_stencil_smooth", "ks_two_sample", "wilson_error_ci",
     "theil_sen_slope", "mann_whitney_u", "events_twap",
     "kmv_distinct_users", "markov_backtest", "text_zipf_fit",
+    "type_corr_matrix", "fk_reconciliation", "q97_share_of_parent",
 ]
 
 

@@ -19,6 +19,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10i, round10j, round10k,
                                           round10l, round10m, round11,
                                           round11b, round11c, round11d,
+                                          round11e,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -41,7 +42,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10b, round10c, round10d, volume_rag, round10e,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
-            round11, volume_stencil, round11b, round11c, round11d)
+            round11, volume_stencil, round11b, round11c, round11d,
+            round11e)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
