@@ -294,3 +294,58 @@ def test_band_bits_monotone_and_pinned():
         b = band_bits_for(10 ** e)
         assert b >= prev
         prev = b
+
+
+# -- blosclz encoder round-trip over adversarial byte streams ------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000),
+       st.integers(min_value=1, max_value=17),
+       st.integers(min_value=0, max_value=3))
+def test_blosclz_compress_roundtrip_property(data, typesize, motif):
+    """compress→decompress is the identity for ANY byte string and
+    typesize, including repeated-motif inputs that stress the match
+    emitter's length-extension and RLE paths."""
+    from bigarrays_jl_spark import blosclz
+    if motif and data:
+        data = (data * (motif * 40))[:120_000]
+    frame = blosclz.compress(data, typesize=typesize)
+    assert blosclz.decompress(frame) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),            # group
+                          st.integers(-5000, 5000),     # value
+                          st.integers(1, 50)),          # weight
+                min_size=1, max_size=300),
+       st.sampled_from([(1, 2), (1, 20), (19, 20), (1, 10), (9, 10),
+                        (1, 4), (3, 4)]))
+def test_bucketed_quantile_pick_equals_python_oracle(cells, numden):
+    """den·cum ≥ num·tot picks from the bucketed two-level plan equal
+    a pure-Python cumulative scan for arbitrary grouped histograms."""
+    from collections import defaultdict
+
+    from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+    from bigarrays_jl_spark.session import get_spark
+    num, den = numden
+    # collapse duplicate (group, value) rows like a real histogram
+    agg = defaultdict(int)
+    for g, v, w in cells:
+        agg[(g, v)] += w
+    rows = [(g, v, w) for (g, v), w in agg.items()]
+    spark = get_spark("prop-quantile")
+    hist = spark.createDataFrame(rows, "g int, v long, w long")
+    got = {r["g"]: r["q"] for r in
+           bucketed_quantile_pick(hist, "g", "v", "w", num, den, "q",
+                                  n_buckets=7).collect()}
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        pts = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in pts)
+        cum = 0
+        for v, w in pts:
+            cum += w
+            if den * cum >= num * tot:
+                want[g] = v
+                break
+    assert got == want
