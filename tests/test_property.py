@@ -349,3 +349,29 @@ def test_bucketed_quantile_pick_equals_python_oracle(cells, numden):
                 want[g] = v
                 break
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2 ** 24 - 1),
+                          st.sampled_from([1, 2, 4])),
+                min_size=2, max_size=40))
+def test_ares_integer_keys_order_embed_float_priorities(pairs):
+    """The sampler's exact integer keys U^(4/w)·2^(96−24·(4/w)) must
+    rank identically to the textbook A-RES float priority u^(1/w)
+    (u = U/2²⁴) — the order-embedding claim round11.py rests on."""
+    import math
+    def int_key(u, w):
+        e = 4 // w
+        return (u ** e) * (1 << (96 - 24 * e))
+    def float_key(u, w):
+        return math.pow(u / 2.0 ** 24, 1.0 / w)
+    ints = sorted(range(len(pairs)),
+                  key=lambda i: (int_key(*pairs[i]), i))
+    floats = sorted(range(len(pairs)),
+                    key=lambda i: (float_key(*pairs[i]), i))
+    # strict order must agree wherever float priorities are distinct;
+    # compare via the exact keys of the float-sorted sequence being
+    # non-decreasing (ties in float can permute equal-exact keys only)
+    int_seq = [int_key(*pairs[i]) for i in floats]
+    assert all(a <= b for a, b in zip(int_seq, int_seq[1:])), \
+        (pairs, ints, floats)
