@@ -37,6 +37,10 @@ SLOW_SECONDARY = [
     "q72_winsorized_mean", "q75_stock_runout", "q76_attribution",
     "entity_res_golden", "text_bm25", "q89_stratified_effect",
     "dedup_ngram_jaccard",
+    # r11 additions with scale-interesting shapes
+    "volume_stencil_smooth", "interval_overlap_join", "chi2_type_dow",
+    "ks_two_sample", "mann_whitney_u", "kmv_distinct_users",
+    "theil_sen_slope", "sample_weighted_exact",
 ]
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join over a corpus the
