@@ -22,6 +22,12 @@ PARTITION_SENSITIVE = [
     "q42_stats_aggs",           # decimal power sums
     "graph_pagerank_lsh",       # iterated rank/deg decimal sums (r9)
     "q51_top_supplier",         # decimal revenue + global-max equality (r9)
+    "chi2_type_dow",            # round-9 decimal cell sums (r11)
+    "q70_mad_outliers",         # bucketed two-level quantile picks (r11)
+    "sample_weighted_exact",    # exact integer A-RES ranking (r11)
+    "ks_two_sample",            # integer sup-norm over cum window (r11)
+    "theil_sen_slope",          # per-pair IEEE slopes + median pick (r11)
+    "text_zipf_fit",            # round-9 decimal OLS moments (r11)
 ]
 
 
