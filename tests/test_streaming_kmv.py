@@ -76,3 +76,44 @@ def test_streaming_kmv_small_sketch_prefix(spark, tmp_path):
     r = out[0]
     assert r["n_mins"] == 5 and r["kth_min"] is None
     assert r["kmv_estimate"] == 5.0
+
+
+def test_streaming_kmv_survives_restart(spark, tmp_path):
+    """Stop the query, restart from the same checkpoint, feed more
+    data: sketch state must carry across the restart (state-store
+    continuity, not a from-scratch refit).  Parquet sink — the memory
+    sink doesn't support checkpoint recovery."""
+    import hashlib
+    import os
+
+    t = dt.datetime(2024, 1, 1)
+    src, out, ckpt = (str(tmp_path / "src"), str(tmp_path / "out"),
+                      str(tmp_path / "ckpt"))
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (streaming_kmv_distinct(stream).writeStream
+             .outputMode("append").format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([("view", u, t) for u in range(100)],
+                          EVENT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame([("view", u, t) for u in range(100, 200)],
+                          EVENT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = max(rows, key=lambda r: (r["n_mins"], -(r["kth_min"] or 0)))
+    # the post-restart sketch must reflect ALL 200 users, not just the
+    # 100 fed after the restart: kth == k-th smallest md5 over all 200
+    assert latest["n_mins"] == KMV_K
+    hs = sorted(int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                for u in range(200))
+    assert latest["kth_min"] == hs[KMV_K - 1]
