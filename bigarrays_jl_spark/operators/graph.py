@@ -122,9 +122,15 @@ _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _knn_edges_cached(spark: SparkSession, sf: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf)
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
     df = _EDGE_CACHE.get(key)
     if df is None:
+        # evict entries from dead applications first: a long-lived
+        # driver spanning many Spark apps would otherwise accumulate
+        # stale DataFrame handles (and pin their lineage) forever
+        for k in [k for k in _EDGE_CACHE if k[0] != app]:
+            del _EDGE_CACHE[k]
         df = _knn_edges(spark, sf).localCheckpoint(eager=True)
         _EDGE_CACHE[key] = df
     return df

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.functions import dot as _dot
 from bigarrays_jl_spark.functions import norm2 as _norm2
+from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
 from bigarrays_jl_spark.operators.retrieval import TEXT_BM25_SQL, text_bm25
 from bigarrays_jl_spark.operators.volume_seg import (SEG_BLOCK, SEG_SIDE,
                                                      demo_seg_volume)
@@ -102,22 +103,34 @@ FROM cls GROUP BY 1
 
 
 def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
-    bm = text_bm25(spark, sf)
-    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    rb = bm.select("doc_id", F.row_number().over(wb).alias("r_bm25"))
+    """Reciprocal-rank fusion of the BM25 and brute-force-cosine legs.
+
+    Both legs' global ranks are distributed_prefix_sums (ordering.py),
+    NOT whole-table ORDER BY windows: each leg ranks the ENTIRE corpus
+    against the query, and a bare row_number window funnels every
+    document/embedding through one task (Exchange SinglePartition).
+    The fused top-RRF_TOP is a TakeOrdered heap.  At 100 TB the ANN
+    leg would additionally cap itself via the IVF-routed
+    ann_cosine_topk cascade (similarity.py) before fusing; the exact
+    full-rank fusion here keeps the DuckDB oracle bit-identical."""
+    bm = text_bm25(spark, sf).withColumn("negb", -F.col("bm25"))
+    rb_df, _ = distributed_prefix_sum(
+        spark, bm, F.lit(1), "negb", "doc_id", out="r_bm25")
+    rb = rb_df.select("doc_id", F.col("r_bm25").cast("int").alias("r_bm25"))
     e = load(spark, sf, "embeddings")
     q = (e.filter(F.col("vec_id") == RRF_QID)
          .select(F.col("embedding").alias("qe")))
-    ra = (e.filter(F.col("vec_id") != RRF_QID)
-          .crossJoin(F.broadcast(q))
-          .withColumn("cosine", F.round(
-              _dot(F.col("qe"), F.col("embedding"))
-              / (F.sqrt(_norm2(F.col("qe")))
-                 * F.sqrt(_norm2(F.col("embedding")))), 6))
-          .select(F.col("vec_id").alias("doc_id"),
-                  F.row_number().over(
-                      Window.orderBy(F.col("cosine").desc(),
-                                     F.col("vec_id"))).alias("r_ann")))
+    scored = (e.filter(F.col("vec_id") != RRF_QID)
+              .crossJoin(F.broadcast(q))
+              .withColumn("cosine", F.round(
+                  _dot(F.col("qe"), F.col("embedding"))
+                  / (F.sqrt(_norm2(F.col("qe")))
+                     * F.sqrt(_norm2(F.col("embedding")))), 6))
+              .select(F.col("vec_id").alias("doc_id"),
+                      (-F.col("cosine")).alias("negc")))
+    ra_df, _ = distributed_prefix_sum(
+        spark, scored, F.lit(1), "negc", "doc_id", out="r_ann")
+    ra = ra_df.select("doc_id", F.col("r_ann").cast("int").alias("r_ann"))
     fused = (rb.join(ra, "doc_id", "full_outer")
              .select("doc_id", "r_bm25", "r_ann",
                      (F.coalesce(1.0 / (RRF_K + F.col("r_bm25")),

@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.operators.advanced import demo_volume
+from bigarrays_jl_spark.operators.advanced import (demo_volume,
+                                                   distributed_ntile)
 from bigarrays_jl_spark.sources.tables import load
 
 QQ_GRID = list(range(1, 20))        # 5% .. 95% in 20ths
@@ -127,6 +128,12 @@ FROM ev GROUP BY 1
 
 
 def q84_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM terciles — each of the three ntiles runs through
+    distributed_ntile (operators/advanced.py), not a whole-table
+    ORDER BY window: per-user rollups grow with the corpus, and a bare
+    global ntile plans as Exchange SinglePartition (one task holds
+    every user, three times).  DESC orders (freq, monetary) become ASC
+    on the negated column — identical total order, same oracle hash."""
     e = (load(spark, sf, "events")
          .filter(F.col("event_type") == "purchase")
          .select("user_id",
@@ -142,13 +149,15 @@ def q84_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
          .crossJoin(F.broadcast(ref))
          .select("user_id",
                  (F.col("ref_day") - F.col("last_day")).alias("recency"),
-                 "freq", "monetary"))
-    rb = F.ntile(3).over(Window.orderBy("recency", "user_id"))
-    fb = F.ntile(3).over(Window.orderBy(F.col("freq").desc(), "user_id"))
-    mb = F.ntile(3).over(Window.orderBy(F.col("monetary").desc(),
-                                        "user_id"))
-    seg = u.select("user_id", rb.alias("r"), fb.alias("f"),
-                   mb.alias("m"))
+                 "freq", "monetary",
+                 (-F.col("freq")).alias("neg_freq"),
+                 (-F.col("monetary")).alias("neg_monetary")))
+    seg = distributed_ntile(spark, u, 3, "recency", "user_id") \
+        .withColumnRenamed("tile", "r")
+    seg = distributed_ntile(spark, seg, 3, "neg_freq", "user_id") \
+        .withColumnRenamed("tile", "f")
+    seg = distributed_ntile(spark, seg, 3, "neg_monetary", "user_id") \
+        .withColumnRenamed("tile", "m")
     return (seg.groupBy("r", "f", "m")
             .agg(F.count("*").cast("bigint").alias("n_users"))
             .select(F.col("r").cast("int").alias("r"),

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
 from bigarrays_jl_spark.sources.tables import load
 
 SESSION_GAP_S = 1800
@@ -164,10 +165,20 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
 
     Sessions: per-user 30-min-gap sessionization (user-keyed window —
     co-partitioned, never global).  Bursts: error events padded to
-    [sec, sec+300] and merged by the classic cummax-island scan over
-    the error SUBSET, then broadcast into the session stream with the
-    overlap residual s₁ < e₂ ∧ s₂ < e₁.  Overlap seconds are pure
-    integer arithmetic."""
+    [sec, sec+PAD] and merged into islands WITHOUT the classic global
+    cummax window (the error subset of a 100 TB events table is still
+    corpus-proportional).  Because every padded interval has the SAME
+    length, the running max of interval ends degenerates to "previous
+    distinct error second + PAD", so an island START is exactly a
+    distinct error second with no other error second in [s−PAD, s) —
+    detectable with a bucketed self-anti-join (bucket width PAD, the
+    q29 two-bucket cover; linear, never a window).  Island ids are a
+    distributed_prefix_sum of the start flags (ordering.py, no
+    SinglePartition), and the session×burst overlap join is grid-
+    bucketed (both interval sets explode onto a coarse day grid and
+    join on bucket equality + the exact residual s₁<e₂ ∧ s₂<e₁,
+    deduped per pair) instead of broadcasting an unboundedly growing
+    burst table.  Overlap seconds are pure integer arithmetic."""
     ev = load(spark, sf, "events").select(
         "user_id", "event_id",
         F.col("ts").cast("long").alias("sec"),
@@ -183,31 +194,53 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("sec").alias("s_start"),
                  F.max("sec").alias("s_end")))
 
-    err = ev.filter(F.col("event_type") == "error").select(
-        "sec", "event_id", (F.col("sec") + BURST_PAD_S).alias("e_end"))
-    gw = W.orderBy("sec", "event_id")
-    prev_max = F.max("e_end").over(
-        gw.rowsBetween(W.unboundedPreceding, -1))
-    bursts = (err
-              .withColumn("new_b",
-                          F.when(prev_max.isNull()
-                                 | (F.col("sec") > prev_max), 1)
-                           .otherwise(0))
-              .withColumn("bid", F.sum("new_b").over(
-                  gw.rowsBetween(W.unboundedPreceding, 0)))
-              .groupBy("bid")
+    # islands over DISTINCT error seconds: duplicates at one second
+    # never start a new island and never move min/max, so the merge is
+    # invariant to collapsing them first (one shuffle, much smaller).
+    errs = (ev.filter(F.col("event_type") == "error")
+              .select("sec").distinct())
+    tgt = errs.withColumn("bk", F.floor(F.col("sec") / BURST_PAD_S)
+                          .cast("bigint"))
+    # any predecessor s2 ∈ [s−PAD, s) lives in bucket floor(s/PAD) or
+    # floor(s/PAD)−1, so exploding s2 to {its bucket, its bucket + 1}
+    # and joining on the target's bucket covers all candidates
+    pred = (errs.select(F.col("sec").alias("s2"))
+            .withColumn("bk", F.explode(F.array(
+                F.floor(F.col("s2") / BURST_PAD_S).cast("bigint"),
+                F.floor(F.col("s2") / BURST_PAD_S).cast("bigint") + 1))))
+    starts = (tgt.join(pred,
+                       (tgt["bk"] == pred["bk"])
+                       & (F.col("s2") >= F.col("sec") - BURST_PAD_S)
+                       & (F.col("s2") < F.col("sec")),
+                       "left_anti")
+              .select("sec", F.lit(1).alias("st")))
+    flagged = (errs.join(starts, "sec", "left")
+               .select("sec", F.coalesce("st", F.lit(0)).alias("st")))
+    ranked, _n_islands = distributed_prefix_sum(
+        spark, flagged, F.col("st"), "sec", "sec", out="bid")
+    bursts = (ranked.groupBy("bid")
               .agg(F.min("sec").alias("b_start"),
-                   F.max("e_end").alias("b_end")))
+                   (F.max("sec") + BURST_PAD_S).alias("b_end")))
 
-    j = sess.join(F.broadcast(bursts),
-                  (F.col("s_start") < F.col("b_end"))
-                  & (F.col("b_start") < F.col("s_end")))
+    grid = 86400  # coarse overlap grid: ≤ interval_days + 1 replicas
+    sg = sess.withColumn("gb", F.explode(F.sequence(
+        F.floor(F.col("s_start") / grid).cast("bigint"),
+        F.floor(F.col("s_end") / grid).cast("bigint"))))
+    bg = bursts.withColumn("gb", F.explode(F.sequence(
+        F.floor(F.col("b_start") / grid).cast("bigint"),
+        F.floor(F.col("b_end") / grid).cast("bigint"))))
+    pairs = (sg.join(bg, "gb")
+             .filter((F.col("s_start") < F.col("b_end"))
+                     & (F.col("b_start") < F.col("s_end")))
+             .select("user_id", "sid", "bid",
+                     "s_start", "s_end", "b_start", "b_end")
+             .distinct())
     overlap = (F.least("s_end", "b_end")
                - F.greatest("s_start", "b_start"))
-    return (j.groupBy("user_id")
-             .agg(F.countDistinct("bid").cast("bigint")
-                  .alias("n_bursts_hit"),
-                  F.sum(overlap).cast("bigint").alias("overlap_secs")))
+    return (pairs.groupBy("user_id")
+            .agg(F.countDistinct("bid").cast("bigint")
+                 .alias("n_bursts_hit"),
+                 F.sum(overlap).cast("bigint").alias("overlap_secs")))
 
 
 INTERVAL_OVERLAP_SQL = f"""

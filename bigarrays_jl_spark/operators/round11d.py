@@ -22,14 +22,15 @@
   (text_bigram_logprob's rule) so the five OLS moments are exact
   decimals and the slope closes in doubles once.
 
-Scale: KMV folds each type's user stream to k minima inside a
-TakeOrdered-per-group shape (groupBy-min over hash buckets is
-map-side combinable; the rank window runs over ≤ types × k candidate
-rows after a cheap pre-prune); the backtest reduces facts to per-user
-lead() transitions (user-keyed window), then to (type, next) cells;
-Zipf's regression input is the vocabulary-sized rank table (the
-31-word demo vocab; web corpora: ≤ a few million rows after the one
-token-count fold).
+Scale: KMV pre-prunes with a two-level top-K-min — per-(type,
+hash-range-bucket) counts (map-side combinable) pick the prefix of
+1024 ordered buckets covering the first k rows, so the per-type rank
+window sees ~k + n/1024 candidate rows instead of every distinct
+(type, user); the backtest reduces facts to per-user lead()
+transitions (user-keyed window), then to (type, next) cells; Zipf's
+global frequency rank is a distributed_prefix_sum (ordering.py), not
+a whole-vocabulary ORDER BY window — the vocabulary grows ~Heaps-law
+with the corpus.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
 from bigarrays_jl_spark.sources.tables import load
 
 KMV_K = 64
@@ -52,8 +54,30 @@ def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
          .withColumn("h", F.conv(F.substring(
              F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
              .cast("bigint")))
+    # exact k-th-min with a REAL pre-prune (not just a per-type window:
+    # one event type can hold most of a 100 TB corpus's users, so the
+    # bare rank window funnels that type through one task).  Two-level
+    # top-K-min: bucket h into NB ordered range slices (shiftright —
+    # exact, monotone in h), count per (type, bucket) — map-side
+    # combinable — then keep only the prefix of buckets needed to cover
+    # the first K rows (cum − c < K ⇒ the bucket still contributes).
+    # The cumulative window runs over ≤ NB rows per type (fixed domain,
+    # allowlisted); the rank window then sees ~K + n/NB candidate rows
+    # per type instead of every distinct (type, user).  Exact for ANY
+    # distribution: skew only widens the candidate set, never drops the
+    # true k-th minimum.
+    NB_SHIFT = HASH_BITS - 10                     # 1024 range buckets
+    b = e.withColumn("bk", F.shiftright(F.col("h"), NB_SHIFT))
+    cnt = b.groupBy("event_type", "bk").agg(F.count("*").alias("c"))
+    cw = (W.partitionBy("event_type").orderBy("bk")
+          .rowsBetween(W.unboundedPreceding, 0))
+    cut = (cnt.withColumn("cum", F.sum("c").over(cw))
+           .filter(F.col("cum") - F.col("c") < KMV_K)
+           .groupBy("event_type").agg(F.max("bk").alias("cut_bk")))
+    cand = b.join(F.broadcast(cut), "event_type") \
+            .filter(F.col("bk") <= F.col("cut_bk"))
     w = W.partitionBy("event_type").orderBy("h", "user_id")
-    kth = (e.withColumn("rn", F.row_number().over(w))
+    kth = (cand.withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") == KMV_K)
            .select("event_type", F.col("h").alias("kth")))
     exact = (e.groupBy("event_type")
@@ -176,14 +200,22 @@ GROUP BY event_type
 
 def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     """OLS slope of ln(freq) ~ ln(rank) over the corpus rank-frequency
-    table (a Zipfian corpus sits near −1); one row out."""
+    table (a Zipfian corpus sits near −1); one row out.
+
+    The global frequency rank is a distributed_prefix_sum (weight 1
+    over (−f, tok)), NOT a whole-table row_number window: vocabulary
+    grows ~Heaps-law with the corpus — hundreds of millions of types at
+    100 TB — and a bare ORDER BY window would funnel all of them
+    through one task (Exchange SinglePartition)."""
     toks = (load(spark, sf, "documents")
             .select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
                                       r"\s+")).alias("tok")))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
-    rw = W.orderBy(F.col("f").desc(), "tok")
+    freq = (toks.groupBy("tok").agg(F.count("*").alias("f"))
+            .withColumn("negf", -F.col("f")))
+    ranked_df, _total = distributed_prefix_sum(
+        spark, freq, F.lit(1), "negf", "tok", out="r")
     d9 = "decimal(28,9)"
-    ranked = (freq.withColumn("r", F.row_number().over(rw))
+    ranked = (ranked_df
               .select(F.round(F.log(F.col("r").cast("double")), 9)
                       .cast(d9).alias("x"),
                       F.round(F.log(F.col("f").cast("double")), 9)

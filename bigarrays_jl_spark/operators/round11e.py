@@ -135,33 +135,46 @@ def fk_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("unreferenced_parents"))
 
 
+# NOT EXISTS (not NOT IN): a referential-integrity audit exists to
+# survive dirty keys, and NOT IN returns zero rows the moment the
+# subquery holds a single NULL — diverging from the Spark side's
+# LEFT ANTI join, which counts NULL-key children as orphans exactly
+# like NOT EXISTS does.
 FK_SQL = """
 WITH rel AS (
   SELECT 'lineitem->orders' AS relation,
-         (SELECT count(*) FROM lineitem
-          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
            AS orphan_children,
-         (SELECT count(*) FROM orders
-          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey))
            AS unreferenced_parents
   UNION ALL
   SELECT 'lineitem->part',
-         (SELECT count(*) FROM lineitem
-          WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
-         (SELECT count(*) FROM part
-          WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey)),
+         (SELECT count(*) FROM part p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_partkey = p.p_partkey))
   UNION ALL
   SELECT 'lineitem->supplier',
-         (SELECT count(*) FROM lineitem
-          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
-         (SELECT count(*) FROM supplier
-          WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_suppkey = s.s_suppkey))
   UNION ALL
   SELECT 'orders->customer',
-         (SELECT count(*) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
-         (SELECT count(*) FROM customer
-          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)))
 SELECT relation, CAST(orphan_children AS BIGINT) AS orphan_children,
        CAST(unreferenced_parents AS BIGINT) AS unreferenced_parents
 FROM rel

@@ -74,8 +74,12 @@ def q92_priority_count(spark: SparkSession, sf: str) -> DataFrame:
                  & (F.col("o_orderdate") < F.lit(Q92_DATE_HI)))
          .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     l = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # timestamp-preserving add (date_add would truncate o_orderdate to
+    # DATE while the oracle adds INTERVAL to the full timestamp — they
+    # diverge the moment an order carries a non-midnight time-of-day)
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q92_LATE_DAYS))
+        F.col("l_shipdate") > F.col("o_orderdate")
+        + F.expr(f"INTERVAL {Q92_LATE_DAYS} DAYS"))
     return (o.join(l, late, "left_semi")
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("order_count")))

@@ -61,8 +61,20 @@ def check(path: str) -> list[str]:
     return []
 
 
+def working_tree_dirty() -> list[str]:
+    """Uncommitted (staged OR unstaged) edits to registry paths also
+    invalidate the artifacts — the code being verified is not the code
+    the artifact was generated from, even if no commit exists yet."""
+    dirty = _git("status", "--porcelain", "--", *REGISTRY_PATHS)
+    if not dirty:
+        return []
+    lines = dirty.splitlines()
+    return [f"working tree: {len(lines)} uncommitted registry edit(s):"] + \
+           [f"  {ln}" for ln in lines]
+
+
 def main() -> int:
-    problems = []
+    problems = working_tree_dirty()
     for a in ARTIFACTS:
         problems += check(a)
     if problems:
