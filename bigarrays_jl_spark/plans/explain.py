@@ -105,3 +105,46 @@ def uses_take_ordered(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen span count (wider spans = more fused operators)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def single_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes fed by an ``Exchange SinglePartition`` — the
+    one-task whole-table funnel that is correct at test scale and dead
+    at 100 TB (operators/ordering.py exists to eliminate it).
+
+    Walks the simple plan tree: for each ``Window``/``WindowGroupLimit``
+    node, follows its input chain (the Sort/Exchange nodes Spark inserts
+    to satisfy the window's required ordering/distribution) and reports
+    the window line when that chain contains a SinglePartition exchange.
+    Deeper SinglePartition exchanges (e.g. a global agg below a join
+    under the window) are NOT attributed to the window — only the
+    exchange that actually feeds it.
+    """
+    lines = simple_plan(df).splitlines()
+
+    def node(ln: str) -> tuple[int, str] | None:
+        m = re.search(r"\+- (?:\*\(\d+\) )?([A-Za-z]+)", ln)
+        if m:
+            return m.start(1), m.group(1)
+        m = re.match(r"(?:\*\(\d+\) )?([A-Za-z]+)", ln)  # root node
+        return (0, m.group(1)) if m else None
+
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        n = node(ln)
+        if n is None or not n[1].startswith("Window"):
+            continue
+        d = n[0]
+        for nxt in lines[i + 1:]:
+            m = node(nxt)
+            if m is None:
+                continue                      # vertical connector line
+            nd, name = m
+            if nd <= d:
+                break                         # left the window's subtree
+            if name not in ("Sort", "Exchange"):
+                break          # real input operator reached — chain ends
+            if name == "Exchange" and "SinglePartition" in nxt:
+                out.append(ln.strip())
+                break
+    return out
