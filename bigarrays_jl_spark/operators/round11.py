@@ -222,6 +222,19 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
               .agg(F.min("sec").alias("b_start"),
                    (F.max("sec") + BURST_PAD_S).alias("b_end")))
 
+    return overlap_aggregate(sess.select("user_id", "s_start", "s_end"),
+                             bursts.select("b_start", "b_end"))
+
+
+def overlap_aggregate(sess: DataFrame, bursts: DataFrame) -> DataFrame:
+    """Grid-bucketed session×burst overlap join + per-user rollup —
+    shared by the batch operator above and its streaming twin
+    (streaming/intervals.py), so both compute the identical final
+    stage over (user_id, s_start, s_end) sessions and (b_start, b_end)
+    bursts.  Bursts are disjoint islands, so b_start identifies a
+    burst; sessions are disjoint per user, so (user_id, s_start)
+    identifies a session — the grid-replica dedupe and the distinct
+    burst count need no surrogate ids."""
     grid = 86400  # coarse overlap grid: ≤ interval_days + 1 replicas
     sg = sess.withColumn("gb", F.explode(F.sequence(
         F.floor(F.col("s_start") / grid).cast("bigint"),
@@ -232,13 +245,12 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (sg.join(bg, "gb")
              .filter((F.col("s_start") < F.col("b_end"))
                      & (F.col("b_start") < F.col("s_end")))
-             .select("user_id", "sid", "bid",
-                     "s_start", "s_end", "b_start", "b_end")
+             .select("user_id", "s_start", "s_end", "b_start", "b_end")
              .distinct())
     overlap = (F.least("s_end", "b_end")
                - F.greatest("s_start", "b_start"))
     return (pairs.groupBy("user_id")
-            .agg(F.countDistinct("bid").cast("bigint")
+            .agg(F.countDistinct("b_start").cast("bigint")
                  .alias("n_bursts_hit"),
                  F.sum(overlap).cast("bigint").alias("overlap_secs")))
 

@@ -41,7 +41,44 @@ SLOW_SECONDARY = [
     "volume_stencil_smooth", "interval_overlap_join", "chi2_type_dow",
     "ks_two_sample", "mann_whitney_u", "kmv_distinct_users",
     "theil_sen_slope", "sample_weighted_exact",
+    # r12: the four de-funneled operators (interval_overlap_join is
+    # above) plus more scale-shaped families so the proof covers every
+    # ordering-primitive consumer and the LLM-pipeline legs
+    "q84_rfm_segments", "text_zipf_fit", "retrieval_rrf_hybrid",
+    "q28_ntile", "graph_lpa_lsh", "graph_triangles_lsh",
+    "pipeline_decontaminate", "pipeline_pack_sequences",
+    "semdedup_prune", "dsir_importance", "text_langid",
+    "q29_bucketed_range_join", "q65_pareto_frontier", "q86_kaplan_meier",
 ]
+# per-query notes for artifact ratios > 2× — fixed overhead vs growth
+# (r11 verdict task 3); keyed by name, written into the artifact
+RATIO_NOTES = {
+    "dedup_ngram_jaccard": "2.86×: the 31-word demo vocabulary makes "
+        "n-gram buckets dup-saturated, so candidate-pair output grows "
+        "faster than rows at 10×; the banded screen itself shuffles "
+        "linearly (dedup_minhash_pairs 1.42×) — output-bound, not a "
+        "plan defect",
+    "graph_pagerank_lsh": "2.56×: LSH edge discovery is linear; the "
+        "PageRank iterations shuffle the EDGE table 10×, and the "
+        "LSH-edge count grows ~1.9× per data 10× on this corpus — "
+        "edge-growth-bound, sub-linear in rows",
+    "chi2_type_dow": "2.53×: contingency fold is map-side; the delta "
+        "is the fixed two-pass expected-count join overhead amortizing "
+        "poorly at sf0.1's 0.3 s base — fixed overhead, not growth",
+    "q70_mad_outliers": "2.32×: distinct-cents domain saturates "
+        "(~1e5 at sf0.1 → ~1e6 at sf1) — domain growth that stops at "
+        "the ~1e7 price-cent ceiling, bucket-parallel since r11",
+    "text_bm25": "2.23×: postings (doc × term) grow super-row on the "
+        "31-word vocab (every doc hits every term); real corpora are "
+        "sparse — demo-vocab artifact",
+    "mann_whitney_u": "2.21×: same distinct-cents domain growth as "
+        "q70; the one allowlisted window's input saturates at the "
+        "cent-domain ceiling",
+    "ks_two_sample": "2.14×: same distinct-cents domain growth as q70",
+    "sim_lsh_pairs": "2.13×: banded LSH on the dup-saturated demo "
+        "corpus — bucket sizes grow with saturation; linear on "
+        "non-degenerate corpora (dedup_minhash_pairs 1.42×)",
+}
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join over a corpus the
 # 31-word shared vocabulary makes near-dup-SATURATED — its output (and
@@ -107,10 +144,16 @@ def main():
 
     bad = {k: v for k, v in rows.items()
            if v.get("ratio", 0) > RATIO_GATE or "err" in v}
+    for name, note in RATIO_NOTES.items():
+        if name in rows:
+            rows[name]["note"] = note
+    unexplained = [k for k, v in rows.items()
+                   if v.get("ratio", 0) > 2.0 and "note" not in v]
     summary = {
         "small": SMALL, "big": BIG, "ratio_gate": RATIO_GATE,
         "n_queries": len(rows), "n_super_linear_or_err": len(bad),
         "super_linear": sorted(bad), "excluded": EXCLUDED,
+        "unexplained_over_2x": unexplained,
         "queries": rows,
     }
     if json_out:
