@@ -34,6 +34,9 @@ from __future__ import annotations
 import struct
 
 MAX_DISTANCE = 8191           # blosclz.c
+# far-form ceiling: 16-bit escape payload + MAX_DISTANCE (blosclz.c's
+# MAX_FARDISTANCE, minus its off-by-one which the decoder here accepts)
+MAX_FARDISTANCE = 65535 + MAX_DISTANCE
 MEMCPYED = 0x2
 DOSHUFFLE = 0x1
 DOBITSHUFFLE = 0x4
@@ -226,20 +229,35 @@ def _emit_literals(out: bytearray, src: bytes, lo: int, hi: int) -> None:
 
 
 def _emit_match(out: bytearray, length: int, dist: int) -> None:
-    """Match token, near form only (dist ≤ 8190): ctrl packs
-    min(len−2, 7) in the high 3 bits and the distance high byte in the
-    low 5; code 7 extends with 255-terminated continuation bytes (sum =
-    len−9) BEFORE the distance low byte.  dist == 8191 is excluded at
-    the matcher so the (31<<8, 255) far-distance escape never fires."""
+    """Match token, both forms.
+
+    Near (dist ≤ 8190): ctrl packs min(len−2, 7) in the high 3 bits
+    and the distance high byte in the low 5; code 7 extends with
+    255-terminated continuation bytes (sum = len−9) BEFORE the
+    distance low byte.
+
+    Far (8191 ≤ dist ≤ MAX_FARDISTANCE): the (31<<8, 255) escape the
+    decoder already handles — low 5 bits all-ones, distance byte 255,
+    then the 16-bit big-endian (dist − MAX_DISTANCE).  Long-range
+    redundancy (segmentation label volumes, the reference's primary
+    payload) lives here; near-only emission re-literalizes it."""
     lencode = min(length - 2, 7)
-    out.append((lencode << 5) | (dist >> 8))
+    far = dist > 8190
+    hi = 31 if far else dist >> 8
+    out.append((lencode << 5) | hi)
     if lencode == 7:
         rem = length - 9
         while rem >= 255:
             out.append(255)
             rem -= 255
         out.append(rem)
-    out.append(dist & 255)
+    if far:
+        d = dist - MAX_DISTANCE
+        out.append(255)
+        out.append(d >> 8)
+        out.append(d & 255)
+    else:
+        out.append(dist & 255)
 
 
 def lz_compress(src: bytes, min_gain: int = 0) -> bytes | None:
@@ -249,10 +267,13 @@ def lz_compress(src: bytes, min_gain: int = 0) -> bytes | None:
     the stream does not shrink (caller stores the split raw, csize ==
     uncompressed size, like c-blosc).
 
-    Distances stay ≤ 8190 (near form): one probe per position in a dict
-    keyed on the 3-byte prefix; first token is always a literal run
-    (position 0 has no candidate), which the decoder's ``src[0] & 31``
-    requires.  RLE falls out naturally as a dist-0 self-overlap match.
+    One probe per position in a dict keyed on the 3-byte prefix; first
+    token is always a literal run (position 0 has no candidate), which
+    the decoder's ``src[0] & 31`` requires.  RLE falls out naturally
+    as a dist-0 self-overlap match.  Near-form distances (≤ 8190) are
+    taken at length ≥ 3; far-form (≤ MAX_FARDISTANCE, the 2-byte
+    escape) only at length ≥ 5 — the escape costs 2 extra bytes, the
+    same economics as blosclz.c's far-away path.
     """
     n = len(src)
     if n < 16:
@@ -265,7 +286,7 @@ def lz_compress(src: bytes, min_gain: int = 0) -> bytes | None:
         key = src[i:i + 3]
         j = table.get(j_key := key)
         table[j_key] = i
-        if j is None or i - j - 1 > 8190:
+        if j is None or i - j - 1 > MAX_FARDISTANCE:
             i += 1
             continue
         # extend the 3-byte seed (source may overlap the match itself —
@@ -274,6 +295,9 @@ def lz_compress(src: bytes, min_gain: int = 0) -> bytes | None:
         maxlen = n - i
         while length < maxlen and src[j + length] == src[i + length]:
             length += 1
+        if i - j - 1 > 8190 and length < 5:
+            i += 1            # far escape wouldn't pay for itself
+            continue
         _emit_literals(out, src, lit, i)
         _emit_match(out, length, i - j - 1)
         # seed the table inside long matches so the next occurrence

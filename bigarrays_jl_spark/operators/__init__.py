@@ -2,6 +2,60 @@
 
 The driver contract (__spark_entry__.py) re-exports these; tests and
 bench.py iterate the same registry so coverage stays in one place.
+
+MODULE MAP — the round-named modules carry whatever shipped that round;
+this is the index so nobody has to grep (r11 verdict task 7):
+
+  relational        q01-q15: TPC-H-ish scans/joins/aggs/windows/setops
+  advanced          q16-q42 core + distributed_ntile/salted-agg/range join
+  ordering          scale-safe global-order primitives (prefix sum, ntile,
+                    bucketed quantile pick) — no SinglePartition windows
+  dedup             exact/minhash-LSH/ngram-jaccard/embedding dedup +
+                    incremental (batch × durable index) variants
+  text              quality, langid, tokens, fingerprints, Gopher/CCNet
+  similarity        brute cosine top-k, IVF, SQ8, PQ, recall grading
+  events            sessionize, tumbling/sliding, funnels
+  multimodal        binary columns, phash near-dup, frame sampling
+  pipeline          decontamination, DSIR, pack_sequences, mixtures,
+                    domain/cluster caps, corpus packing
+  extensions        retention/transitions/ngram-topk/bitext/semdedup
+  graph, graph_lsh  k-NN demo graph + LSH-edge PageRank/BFS/components
+  temporal          as-of joins, event-time gaps
+  retrieval         BM25, PassJoin entity resolution
+  multijoin         galaxy-schema shapes
+  mutation          MERGE/CDC summaries        cdc_null: NULL-key CDC canon
+  debounce, journeys, estimation: event cleanup, paths, sketches
+  tpch_deep/more/shapes/final/canon: remaining TPC-H shapes (q92-q96 =
+                    canonical Q4/Q6/Q10/Q12/Q14)
+  asof_directions   backward/forward/nearest as-of
+  volume_*          chunked-volume engine analytics (components, rag,
+                    pyramid, seg, qc, stencil, agglo, channels)
+  round10           q62 hierarchy, q63 concurrency, q64 weighted median
+  round10b          graph_hops_lsh, basket_pairs, set_sim_join (exact
+                    PPJoin), dq_audit, corpus divergence
+  round10c          SCD2 history + point-in-time, phrase search,
+                    embedding covariance
+  round10d          q65 pareto frontier, q66 allocation, q68 CUSUM
+  round10e          q69 interval coverage, q70 MAD outliers
+  round10f          q71 quantile screen, q72 winsorized mean
+  round10g          q73 EMA, graph_sssp_lsh, q75 stock runout,
+                    q76 attribution, q77 regression slope
+  round10h          q78 k-anonymity, retrieval_rrf_hybrid, q79 mutual
+                    info, volume label moments
+  round10i          graph_lpa_lsh, q80 Welch t-test, q81 CUPED,
+                    volume ROI stats
+  round10j          entity_res_golden, q82 Gini, q83 seasonal backtest
+  round10k          volume equalized histogram, q84 RFM segments,
+                    q85 QQ drift
+  round10l          q86 Kaplan-Meier, q87 autocorr, q88 cohort LTV
+  round10m          q89 stratified effect, q90 Benford, q91 DOW season
+  round11           chi2_type_dow, sample_weighted_exact (A-RES),
+                    interval_overlap_join
+  round11b          ks_two_sample, wilson_error_ci
+  round11c          theil_sen_slope, mann_whitney_u, events_twap
+  round11d          kmv_distinct_users, markov_backtest, text_zipf_fit
+  round11e          type_corr_matrix, fk_reconciliation,
+                    q97_share_of_parent
 """
 
 from __future__ import annotations

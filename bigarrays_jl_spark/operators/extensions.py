@@ -174,10 +174,19 @@ from bigarrays_jl_spark.functions import guarded_cosine as _guarded_cos
 def _assign_clusters(e: DataFrame) -> DataFrame:
     """(vec_id, cluster): nearest-seed assignment shared by
     semdedup_prune and sample_cluster_balanced — argmax cosine against
-    the SEM_K lowest-vec_id seeds, ties to the lowest seed id.  ONE
+    the k lowest-vec_id seeds, ties to the lowest seed id.  ONE
     implementation so a tie-break or rounding change can never
-    desynchronize the two operators' cluster views."""
-    seeds = (e.filter(F.col("vec_id") < SEM_K)
+    desynchronize the two operators' cluster views.
+
+    k is CORPUS-PROPORTIONAL — max(SEM_K, n // SEM_DOCS_PER_CLUSTER),
+    the SemDeDup paper's own design point (k≈11k on 1B docs): a fixed
+    k makes the in-cluster pair stage Σ n_c² = n²/k quadratic, which
+    the sf0.1→sf1 proof caught at 37× (r12).  The SQL twin derives the
+    SAME k via a scalar subquery, so both engines' cluster views stay
+    bit-identical at every scale."""
+    n = e.count()
+    k = max(SEM_K, n // SEM_DOCS_PER_CLUSTER)
+    seeds = (e.filter(F.col("vec_id") < k)
               .select(F.col("vec_id").alias("seed"),
                       F.col("embedding").alias("se")))
     # zero-norm guard: a degenerate (all-zero / NULL) embedding makes the
@@ -214,25 +223,36 @@ def _assign_clusters(e: DataFrame) -> DataFrame:
 # proportional to corpus size (the paper runs k≈11k on 1B docs); no
 # all-pairs stage over the corpus exists anywhere.
 
-SEM_K = 8        # deterministic seed count (vec_id < SEM_K)
+SEM_K = 8        # seed-count FLOOR (k = max(SEM_K, n // docs-per-cluster))
+SEM_DOCS_PER_CLUSTER = 250   # target mean cluster size at any corpus
 SEM_TAU = 0.2    # in-cluster cosine above this = semantic duplicate
 
 
 def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup prune list: kept=false iff some lower-id cluster-mate
+    has cosine ≥ τ.
+
+    The pair stage is a LEFT SEMI join (exists-a-qualifying-partner),
+    not inner+distinct: semi joins stop probing a row's candidate
+    bucket at the FIRST match, so on a near-dup-saturated corpus —
+    where almost every vector finds a partner immediately — the
+    in-cluster work degrades gracefully toward linear instead of
+    enumerating every qualifying pair.  Worst case stays Σ n_c²
+    (SemDeDup's own design point), bounded by the corpus-proportional
+    k in _assign_clusters."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     assigned = _assign_clusters(e)
     av = assigned.join(e, "vec_id")
-    a = av.select(F.col("vec_id").alias("va"), "cluster",
+    a = av.select(F.col("vec_id").alias("va"),
+                  F.col("cluster").alias("ca"),
                   F.col("embedding").alias("ea"))
-    b = av.select(F.col("vec_id").alias("vb"),
-                  F.col("cluster").alias("cb"),
+    b = av.select(F.col("vec_id").alias("vb"), "cluster",
                   F.col("embedding").alias("eb"))
     pair_cos = _guarded_cos(F.col("ea"), F.col("eb"))
-    dropped = (a.join(b, (F.col("cluster") == F.col("cb"))
-                      & (F.col("va") < F.col("vb")))
-                .filter(pair_cos >= SEM_TAU)
+    dropped = (b.join(a, (F.col("cluster") == F.col("ca"))
+                      & (F.col("va") < F.col("vb"))
+                      & (pair_cos >= SEM_TAU), "left_semi")
                 .select(F.col("vb").alias("vec_id"))
-                .distinct()
                 .withColumn("is_dropped", F.lit(True)))
     return (assigned.join(dropped, "vec_id", "left")
             .select("vec_id", "cluster",
@@ -247,7 +267,9 @@ _SEM_COS = ("CASE WHEN {na} > 0 AND {nb} > 0 "
 # the SQL twin of _assign_clusters, shared verbatim by both consumers
 _ASSIGN_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (SELECT vec_id AS seed, embedding AS se FROM e
-          WHERE vec_id < {SEM_K}),
+          WHERE vec_id < (SELECT GREATEST({SEM_K},
+                                 count(*) // {SEM_DOCS_PER_CLUSTER})
+                          FROM e)),
 scored AS (
   SELECT vec_id, seed,
          {_SEM_COS(d=_DOT_SQL.format(a='embedding', b='se'),

@@ -311,3 +311,47 @@ def test_blosclz_layer_writes_compressed_and_roundtrips(spark, tmp_path):
                                      str(tmp_path / "reimported"))
     out2, _ = vol2.cutout(((0, 64), (0, 32), (0, 32)))
     np.testing.assert_array_equal(out2, a)
+
+
+def test_encoder_emits_far_form_and_roundtrips():
+    # a 4 KiB page repeated beyond the 8190 near-distance ceiling: the
+    # encoder must reach back with the (31<<8, 255) far escape instead
+    # of re-literalizing the second copy
+    rng = np.random.default_rng(42)
+    page = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    buf = page + bytes(12000) + page
+    enc = blosclz.lz_compress(buf)
+    assert enc is not None
+    assert blosclz.lz_decompress(enc, len(buf)) == buf
+    # near-only emission would spend ~4 KiB of literals on the far copy
+    saved = blosclz.MAX_FARDISTANCE
+    try:
+        blosclz.MAX_FARDISTANCE = 8190          # disable the far path
+        near_only = blosclz.lz_compress(buf)
+    finally:
+        blosclz.MAX_FARDISTANCE = saved
+    assert near_only is not None
+    assert len(enc) <= len(near_only) - 3000, (len(enc), len(near_only))
+
+
+def test_encoder_far_form_needs_length_five():
+    # a 3-byte far echo is cheaper as literals (the escape costs 2
+    # extra bytes) — the matcher must skip it, and the stream must
+    # still round-trip
+    rng = np.random.default_rng(43)
+    filler = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    buf = filler[:3] + filler + filler[:3] + b"\x01\x02"
+    enc = blosclz.lz_compress(buf)
+    if enc is not None:                         # may not shrink at all
+        assert blosclz.lz_decompress(enc, len(buf)) == buf
+
+
+def test_encoder_far_distance_boundaries_roundtrip():
+    # exact boundary distances: 8190 (last near), 8191 (first far,
+    # escape payload 0) and MAX_FARDISTANCE (payload 0xFFFF)
+    for gap in (8190 - 8, 8191 - 8, blosclz.MAX_FARDISTANCE - 8):
+        page = bytes(range(8)) * 2              # 16-byte marker
+        buf = page + b"\x00" * gap + page
+        enc = blosclz.lz_compress(buf)
+        assert enc is not None
+        assert blosclz.lz_decompress(enc, len(buf)) == buf

@@ -78,6 +78,34 @@ RATIO_NOTES = {
     "sim_lsh_pairs": "2.13×: banded LSH on the dup-saturated demo "
         "corpus — bucket sizes grow with saturation; linear on "
         "non-degenerate corpora (dedup_minhash_pairs 1.42×)",
+    "graph_lpa_lsh": "LSH edge count grows ~1.9× per data 10× on this "
+        "corpus and LPA shuffles the edge table per iteration — "
+        "edge-growth-bound, sub-linear in rows",
+    "graph_triangles_lsh": "same LSH edge growth; triangle counting "
+        "joins the edge table with itself once — edge-bound",
+    "dsir_importance": "n-gram feature space grows ~Heaps-law on the "
+        "31-word demo vocab until it saturates; the per-doc scoring "
+        "join is linear — vocabulary-growth artifact",
+    "q29_bucketed_range_join": "pair output within 60 s buckets grows "
+        "with event density per bucket (10× rows in the same time span "
+        "= denser buckets) — output-bound, the bucketing itself is "
+        "linear",
+    "kmv_distinct_users": "fixed per-query overhead (two extra "
+        "pre-prune shuffles) amortizing over a sub-second base; the "
+        "candidate set is ~k + n/1024 by construction",
+    "ks_two_sample": "distinct-cents domain growth (same as q70) — "
+        "saturates at the ~1e7 cent ceiling",
+    "q75_stock_runout": "per-(part,supplier) running inventory — "
+        "key-partitioned window, keys grow ~10× with data; fixed "
+        "overhead dominates the sub-2 s base",
+    "q76_attribution": "per-user journey windows — user-keyed, "
+        "user count grows with data; sub-2 s base",
+    "interval_overlap_join": "distinct error seconds grow with the "
+        "corpus; all stages are shuffles/joins (no window funnel "
+        "since r12) — the prefix-sum probe adds fixed overhead",
+    "semdedup_prune": "r12 fix: corpus-proportional seed count "
+        "(k = n/250) + left-semi early-exit pair stage — was 37.7× "
+        "super-linear with fixed k=8",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join over a corpus the
