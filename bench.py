@@ -69,6 +69,8 @@ SECONDARY = [
     "theil_sen_slope", "mann_whitney_u", "events_twap",
     "kmv_distinct_users", "markov_backtest", "text_zipf_fit",
     "type_corr_matrix", "fk_reconciliation", "q97_share_of_parent",
+    "sketch_union_distinct", "text_tfidf_topk", "q98_fano_burstiness",
+    "day_funnel_conversion",
 ]
 
 

@@ -56,6 +56,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
   round11d          kmv_distinct_users, markov_backtest, text_zipf_fit
   round11e          type_corr_matrix, fk_reconciliation,
                     q97_share_of_parent
+  round12           sketch_union_distinct (KMV merge), text_tfidf_topk,
+                    q98_fano_burstiness, session_funnel_conversion
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10i, round10j, round10k,
                                           round10l, round10m, round11,
                                           round11b, round11c, round11d,
-                                          round11e,
+                                          round11e, round12,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -97,7 +99,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
-            round11e)
+            round11e, round12)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

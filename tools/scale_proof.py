@@ -103,9 +103,16 @@ RATIO_NOTES = {
     "interval_overlap_join": "distinct error seconds grow with the "
         "corpus; all stages are shuffles/joins (no window funnel "
         "since r12) — the prefix-sum probe adds fixed overhead",
-    "semdedup_prune": "r12 fix: corpus-proportional seed count "
-        "(k = n/250) + left-semi early-exit pair stage — was 37.7× "
-        "super-linear with fixed k=8",
+    "semdedup_prune": "the corpus-proportional seed count steps 8→80 "
+        "between sf0.1 and sf1 (k = n/250 kicks in), adding the wider "
+        "assignment fan-out once; was 37.7× super-linear with fixed "
+        "k=8 before the r12 fix (left-semi early-exit pair stage)",
+    "q72_winsorized_mean": "distinct-cents domain growth through "
+        "bucketed_quantile_pick's two-level windows (same domain story "
+        "as q70); saturates at the ~1e7 cent ceiling, bucket-parallel",
+    "q65_pareto_frontier": "running max over DISTINCT price cents "
+        "(allowlisted value-domain window) — the cents domain itself "
+        "grows toward its ceiling between sf0.1 and sf1",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join over a corpus the
