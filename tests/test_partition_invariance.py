@@ -28,6 +28,12 @@ PARTITION_SENSITIVE = [
     "ks_two_sample",            # integer sup-norm over cum window (r11)
     "theil_sen_slope",          # per-pair IEEE slopes + median pick (r11)
     "text_zipf_fit",            # round-9 decimal OLS moments (r11)
+    "sketch_union_distinct",    # kth-min over merged hash sets (r12)
+    "text_tfidf_topk",          # IEEE tf·idf + per-doc rank ties (r12)
+    "q98_fano_burstiness",      # exact integer moments, one division (r12)
+    "q84_rfm_segments",         # 3× distributed_ntile offsets (r12 rewrite)
+    "interval_overlap_join",    # prefix-sum island ids + grid join (r12)
+    "retrieval_rrf_hybrid",     # two distributed_prefix_sum ranks (r12)
 ]
 
 

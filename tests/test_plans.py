@@ -537,10 +537,14 @@ def test_round11_plan_shapes(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     df2 = interval_overlap_join(spark, sf_dir)
     p2 = simple_plan(df2)
-    # non-equi overlap predicate → broadcast NESTED-LOOP with the tiny
-    # burst table built, never a cartesian of two shuffled sides
-    assert "BroadcastNestedLoopJoin" in p2, p2
+    # r12 rewrite: the overlap join is GRID-BUCKETED (equi join on the
+    # day bucket + exact residual) — no nested-loop over a broadcast
+    # burst table (which grows with the corpus), no cartesian, and the
+    # island merge has no whole-table window (de-funnel pin)
+    assert "BroadcastNestedLoopJoin" not in p2, p2
     assert "CartesianProduct" not in p2, p2
+    from bigarrays_jl_spark.plans.explain import single_partition_windows
+    assert not single_partition_windows(df2), p2
     df3 = chi2_type_dow(spark, sf_dir)
     assert has_broadcast_join(df3)         # marginals broadcast
     assert has_partial_aggregation(df3)

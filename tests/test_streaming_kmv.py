@@ -117,3 +117,59 @@ def test_streaming_kmv_survives_restart(spark, tmp_path):
     hs = sorted(int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
                 for u in range(200))
     assert latest["kth_min"] == hs[KMV_K - 1]
+
+
+def test_streaming_union_snapshot_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeability end-to-end: persist the minima stream, then derive
+    PAIRWISE union estimates from the sink alone — they must equal the
+    batch sketch_union_distinct estimates, both after a prefix and
+    after the full feed (fresh sink/checkpoint per stage, since the
+    sketch never un-learns)."""
+    import os
+
+    from bigarrays_jl_spark.operators.round12 import sketch_union_distinct
+    from bigarrays_jl_spark.streaming.kmv import (kmv_union_snapshot,
+                                                  streaming_kmv_minima)
+
+    e = (load(spark, sf_dir, "events")
+         .select("event_type", "user_id", "ts",
+                 F.col("event_id").alias("eid")))
+    lo, hi = e.agg(F.min("eid"), F.max("eid")).first()
+    cut = lo + (hi - lo) // 2
+
+    def run(tag, batches):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        sink = str(tmp_path / f"sink_{tag}")
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (streaming_kmv_minima(stream).writeStream
+             .outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .start())
+        try:
+            for df in batches:
+                df.coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return sink
+
+    def batch_estimates(events_df):
+        d = str(tmp_path / "batch_events")
+        events_df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return {(r.type_a, r.type_b): r.kmv_estimate
+                for r in sketch_union_distinct(spark, d).collect()}
+
+    prefix = e.filter(F.col("eid") <= cut).drop("eid")
+    sink = run("prefix", [prefix])
+    got = {(r.type_a, r.type_b): r.kmv_estimate
+           for r in kmv_union_snapshot(spark, sink).collect()}
+    assert got and got == batch_estimates(prefix)
+
+    full = [prefix, e.filter(F.col("eid") > cut).drop("eid"),
+            prefix]                      # replayed prefix: no-op
+    sink = run("full", full)
+    got = {(r.type_a, r.type_b): r.kmv_estimate
+           for r in kmv_union_snapshot(spark, sink).collect()}
+    assert got == batch_estimates(e.drop("eid"))
