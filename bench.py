@@ -70,7 +70,8 @@ SECONDARY = [
     "kmv_distinct_users", "markov_backtest", "text_zipf_fit",
     "type_corr_matrix", "fk_reconciliation", "q97_share_of_parent",
     "sketch_union_distinct", "text_tfidf_topk", "q98_fano_burstiness",
-    "day_funnel_conversion",
+    "day_funnel_conversion", "volume_label_surface", "text_paragraph_dedup",
+    "user_erasure_audit",
 ]
 
 

@@ -57,7 +57,9 @@ this is the index so nobody has to grep (r11 verdict task 7):
   round11e          type_corr_matrix, fk_reconciliation,
                     q97_share_of_parent
   round12           sketch_union_distinct (KMV merge), text_tfidf_topk,
-                    q98_fano_burstiness, session_funnel_conversion
+                    q98_fano_burstiness, day_funnel_conversion
+  round12b          volume_label_surface (distributed neighbor
+                    exchange), text_paragraph_dedup, user_erasure_audit
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10i, round10j, round10k,
                                           round10l, round10m, round11,
                                           round11b, round11c, round11d,
-                                          round11e, round12,
+                                          round11e, round12, round12b,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -99,7 +101,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
-            round11e, round12)
+            round11e, round12, round12b)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
