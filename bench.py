@@ -71,7 +71,7 @@ SECONDARY = [
     "type_corr_matrix", "fk_reconciliation", "q97_share_of_parent",
     "sketch_union_distinct", "text_tfidf_topk", "q98_fano_burstiness",
     "day_funnel_conversion", "volume_label_surface", "text_paragraph_dedup",
-    "user_erasure_audit",
+    "user_erasure_audit", "leadtime_quantiles", "basket_triples",
 ]
 
 
