@@ -72,6 +72,7 @@ SECONDARY = [
     "sketch_union_distinct", "text_tfidf_topk", "q98_fano_burstiness",
     "day_funnel_conversion", "volume_label_surface", "text_paragraph_dedup",
     "user_erasure_audit", "leadtime_quantiles", "basket_triples",
+    "q99_t_closeness", "sketch_jaccard",
 ]
 
 

@@ -62,6 +62,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     exchange), text_paragraph_dedup, user_erasure_audit
   round12c          leadtime_quantiles (bucketed pick), basket_triples
                     (Apriori brand 3-itemsets, top-k heap)
+  round12d          q99_t_closeness (exact-integer EMD), sketch_jaccard
+                    (KMV k-min coincidence)
 """
 
 from __future__ import annotations
@@ -80,7 +82,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10l, round10m, round11,
                                           round11b, round11c, round11d,
                                           round11e, round12, round12b,
-                                          round12c,
+                                          round12c, round12d,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -104,7 +106,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
-            round11e, round12, round12b, round12c)
+            round11e, round12, round12b, round12c, round12d)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
