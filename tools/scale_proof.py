@@ -49,6 +49,10 @@ SLOW_SECONDARY = [
     "pipeline_decontaminate", "pipeline_pack_sequences",
     "semdedup_prune", "dsir_importance", "text_langid",
     "q29_bucketed_range_join", "q65_pareto_frontier", "q86_kaplan_meier",
+    # r12 registry additions with scale-interesting shapes
+    "sketch_union_distinct", "sketch_jaccard", "text_tfidf_topk",
+    "day_funnel_conversion", "text_paragraph_dedup", "basket_triples",
+    "leadtime_quantiles", "q99_t_closeness",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -113,6 +117,15 @@ RATIO_NOTES = {
     "q65_pareto_frontier": "running max over DISTINCT price cents "
         "(allowlisted value-domain window) — the cents domain itself "
         "grows toward its ceiling between sf0.1 and sf1",
+    "sketch_union_distinct": "the exact-union leg (countDistinct per "
+        "pair over the raw stream) grows with users; the sketch leg is "
+        "minima-bounded — in production only the sketch side runs",
+    "text_tfidf_topk": "(doc × term) postings grow super-row on the "
+        "31-word demo vocab (every doc hits most terms); real corpora "
+        "are sparse — the same demo-vocab artifact as text_bm25",
+    "q99_t_closeness": "class × bin cells are bounded (segments × "
+        "nations × 10); the delta is the global-range crossJoin scan "
+        "amortizing over a sub-second base",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join over a corpus the
