@@ -228,6 +228,13 @@ def main() -> None:
     # on a long-lived cluster, and single-shot numbers at this scale are
     # dominated by first-run compile/GC noise (observed ±5× on identical
     # code in this container)
+    # iterative/variance-prone families get best-of-3 (r12 verdict task
+    # 1: the artifact of record carried a 4× single-sample GC/JIT
+    # outlier on volume_agglomerate — 10.27 s vs 2.98 s in the same
+    # round — indistinguishable from a plan regression at best-of-2);
+    # the driver-array volume bench below is already best-of-3
+    VARIANCE_PRONE = ("volume_", "graph_")
+
     def time_queries(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -238,7 +245,7 @@ def main() -> None:
             # timing) — it doubles as a per-query warm-up pass
             n = fn(spark, sf_dir).count()
             best = None
-            for _ in range(2):
+            for _ in range(3 if name.startswith(VARIANCE_PRONE) else 2):
                 t0 = time.time()
                 # noop sink: fully evaluates every output column (a
                 # bare count() lets Catalyst prune projection-only

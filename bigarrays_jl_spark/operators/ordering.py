@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window as W
 
 
@@ -300,3 +301,87 @@ def bucketed_quantile_pick(hist: DataFrame, group: str, val: str,
             .filter(den * F.col("cum") >= num * F.col("tot"))
             .groupBy(F.col("g").alias(group))
             .agg(F.min("v").alias(out)))
+
+
+def bucketed_running(df: DataFrame, value: str,
+                     specs: list[tuple[str, "Column | str", str, bool]],
+                     n_buckets: int = 256) -> DataFrame:
+    """Running aggregates over the global ``value`` order WITHOUT a
+    whole-domain single-partition window (r12 verdict task 2: the last
+    four allowlisted funnels — KS/MWU CDF merges, the Pareto running
+    max, the Kaplan–Meier risk set — all reduce to this shape).
+
+    ``specs`` is a list of ``(out, col, kind, inclusive)``: add column
+    ``out`` = the running ``kind`` ("sum" | "max") of ``col`` over rows
+    ordered by ``value``, ending at the current row (inclusive=True) or
+    the previous row (inclusive=False; sums coalesce to 0, maxes stay
+    NULL on the global first row — matching the bare-window idiom
+    ``coalesce(sum(...) over (... AND 1 PRECEDING), 0)``).
+
+    Requirements: ``value`` is numeric, non-null, and UNIQUE per row
+    (call on a ``groupBy(value)`` histogram — every call site here is
+    one); ``col`` aggregates must be order-independent (integer/decimal
+    sums, max) for bit-identical equivalence with the naive window.
+
+    Fully declarative (no construction-time driver actions), three
+    bounded stages:
+
+    1. global ``(lo, hi)`` — one-row aggregate, broadcast back;
+       monotone fixed-width buckets ``b = (value - lo) / width``;
+    2. per-bucket subtotals (≤ n_buckets rows) get their exclusive
+       offsets from a triangular self-join (≤ n_buckets² pairs through
+       a broadcast — bounded by CONSTRUCTION, not by a value domain),
+       so no window ever sees a single-partition exchange;
+    3. the only windows are per-bucket (``partitionBy(b)``, ~domain /
+       n_buckets rows per task): global running agg = offset ⊕ local.
+
+    Monotone bucketing ⇒ offset ⊕ local ≡ global, and order-independent
+    ⊕ ⇒ the result is bit-identical to the single-window formulation.
+    """
+    orig = df.columns
+    rng = df.agg(F.min(value).alias("__lo"), F.max(value).alias("__hi"))
+    width = ((F.col("__hi") - F.col("__lo")) / n_buckets + 1).cast("long")
+    wb = (df.crossJoin(F.broadcast(rng))          # 1-row scalar join
+          .withColumn("__b", ((F.col(value) - F.col("__lo")) / width)
+                      .cast("long"))
+          .drop("__lo", "__hi")
+          .localCheckpoint(eager=False))          # consumed twice below
+
+    def _agg(kind, col):
+        return F.sum(col) if kind == "sum" else F.max(col)
+
+    sub = wb.groupBy("__b").agg(*[
+        _agg(kind, col).alias(f"__s_{out}")
+        for out, col, kind, _ in specs])
+    # exclusive per-bucket offsets WITHOUT a window: strictly-earlier
+    # buckets via a triangular self-join (≤ n_buckets rows a side)
+    offs = (sub.alias("L")
+            .join(F.broadcast(sub.alias("R")),
+                  F.col("R.__b") < F.col("L.__b"), "left")
+            .groupBy(F.col("L.__b").alias("__b"))
+            .agg(*[_agg(kind, f"R.__s_{out}").alias(f"__off_{out}")
+                   for out, col, kind, _ in specs]))
+
+    res = wb.join(F.broadcast(offs), "__b")
+    sub_types = {f.name: f.dataType for f in sub.schema.fields}
+    for out, col, kind, inclusive in specs:
+        w = (W.partitionBy("__b").orderBy(value)
+             .rowsBetween(W.unboundedPreceding, 0 if inclusive else -1))
+        local = _agg(kind, col).over(w)
+        off = F.col(f"__off_{out}")
+        if kind == "sum":
+            dt = sub_types[f"__s_{out}"]
+            if isinstance(dt, DecimalType):
+                # decimal(38,s) + decimal(38,s) needs precision 39 →
+                # Spark silently drops the SCALE to fit (38,s−1), which
+                # is exactly the last-digit loss the decimal canon
+                # exists to prevent.  Cast operands to precision 37 so
+                # the sum lands on (38,s) losslessly — running sums of
+                # (p≤28,s) terms never approach 10^(37−s).
+                tgt = DecimalType(37, dt.scale)
+                local, off = local.cast(tgt), off.cast(tgt)
+            expr = F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+        else:                       # greatest() skips NULLs in Spark
+            expr = F.greatest(local, off)
+        res = res.withColumn(out, expr)
+    return res.select(*orig, *[s[0] for s in specs])

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import bucketed_running
 from bigarrays_jl_spark.sources.tables import load
 
 # --------------------------------------------------------------------------
@@ -35,8 +36,8 @@ from bigarrays_jl_spark.sources.tables import load
 # the max size at price c; a part (c, s) is on the frontier iff
 # s == smax(c) AND smax(c) > max(smax(c') for all c' < c).
 #
-# Scale shape: the only global window runs over DISTINCT price points
-# (domain-bounded, like a histogram — never the row count); the part
+# Scale shape: the frontier scan runs over DISTINCT price points via
+# bucketed_running (r13 — no single-partition window at all); the part
 # table is touched by two scans, one map-side aggregate and one
 # broadcast-join filter.  No self-join, no cartesian.
 # --------------------------------------------------------------------------
@@ -48,9 +49,11 @@ def q65_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint")
          .alias("price_cents"))
     px = p.groupBy("price_cents").agg(F.max("p_size").alias("smax"))
-    w = (Window.orderBy("price_cents")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    fr = (px.withColumn("m_lt", F.max("smax").over(w))
+    # r13 de-funnel: the running max over the distinct-price domain was
+    # a whole-domain ORDER BY window (allowlisted) — now the two-level
+    # bucketed running max; max is order-independent, so bit-identical
+    fr = (bucketed_running(px, "price_cents",
+                           [("m_lt", "smax", "max", False)])
           .filter(F.col("smax") > F.coalesce(F.col("m_lt"), F.lit(-1)))
           .select(F.col("price_cents").alias("f_cents"),
                   F.col("smax").alias("f_smax")))

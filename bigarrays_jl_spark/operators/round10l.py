@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import bucketed_running
 from bigarrays_jl_spark.sources.tables import load
 
 VQ = 1_000_000
@@ -68,26 +69,25 @@ def q86_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     hist = (lif.groupBy("t")
             .agg(F.count("*").alias("w"),
                  F.sum("churned").alias("d")))
-    w_ge = (Window.orderBy("t")
-            .rowsBetween(Window.unboundedPreceding, -1))
     tot = lif.agg(F.count("*").alias("tot"))
-    # n_at_risk(t) = tot - (# lifetimes strictly shorter than t)
-    h = (hist.crossJoin(F.broadcast(tot))
-         .withColumn("shorter", F.coalesce(F.sum("w").over(w_ge),
-                                           F.lit(0)))
+    # n_at_risk(t) = tot - (# lifetimes strictly shorter than t).
+    # r13 de-funnel: both whole-duration-domain ORDER BY windows
+    # (allowlisted value-domain funnels) are now two-level
+    # bucketed_running passes — integer/decimal sums and the flag max
+    # are order-independent, so the rewrite is bit-identical
+    h = (bucketed_running(hist, "t", [("shorter", "w", "sum", False)])
+         .crossJoin(F.broadcast(tot))
          .withColumn("n_risk", F.col("tot") - F.col("shorter"))
          .filter(F.col("d") > 0))
     term = F.round(F.log(F.lit(1.0) - F.col("d").cast("double")
                          / F.col("n_risk")), 9).cast("decimal(28,9)")
-    w_cum = (Window.orderBy("t")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    km = (h.withColumn(
-        "logs", F.sum(F.when(F.col("d") < F.col("n_risk"), term)
-                      .otherwise(F.lit(0).cast("decimal(28,9)")))
-               .over(w_cum))
-        .withColumn("dead_end",
-                    F.max((F.col("d") == F.col("n_risk")).cast("int"))
-                     .over(w_cum)))
+    km = bucketed_running(
+        h, "t",
+        [("logs",
+          F.when(F.col("d") < F.col("n_risk"), term)
+           .otherwise(F.lit(0).cast("decimal(28,9)")), "sum", True),
+         ("dead_end", (F.col("d") == F.col("n_risk")).cast("int"),
+          "max", True)])
     return km.select(F.col("t").alias("gap_days"),
                      F.col("n_risk").cast("bigint").alias("n_at_risk"),
                      F.col("d").cast("bigint").alias("n_repurchases"),

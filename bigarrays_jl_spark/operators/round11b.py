@@ -15,17 +15,19 @@
   the interval is bit-identical across engines with no rounding canon
   needed.  The proportion-CI class every ops dashboard needs.
 
-Scale posture: KS folds facts to (flag, cents) histogram cells and
-windows over DISTINCT values with cross-flag counts equi-joined on the
-value domain — window input ∝ price cardinality, never rows (the q70
-value-domain discipline); Wilson is a 7-cell conditional fold.
+Scale posture: KS folds facts to (flag, cents) histogram cells; the
+CDF merge over the distinct-cents domain is the two-level
+``bucketed_running`` (r13 — no single-partition window at all, the
+former value-domain allowlist entry is gone); Wilson is a 7-cell
+conditional fold.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import bucketed_running
 from bigarrays_jl_spark.sources.tables import load
 
 WILSON_Z = "1.959963984540054"      # Φ⁻¹(0.975), embedded both sides
@@ -43,13 +45,16 @@ def ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
                        .otherwise(0)).alias("w1"),
                  F.sum(F.when(F.col("l_returnflag") == "A", 1)
-                       .otherwise(0)).alias("w2")))
-    cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
-    h = (hist
-         .withColumn("c1", F.sum("w1").over(cum))
-         .withColumn("c2", F.sum("w2").over(cum))
-         .withColumn("n1", F.sum("w1").over(W.partitionBy()))
-         .withColumn("n2", F.sum("w2").over(W.partitionBy())))
+                       .otherwise(0)).alias("w2"))
+            .localCheckpoint(eager=False))   # CDF merge + totals reuse
+    # r13 de-funnel: the CDF merge ran a whole-cent-domain ORDER BY
+    # window (allowlisted value-domain funnel) — now the two-level
+    # bucketed running sum; integer sums make it bit-identical
+    cdf = bucketed_running(hist, "cents",
+                           [("c1", "w1", "sum", True),
+                            ("c2", "w2", "sum", True)])
+    tot = hist.agg(F.sum("w1").alias("n1"), F.sum("w2").alias("n2"))
+    h = cdf.crossJoin(F.broadcast(tot))
     gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
     return (h.select("cents", gap.alias("gap"), "n1", "n2")
              .orderBy(F.col("gap").desc(), F.col("cents"))

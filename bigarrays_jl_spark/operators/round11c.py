@@ -26,8 +26,9 @@
   plain AVG gets wrong whenever sampling is irregular.
 
 Scale: theil_sen joins the tiny per-type day series with itself
-(broadcast); mann_whitney folds facts to value-domain cells and
-windows over DISTINCT cents (the q70 discipline); twap is one
+(broadcast); mann_whitney folds facts to value-domain cells and runs
+the rank prefix through ``bucketed_running`` (r13 — no
+single-partition window, the former allowlist entry is gone); twap is one
 type-keyed lead window + a map-side fold.
 """
 
@@ -36,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.operators.ordering import bucketed_running
 from bigarrays_jl_spark.sources.tables import load
 
 VQ = 1_000_000
@@ -110,10 +112,12 @@ def mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
                        .otherwise(0)).alias("w1"),
                  F.count("*").alias("w")))
-    cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    # 2·midrank of a tied block = 2·(ranks before) + (block size + 1)
-    h = (hist
-         .withColumn("before", F.coalesce(F.sum("w").over(cum), F.lit(0)))
+    # 2·midrank of a tied block = 2·(ranks before) + (block size + 1).
+    # r13 de-funnel: "ranks before" was a whole-cent-domain ORDER BY
+    # window (allowlisted) — now the two-level bucketed running sum;
+    # integer sums make the rewrite bit-identical
+    h = (bucketed_running(hist, "cents",
+                          [("before", "w", "sum", False)])
          .withColumn("mr2", 2 * F.col("before") + F.col("w") + 1))
     agg = h.agg(
         F.sum(F.col("w1") * F.col("mr2")).alias("r2_sum"),   # 2·R₁

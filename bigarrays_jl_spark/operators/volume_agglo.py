@@ -153,12 +153,14 @@ def demo_agglo_volume(spark: SparkSession):
     return vol
 
 
-def volume_agglomerate(spark: SparkSession, sf: str) -> DataFrame:
-    """Threshold-merge census of the speckled block volume: per merged
-    group, total voxels and member-label count."""
-    vol = demo_agglo_volume(spark)
+def agglomerate_census(vol: Volume,
+                       min_contact: int = AGG_MIN_CONTACT) -> DataFrame:
+    """Threshold-merge census of any labeled volume: per merged group,
+    total voxels and member-label count.  The vol-generic core of
+    ``volume_agglomerate`` (also driven at two volume sizes by
+    tools/scale_proof.py's volume leg)."""
     rag = region_adjacency(vol)
-    merge = agglomerate_map(rag, AGG_MIN_CONTACT)
+    merge = agglomerate_map(rag, min_contact)
     sizes = (vol.voxels(columns=("value",))
              .filter(F.col("value") != 0)
              .groupBy(F.col("value").alias("label"))
@@ -169,6 +171,12 @@ def volume_agglomerate(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("merged_label")
             .agg(F.sum("n_voxels").alias("n_voxels"),
                  F.count("*").alias("n_labels")))
+
+
+def volume_agglomerate(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-merge census of the speckled block volume: per merged
+    group, total voxels and member-label count."""
+    return agglomerate_census(demo_agglo_volume(spark))
 
 
 VOLUME_AGGLOMERATE_SQL = f"""

@@ -123,7 +123,9 @@ def single_partition_windows(df: DataFrame) -> list[str]:
     lines = simple_plan(df).splitlines()
 
     def node(ln: str) -> tuple[int, str] | None:
-        m = re.search(r"\+- (?:\*\(\d+\) )?([A-Za-z]+)", ln)
+        # ':-' is the first child of a binary node (join/union branch) —
+        # a Window there is still a funnel and must be recognized too.
+        m = re.search(r"(?:\+-|:-) (?:\*\(\d+\) )?([A-Za-z]+)", ln)
         if m:
             return m.start(1), m.group(1)
         m = re.match(r"(?:\*\(\d+\) )?([A-Za-z]+)", ln)  # root node

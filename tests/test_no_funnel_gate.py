@@ -22,21 +22,12 @@ from bigarrays_jl_spark.plans.explain import single_partition_windows
 
 # query -> why its single-partition window input is bounded.  Keep every
 # entry justified by a VALUE DOMAIN (fixed regardless of corpus size),
-# never by "the table is small today".
-ALLOWED_BOUNDED_WINDOWS = {
-    "q65_pareto_frontier":
-        "running max over DISTINCT price cents (one row per cent value; "
-        "the domain ~1e7 is fixed by the price range, not the corpus)",
-    "q86_kaplan_meier":
-        "cumulative risk-set over DISTINCT survival-duration seconds "
-        "(one row per duration value; domain fixed by the study window)",
-    "ks_two_sample":
-        "two-sample CDF merge over DISTINCT price cents (one row per "
-        "cent value present in either sample; value-domain bounded)",
-    "mann_whitney_u":
-        "rank-sum over DISTINCT price cents (ties collapse to one row "
-        "per cent value; value-domain bounded)",
-}
+# never by "the table is small today".  EMPTY since r13: the last four
+# value-domain funnels (KS/MWU CDF merges, the Pareto running max, the
+# Kaplan–Meier risk set) were rewritten on ordering.bucketed_running
+# with bit-identical oracle hashes — any future entry needs a written
+# bound AND a reason bucketed_running can't express it.
+ALLOWED_BOUNDED_WINDOWS: dict[str, str] = {}
 
 
 def test_no_single_partition_window_anywhere(spark, sf_dir):
@@ -63,3 +54,18 @@ def test_allowlist_entries_still_funnel(spark, sf_dir):
 @pytest.mark.parametrize("name", sorted(ALLOWED_BOUNDED_WINDOWS))
 def test_allowlist_is_registered(name):
     assert name in ALL_QUERIES
+
+
+def test_detector_sees_window_in_join_branch(spark):
+    """Gate self-test (r12 advice): a SinglePartition window rendered as
+    the ':-' FIRST child of a binary node (rank-then-join) must still be
+    detected — the '+- '-only regex missed exactly this shape."""
+    from pyspark.sql import Window, functions as F
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    ranked = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("v")))
+    joined = ranked.join(spark.range(100), "id")
+    hits = single_partition_windows(joined)
+    assert hits, "rank-then-join funnel not detected (':-' branch)"
+    # and the detector still finds the plain (root-chain) shape
+    assert single_partition_windows(ranked)

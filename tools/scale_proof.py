@@ -78,7 +78,6 @@ RATIO_NOTES = {
     "mann_whitney_u": "2.21×: same distinct-cents domain growth as "
         "q70; the one allowlisted window's input saturates at the "
         "cent-domain ceiling",
-    "ks_two_sample": "2.14×: same distinct-cents domain growth as q70",
     "sim_lsh_pairs": "2.13×: banded LSH on the dup-saturated demo "
         "corpus — bucket sizes grow with saturation; linear on "
         "non-degenerate corpora (dedup_minhash_pairs 1.42×)",
@@ -141,6 +140,96 @@ EXCLUDED = {"set_sim_join": "exact join, output-bound quadratic on the "
                             "LSH screen is the scale path"}
 
 
+# ---------------------------------------------------------------------------
+# Volume-family scaling leg (r12 verdict task 1): the iterative volume
+# operators ignore the sf dir (they run over fixed demo volumes), so the
+# relational sweep above can't see whether they GROW badly — and the
+# single-sample bench artifact can't distinguish a 4× GC outlier from a
+# plan regression.  This leg drives the vol-generic cores at two volume
+# sizes, 48³ → 104³ (≈10.2× voxels), and grades the same ratio gate.
+# ---------------------------------------------------------------------------
+VOL_SIDE_SMALL = 48          # matches the registry demo volumes
+VOL_SIDE_BIG = 104           # 104³/48³ ≈ 10.17× voxels
+VOL_NOTE = (f"volume leg scales VOXELS {VOL_SIDE_SMALL}³→{VOL_SIDE_BIG}³ "
+            "(≈10.2×), not the sf dir — the registry demo volume is "
+            "corpus-independent")
+
+
+def build_speckled_volume(spark, side: int):
+    """The demo_agglo_volume recipe at an arbitrary side: 2×2×2 label
+    blocks (labels b%5+1) with the closed-form speckle mask punched
+    through, uint32, 16³ chunks."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    info = Info.from_dict({
+        "num_channels": 1, "type": "segmentation", "data_type": "uint32",
+        "scales": [{"encoding": "gzip", "chunk_sizes": [[16, 16, 16]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": [0, 0, 0], "size": [side] * 3}]})
+    root = os.path.join(tempfile.gettempdir(),
+                        f"sparkgraft_volscale_{side}_{os.getpid()}", "vol")
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    vol = Volume.create(spark, root, info)
+    block = side // 2
+    x, y, z = np.meshgrid(np.arange(side), np.arange(side),
+                          np.arange(side), indexing="ij")
+    b = (x // block) * 4 + (y // block) * 2 + (z // block)
+    labels = (b % 5 + 1).astype(np.uint32)
+    speckle = (3 * x + 5 * y + 7 * z) % 13 < np.where(x < block, 3, 9)
+    labels[speckle] = 0
+    vol.write(labels, (0, 0, 0))
+    return vol
+
+
+def volume_scale_rows(spark) -> dict:
+    from bigarrays_jl_spark.operators.volume_agglo import agglomerate_census
+    from bigarrays_jl_spark.operators.volume_components import (
+        connected_components)
+    from bigarrays_jl_spark.operators.volume_qc import slice_ncc
+    from bigarrays_jl_spark.operators.volume_rag import region_adjacency
+
+    ops = {
+        "volume_rag": region_adjacency,
+        "volume_agglomerate": agglomerate_census,
+        "volume_components": connected_components,
+        "volume_slice_ncc": lambda v: slice_ncc(v, v.vol_box),
+    }
+    vols = {side: build_speckled_volume(spark, side)
+            for side in (VOL_SIDE_SMALL, VOL_SIDE_BIG)}
+    rows = {}
+    for name, mk in ops.items():
+        def run(side):
+            # iterative cores run driver-side rounds at CONSTRUCTION
+            # time, so construction belongs inside the timed window
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                mk(vols[side]).write.format("noop").mode(
+                    "overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+        try:
+            t_small, t_big = run(VOL_SIDE_SMALL), run(VOL_SIDE_BIG)
+        except Exception as e:  # noqa: BLE001
+            rows[name] = {"err": str(e)[:300]}
+            print(f"ERR  {name}: {e}", file=sys.stderr)
+            continue
+        ratio = round(t_big / max(t_small, 1e-9), 2)
+        rows[name] = {"sf0.1_s": t_small, "sf1_s": t_big,
+                      "ratio": ratio, "note": VOL_NOTE}
+        flag = " SUPER-LINEAR" if ratio > RATIO_GATE else ""
+        print(f"{name:>28}: {t_small:7.2f}s -> {t_big:7.2f}s  "
+              f"x{ratio:5.2f}{flag}  (voxel-scaled)")
+    return rows
+
+
 def time_query(spark, fn, sf_dir, n=2):
     best = None
     for _ in range(n):
@@ -190,11 +279,15 @@ def main():
         print(f"{name:>28}: {t_small:7.2f}s -> {t_big:7.2f}s  "
               f"x{ratio:5.2f}{flag}")
 
+    rows.update(volume_scale_rows(spark))
+
     bad = {k: v for k, v in rows.items()
            if v.get("ratio", 0) > RATIO_GATE or "err" in v}
     for name, note in RATIO_NOTES.items():
         if name in rows:
-            rows[name]["note"] = note
+            # volume rows carry VOL_NOTE; append the per-query note
+            rows[name]["note"] = (rows[name]["note"] + " — " + note
+                                  if "note" in rows[name] else note)
     unexplained = [k for k, v in rows.items()
                    if v.get("ratio", 0) > 2.0 and "note" not in v]
     summary = {
