@@ -73,6 +73,8 @@ SECONDARY = [
     "day_funnel_conversion", "volume_label_surface", "text_paragraph_dedup",
     "user_erasure_audit", "leadtime_quantiles", "basket_triples",
     "q99_t_closeness", "sketch_jaccard",
+    "lorenz_curve", "ngram_novelty", "cross_source_leakage",
+    "dedup_cluster_hist",
 ]
 
 

@@ -64,6 +64,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     (Apriori brand 3-itemsets, top-k heap)
   round12d          q99_t_closeness (exact-integer EMD), sketch_jaccard
                     (KMV k-min coincidence)
+  round13           lorenz_curve (bucketed_running), ngram_novelty,
+                    cross_source_leakage, dedup_cluster_hist
 """
 
 from __future__ import annotations
@@ -82,7 +84,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round10l, round10m, round11,
                                           round11b, round11c, round11d,
                                           round11e, round12, round12b,
-                                          round12c, round12d,
+                                          round12c, round12d, round13,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -106,7 +108,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
-            round11e, round12, round12b, round12c, round12d)
+            round11e, round12, round12b, round12c, round12d, round13)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -282,6 +282,62 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
             .start())
 
 
+def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
+                              out_path: str, checkpoint_path: str):
+    """Paragraph-level ingest dedup: foreachBatch + a DURABLE
+    paragraph-hash index — the streaming twin of
+    ``text_paragraph_dedup`` (operators/round12b.py), the C4-style
+    pipeline step that strips boilerplate paragraphs repeated across
+    documents, and the step most likely to run continuously on a crawl.
+
+    Same canon as the batch operator: paragraphs split on ``". "``,
+    blank-trimmed, hashed as ``md5(trim(lower(para)))``.  Each
+    micro-batch:
+
+      1. explodes docs to paragraphs and self-dedups per hash (keep =
+         min ``(doc_id, pidx)`` — the batch operator's keep rule),
+      2. anti-joins the standing paragraph-hash index,
+      3. appends admitted paragraph instances to ``out_path`` and their
+         hashes to ``index_path``.
+
+    Scale shape: the per-batch state is (paragraphs in the batch), the
+    index holds one 16-byte hash per DISTINCT paragraph ever admitted,
+    and the anti-join shuffles on the hash (or broadcasts the batch —
+    Spark picks).  Nothing rescans previously-deduped data; replayed
+    micro-batches (at-least-once foreachBatch) re-append hashes that
+    the anti-join itself already filters, so the index stays
+    semantically a set.  Returns the started StreamingQuery.
+    """
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        paras = (batch_df
+                 .select("doc_id", "source",
+                         F.posexplode(F.split(F.col("text"), r"\. "))
+                          .alias("pidx", "para"))
+                 .filter(F.trim(F.col("para")) != "")
+                 .withColumn("ph", F.md5(F.trim(F.lower(F.col("para"))))))
+        best = (paras.groupBy("ph")
+                .agg(F.min(F.struct("doc_id", "pidx", "source"))
+                      .alias("k")))
+        # missing-path = first batch; other read errors fail the batch
+        # so the checkpoint retries it (see streaming_incremental_dedup)
+        idx = _read_index_or_none(spark, index_path)
+        if idx is not None:
+            best = best.join(idx.select("ph"), "ph", "left_anti")
+        fresh = best.localCheckpoint(eager=True)  # two consumers below
+        (fresh.select(F.col("k.doc_id").alias("doc_id"),
+                      F.col("k.pidx").alias("pidx"),
+                      F.col("k.source").alias("source"),
+                      "ph", F.lit(batch_id).alias("batch_id"))
+              .write.mode("append").parquet(out_path))
+        fresh.select("ph").write.mode("append").parquet(index_path)
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_anomaly_stats(events: DataFrame, stats_path: str,
                             checkpoint_path: str):
     """Durable per-type moment statistics for z-score anomaly flagging —

@@ -500,22 +500,26 @@ class Volume:
 
         epoch = self._next_epoch()
         enc = sc.encoding
-        # A driver-array write carries few, FAT rows.  Spark's Arrow
-        # conversion slices a pandas frame across defaultParallelism
-        # partitions — EXCEPT when the frame exceeds
-        # spark.sql.session.localRelationCacheThreshold (64 MB default):
-        # above it the conversion plans as a single-partition cached
-        # local relation and the whole codec stage runs SERIAL (measured
-        # 5× slower on an 84 MB write).  So slice the rows driver-side
-        # to stay under the threshold; each slice converts parallel and
-        # unionAll preserves partitioning — no shuffle, no
-        # session-global conf mutation (an earlier maxRecordsPerBatch
-        # set/restore raced concurrent Arrow work on other threads), no
-        # parallelize() (which embeds payloads in task binaries).
-        # Distributed bulk ingest takes ingest_chunks, where
-        # partitioning comes from the source.
-        schema = "cx int, cy int, cz int, key string, payload binary"
-        cols = ["cx", "cy", "cz", "key", "payload"]
+        # A driver-array write carries few, FAT rows.  Each slice is
+        # built as a pyarrow Table (no pandas round-trip; ~8× less
+        # driver CPU than pd.DataFrame construction on an 84 MB write).
+        # Slices stay under ~48 MB so no local relation crosses
+        # spark.sql.session.localRelationCacheThreshold (64 MB), above
+        # which Spark caches the relation whole.  Arrow-built relations
+        # arrive as ONE partition each, so the union is repartitioned
+        # across the executors before the codec stage — one shuffle of
+        # the array's own bytes keeps the encode parallel.  Measured
+        # honestly (r13, interleaved best-of-4 A/B vs the previous
+        # pandas path): END-TO-END this is a wash (~27 vs ~29 MB/s,
+        # ±40% window variance) — the driver-array path is bound by the
+        # one inescapable driver transit of the array, not by either
+        # plan, which is the measured justification for NOT adding a
+        # temp-spill re-import route (SCALE.md "Ingest posture").  No
+        # parallelize() (embeds payloads in task binaries), no
+        # session-global conf mutation.  BULK ingest at scale is
+        # ingest_chunks / ingest_voxels, where partitioning comes from
+        # the source and nothing transits the driver.
+        import pyarrow as pa
         max_bytes = 48 * 1024 * 1024
         slices, cur, size = [], [], 0
         for r in rows:
@@ -526,10 +530,22 @@ class Volume:
                 cur, size = [], 0
         if cur:
             slices.append(cur)
+
+        def _tbl(rs):
+            return pa.table({
+                "cx": pa.array([r[0] for r in rs], pa.int32()),
+                "cy": pa.array([r[1] for r in rs], pa.int32()),
+                "cz": pa.array([r[2] for r in rs], pa.int32()),
+                "key": pa.array([r[3] for r in rs], pa.string()),
+                "payload": pa.array([r[4] for r in rs], pa.binary()),
+            })
+
         df = functools.reduce(
             DataFrame.unionAll,
-            [self.spark.createDataFrame(pd.DataFrame(s, columns=cols),
-                                        schema=schema) for s in slices])
+            [self.spark.createDataFrame(_tbl(s)) for s in slices])
+        n_tgt = min(len(rows), self.spark.sparkContext.defaultParallelism)
+        if n_tgt > len(slices):
+            df = df.repartition(n_tgt)
         df = (df.withColumn("enc", F.lit(enc))
                 .withColumn("epoch", F.lit(epoch).cast("bigint"))
                 .select("cx", "cy", "cz", "key", "enc", "epoch", "payload"))

@@ -934,3 +934,94 @@ def test_streaming_apply_changes_seq_latest_wins(spark, tmp_path):
     assert (rows[1].lang, rows[1].source, rows[1].n_chars) == ("aa", "aa", 1)
     assert (rows[2].lang, rows[2].source, rows[2].n_chars) \
         == ("aa", "curated", 21)
+
+
+def _paragraph_batch_keeps(spark, sf_dir):
+    """The batch twin's keep set: per distinct paragraph hash, the
+    min-(doc_id, pidx) instance (text_paragraph_dedup's keep rule)."""
+    from pyspark.sql import functions as F
+    d = load(spark, sf_dir, "documents")
+    paras = (d.select("doc_id",
+                      F.posexplode(F.split(F.col("text"), r"\. "))
+                       .alias("pidx", "para"))
+             .filter(F.trim(F.col("para")) != "")
+             .withColumn("ph", F.md5(F.trim(F.lower(F.col("para"))))))
+    return {(r.k.doc_id, r.k.pidx, r.ph)
+            for r in paras.groupBy("ph")
+            .agg(F.min(F.struct("doc_id", "pidx")).alias("k")).collect()}
+
+
+def test_streaming_paragraph_dedup_matches_batch_twin(spark, sf_dir, tmp_path):
+    # full corpus in one micro-batch: the admitted paragraph instances
+    # must equal the batch operator's keep set exactly, and the durable
+    # index must hold exactly the corpus's distinct paragraph hashes
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import streaming_paragraph_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    q = streaming_paragraph_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = _paragraph_batch_keeps(spark, sf_dir)
+    got = {(r.doc_id, r.pidx, r.ph)
+           for r in spark.read.parquet(out).collect()}
+    assert got == want and len(want) > 0
+    n_idx = spark.read.parquet(idx).distinct().count()
+    assert n_idx == len(want)
+    # replay-safety invariant the docstring claims: raw index rows may
+    # exceed distinct (at-least-once appends) but never miss a hash
+    assert spark.read.parquet(idx).count() >= n_idx
+
+
+def test_streaming_paragraph_dedup_prefix_and_restart(spark, sf_dir, tmp_path):
+    # corpus split at the median doc_id into two ordered micro-batches
+    # with a query RESTART in between: phase 2 must admit only hashes
+    # unseen in phase 1 (no re-admission), and the union must still
+    # equal the batch keep set (the split is doc_id-ordered, so each
+    # hash's first-seeing batch holds its global min instance)
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import streaming_paragraph_dedup
+
+    d = load(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+
+    q1 = streaming_paragraph_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    phase1 = {(r.doc_id, r.pidx, r.ph)
+              for r in spark.read.parquet(out).collect()}
+    assert phase1 and all(doc <= half for doc, _, _ in phase1)
+
+    # restart on the same checkpoint; only the new file is processed
+    d.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_paragraph_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    admitted = {(r.doc_id, r.pidx, r.ph)
+                for r in spark.read.parquet(out).collect()}
+    assert phase1 <= admitted                       # nothing re-written
+    phase1_hashes = {ph for _, _, ph in phase1}
+    assert all(ph not in phase1_hashes
+               for _, _, ph in admitted - phase1), "hash re-admitted"
+    assert admitted == _paragraph_batch_keeps(spark, sf_dir)

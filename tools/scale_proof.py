@@ -53,15 +53,19 @@ SLOW_SECONDARY = [
     "sketch_union_distinct", "sketch_jaccard", "text_tfidf_topk",
     "day_funnel_conversion", "text_paragraph_dedup", "basket_triples",
     "leadtime_quantiles", "q99_t_closeness",
+    # r13 additions: the n-gram exploders and the bucketed_running
+    # consumers (the new primitive's first proof entries)
+    "lorenz_curve", "ngram_novelty", "cross_source_leakage",
+    "dedup_cluster_hist",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
 RATIO_NOTES = {
-    "dedup_ngram_jaccard": "2.86×: the 31-word demo vocabulary makes "
-        "n-gram buckets dup-saturated, so candidate-pair output grows "
-        "faster than rows at 10×; the banded screen itself shuffles "
-        "linearly (dedup_minhash_pairs 1.42×) — output-bound, not a "
-        "plan defect",
+    "dedup_ngram_jaccard": "candidate-pair output grows with corpus "
+        "dup saturation (r13: the sf1 corpus now draws from a "
+        "Heaps-law vocab, 31→98 words, so saturation no longer "
+        "compounds the ratio); the banded screen itself shuffles "
+        "linearly — output-bound, not a plan defect",
     "graph_pagerank_lsh": "2.56×: LSH edge discovery is linear; the "
         "PageRank iterations shuffle the EDGE table 10×, and the "
         "LSH-edge count grows ~1.9× per data 10× on this corpus — "
@@ -72,12 +76,13 @@ RATIO_NOTES = {
     "q70_mad_outliers": "2.32×: distinct-cents domain saturates "
         "(~1e5 at sf0.1 → ~1e6 at sf1) — domain growth that stops at "
         "the ~1e7 price-cent ceiling, bucket-parallel since r11",
-    "text_bm25": "2.23×: postings (doc × term) grow super-row on the "
-        "31-word vocab (every doc hits every term); real corpora are "
-        "sparse — demo-vocab artifact",
-    "mann_whitney_u": "2.21×: same distinct-cents domain growth as "
-        "q70; the one allowlisted window's input saturates at the "
-        "cent-domain ceiling",
+    "text_bm25": "postings (doc × term) grow with both docs and the "
+        "Heaps-law vocab (31→98 words at sf1 since r13), so the "
+        "posting table grows slightly super-row by construction — "
+        "matches real corpora; per-posting work is flat",
+    "mann_whitney_u": "same distinct-cents domain growth as q70; "
+        "the rank prefix runs through bucketed_running since r13 "
+        "(no single-partition window), saturating at the cent ceiling",
     "sim_lsh_pairs": "2.13×: banded LSH on the dup-saturated demo "
         "corpus — bucket sizes grow with saturation; linear on "
         "non-degenerate corpora (dedup_minhash_pairs 1.42×)",
@@ -86,9 +91,9 @@ RATIO_NOTES = {
         "edge-growth-bound, sub-linear in rows",
     "graph_triangles_lsh": "same LSH edge growth; triangle counting "
         "joins the edge table with itself once — edge-bound",
-    "dsir_importance": "n-gram feature space grows ~Heaps-law on the "
-        "31-word demo vocab until it saturates; the per-doc scoring "
-        "join is linear — vocabulary-growth artifact",
+    "dsir_importance": "n-gram feature space tracks the Heaps-law "
+        "vocab (31→98 words at sf1 since r13); the per-doc scoring "
+        "join is linear in postings",
     "q29_bucketed_range_join": "pair output within 60 s buckets grows "
         "with event density per bucket (10× rows in the same time span "
         "= denser buckets) — output-bound, the bucketing itself is "
@@ -97,7 +102,8 @@ RATIO_NOTES = {
         "pre-prune shuffles) amortizing over a sub-second base; the "
         "candidate set is ~k + n/1024 by construction",
     "ks_two_sample": "distinct-cents domain growth (same as q70) — "
-        "saturates at the ~1e7 cent ceiling",
+        "saturates at the ~1e7 cent ceiling; CDF merge is "
+        "bucketed_running since r13 (no single-partition window)",
     "q75_stock_runout": "per-(part,supplier) running inventory — "
         "key-partitioned window, keys grow ~10× with data; fixed "
         "overhead dominates the sub-2 s base",
@@ -114,30 +120,44 @@ RATIO_NOTES = {
         "bucketed_quantile_pick's two-level windows (same domain story "
         "as q70); saturates at the ~1e7 cent ceiling, bucket-parallel",
     "q65_pareto_frontier": "running max over DISTINCT price cents "
-        "(allowlisted value-domain window) — the cents domain itself "
-        "grows toward its ceiling between sf0.1 and sf1",
+        "via bucketed_running (r13 — no single-partition window); the "
+        "cents domain itself grows toward its ceiling at sf1",
     "sketch_union_distinct": "the exact-union leg (countDistinct per "
         "pair over the raw stream) grows with users; the sketch leg is "
         "minima-bounded — in production only the sketch side runs",
-    "text_tfidf_topk": "(doc × term) postings grow super-row on the "
-        "31-word demo vocab (every doc hits most terms); real corpora "
-        "are sparse — the same demo-vocab artifact as text_bm25",
+    "text_tfidf_topk": "same posting-table growth as text_bm25 "
+        "(Heaps-law vocab since r13); the per-doc top-k heap is "
+        "posting-bound",
     "q99_t_closeness": "class × bin cells are bounded (segments × "
         "nations × 10); the delta is the global-range crossJoin scan "
         "amortizing over a sub-second base",
+    "ngram_novelty": "(doc × trigram) instances grow linearly but the "
+        "distinct-trigram key space grows with the Heaps vocab, so "
+        "the first-occurrence shuffle carries more distinct keys per "
+        "row at sf1 — posting-bound, same family as text_bm25",
+    "cross_source_leakage": "(source, 8-gram) distinct pairs grow "
+        "with the Heaps vocab³ n-gram space; the pair join output is "
+        "bounded at sources² rows — the cost is the distinct over "
+        "the exploded grams, linear in postings",
+    "dedup_cluster_hist": "two map-side groupBys — any >2× is fixed "
+        "overhead over a sub-second base",
+    "lorenz_curve": "distinct-revenue-cents domain growth (same "
+        "family as q70) through bucketed_running; saturates at the "
+        "cent ceiling",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
-# set_sim_join is an EXACT set-similarity join over a corpus the
-# 31-word shared vocabulary makes near-dup-SATURATED — its output (and
-# so any exact algorithm's work) grows with the true-match count,
-# which is quadratic on this corpus (~20 min single-box at sf1; the
-# prefix filter has no rare tokens to prune with).  Exactness is the
-# point of that operator; the scale path at this saturation is the
-# banded-LSH screen (dedup_minhash_pairs: 1.8× here) or the sharded
-# registry entry.
+# set_sim_join is an EXACT set-similarity join whose output (and so any
+# exact algorithm's work) grows with the true-match count — re-measured
+# r13 AFTER the Heaps-vocab corpus fix: 17 s at sf0.1 → 453 s at sf1
+# (26×), still output-bound quadratic (50k docs over even a 98-word
+# vocab stay saturated; the prefix filter has no rare tokens to prune
+# with).  Exactness is the point of that operator; the scale path at
+# this saturation is the banded-LSH screen (dedup_minhash_pairs) or
+# the sharded registry entry.
 EXCLUDED = {"set_sim_join": "exact join, output-bound quadratic on the "
-                            "dup-saturated demo corpus (COVERAGE.md); "
-                            "LSH screen is the scale path"}
+                            "dup-saturated demo corpus (r13 re-measure "
+                            "with Heaps vocab: 17s->453s, 26x); LSH "
+                            "screen is the scale path"}
 
 
 # ---------------------------------------------------------------------------
