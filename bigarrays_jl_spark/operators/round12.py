@@ -163,11 +163,18 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id",
                     F.explode(F.split(F.trim(F.lower(F.col("text"))),
                                       r"\s+")).alias("term")))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # THREE consumers need the term-frequency table (df, n_docs, the
+    # scoring join) — without the checkpoint each one re-tokenized the
+    # corpus, and the vocab-sized df table shuffle-joined the postings
+    # (r13: the sf1 proof read 7.5× on exactly those two defects; the
+    # bm25 sibling with the checkpoint+broadcast shape reads 1.9×)
+    tf = (toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = toks.select("doc_id").distinct().agg(
+    # same doc set as toks (groupBy preserves it) without re-tokenizing
+    n = tf.select("doc_id").distinct().agg(
         F.count("*").cast("double").alias("n_docs"))
-    scored = (tf.join(dfreq, "term")
+    scored = (tf.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n))
               .withColumn("tfidf", F.round(
                   F.col("tf").cast("double")

@@ -155,12 +155,13 @@ GROUP BY source
 LEAK_N = 8          # decontamination-standard n-gram width (8-13)
 
 
-def _source_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """DISTINCT (source, word-8-gram hash) pairs — the contamination
-    unit train/test audits use (n-gram overlap, not whole-document
-    equality, catches partial copies)."""
-    d = (load(spark, sf, "documents")
-         .select("source", F.split(F.col("text"), " ").alias("ws")))
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """DISTINCT (source, word-8-gram hash) pairs of a (source, text)
+    DataFrame — the contamination unit train/test audits use (n-gram
+    overlap, not whole-document equality, catches partial copies).
+    Shared with the streaming twin (streaming/windows.py) so batch and
+    incremental leakage can never disagree on what counts as a gram."""
+    d = docs.select("source", F.split(F.col("text"), " ").alias("ws"))
     n = F.size("ws")
     grams = F.transform(
         F.sequence(F.lit(1), n - (LEAK_N - 1)),
@@ -172,8 +173,10 @@ def _source_shingles(spark: SparkSession, sf: str) -> DataFrame:
             .distinct())
 
 
-def cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
-    sp = _source_shingles(spark, sf).localCheckpoint(eager=False)
+def leakage_matrix(sp: DataFrame) -> DataFrame:
+    """Source-pair overlap counts + Jaccard from a DISTINCT
+    (source, ph) table (``doc_shingles`` output or the streaming
+    twin's durable index)."""
     sizes = sp.groupBy("source").agg(F.count("*").alias("n_paras"))
     a = sp.select(F.col("source").alias("source_a"), "ph")
     b = sp.select(F.col("source").alias("source_b"), "ph")
@@ -192,6 +195,12 @@ def cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
                     (F.col("n_shared").cast("double")
                      / (F.col("na") + F.col("nb") - F.col("n_shared"))
                      .cast("double")).alias("jaccard")))
+
+
+def cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    sp = (doc_shingles(load(spark, sf, "documents"))
+          .localCheckpoint(eager=False))      # sizes + pair join reuse
+    return leakage_matrix(sp)
 
 
 CROSS_SOURCE_LEAKAGE_SQL = """

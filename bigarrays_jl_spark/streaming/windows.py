@@ -338,6 +338,57 @@ def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
             .start())
 
 
+def streaming_source_leakage(docs: DataFrame, index_path: str,
+                             out_path: str, checkpoint_path: str):
+    """Incremental contamination monitor: foreachBatch + a DURABLE
+    (source, 8-gram hash) index — the streaming twin of
+    ``cross_source_leakage`` (operators/round13.py).  A crawl pipeline
+    wants the train/test contamination matrix to update as documents
+    arrive, not in a nightly O(corpus) recompute.
+
+    Each micro-batch:
+
+      1. explodes its docs to DISTINCT (source, gram-hash) pairs with
+         the batch operator's own front-end (``round13.doc_shingles`` —
+         one canon, so streaming and batch can never disagree on what
+         counts as a gram),
+      2. anti-joins the standing index on (source, ph) and appends only
+         the NEW pairs — the index stays a compact distinct-pair set,
+      3. recomputes the leakage matrix FROM THE INDEX (never from the
+         corpus) and appends it under this ``batch_id``.
+
+    Scale shape: per batch the work is (batch grams) + one index-sized
+    matrix refresh — the index holds one 16-byte hash per distinct
+    (source, gram), orders of magnitude smaller than the corpus, and
+    nothing ever rescans previously-processed documents.  Replayed
+    micro-batches (at-least-once foreachBatch) re-append pairs that the
+    matrix's ``distinct()`` read collapses, so results are replay-safe.
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from bigarrays_jl_spark.operators.round13 import (doc_shingles,
+                                                      leakage_matrix)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sp = doc_shingles(batch_df.select("source", "text"))
+        # missing-path = first batch; other read errors fail the batch
+        # so the checkpoint retries it (see streaming_incremental_dedup)
+        idx = _read_index_or_none(spark, index_path)
+        if idx is not None:
+            sp = sp.join(idx.select("source", "ph"),
+                         ["source", "ph"], "left_anti")
+        sp.write.mode("append").parquet(index_path)
+        full = spark.read.parquet(index_path).distinct()  # replay-safe
+        (leakage_matrix(full)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
 def streaming_anomaly_stats(events: DataFrame, stats_path: str,
                             checkpoint_path: str):
     """Durable per-type moment statistics for z-score anomaly flagging —

@@ -1025,3 +1025,58 @@ def test_streaming_paragraph_dedup_prefix_and_restart(spark, sf_dir, tmp_path):
     assert all(ph not in phase1_hashes
                for _, _, ph in admitted - phase1), "hash re-admitted"
     assert admitted == _paragraph_batch_keeps(spark, sf_dir)
+
+
+def test_streaming_source_leakage_matches_batch_twin(spark, sf_dir, tmp_path):
+    # incremental contamination monitor: corpus split at the median
+    # doc_id into two micro-batches with a RESTART between; after each
+    # batch the emitted matrix must equal the batch operator run over
+    # everything seen so far, and the final index must hold exactly the
+    # corpus's distinct (source, gram) pairs
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.round13 import (cross_source_leakage,
+                                                      doc_shingles)
+    from bigarrays_jl_spark.streaming.windows import streaming_source_leakage
+
+    d = load(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+
+    q1 = streaming_source_leakage(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    def matrix_at(batch_id):
+        return {(r.source_a, r.source_b): (r.n_shared, r.jaccard)
+                for r in spark.read.parquet(out)
+                .filter(F.col("batch_id") == batch_id).collect()}
+
+    from bigarrays_jl_spark.operators.round13 import leakage_matrix
+    want1 = {(r.source_a, r.source_b): (r.n_shared, r.jaccard)
+             for r in leakage_matrix(
+                 doc_shingles(d.filter(F.col("doc_id") <= half))).collect()}
+    assert matrix_at(0) == want1
+
+    # restart on the same checkpoint; only the new file is processed
+    d.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_source_leakage(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    last = spark.read.parquet(out).agg(F.max("batch_id")).first()[0]
+    want_full = {(r.source_a, r.source_b): (r.n_shared, r.jaccard)
+                 for r in cross_source_leakage(spark, sf_dir).collect()}
+    assert matrix_at(last) == want_full and len(want_full) > 0
+    # index == the corpus's distinct (source, gram) pairs
+    n_idx = spark.read.parquet(idx).distinct().count()
+    assert n_idx == doc_shingles(d).count()

@@ -126,8 +126,10 @@ RATIO_NOTES = {
         "pair over the raw stream) grows with users; the sketch leg is "
         "minima-bounded — in production only the sketch side runs",
     "text_tfidf_topk": "same posting-table growth as text_bm25 "
-        "(Heaps-law vocab since r13); the per-doc top-k heap is "
-        "posting-bound",
+        "(Heaps-law vocab since r13); r13 fixed the two plan defects "
+        "the first proof run exposed at 7.5× — the tf table now "
+        "checkpoints (was 3 corpus re-tokenizations) and the "
+        "vocab-sized df table broadcasts (was a postings shuffle)",
     "q99_t_closeness": "class × bin cells are bounded (segments × "
         "nations × 10); the delta is the global-range crossJoin scan "
         "amortizing over a sub-second base",
@@ -139,8 +141,12 @@ RATIO_NOTES = {
         "with the Heaps vocab³ n-gram space; the pair join output is "
         "bounded at sources² rows — the cost is the distinct over "
         "the exploded grams, linear in postings",
-    "dedup_cluster_hist": "two map-side groupBys — any >2× is fixed "
-        "overhead over a sub-second base",
+    "dedup_cluster_hist": "two map-side groupBys over the md5+regex "
+        "fingerprint — normalization CPU is linear in bytes; the "
+        "delta is fixed overhead over a sub-second base",
+    "day_funnel_conversion": "per-(user, day) funnel cells grow ~10× "
+        "with events; the conversion fold is cell-keyed and map-side "
+        "partial — fixed overhead over a sub-second base",
     "lorenz_curve": "distinct-revenue-cents domain growth (same "
         "family as q70) through bucketed_running; saturates at the "
         "cent ceiling",
