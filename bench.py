@@ -74,7 +74,8 @@ SECONDARY = [
     "user_erasure_audit", "leadtime_quantiles", "basket_triples",
     "q99_t_closeness", "sketch_jaccard",
     "lorenz_curve", "ngram_novelty", "cross_source_leakage",
-    "dedup_cluster_hist",
+    "dedup_cluster_hist", "session_bounce_rate", "customer_reorder_gaps",
+    "boilerplate_prefixes",
 ]
 
 

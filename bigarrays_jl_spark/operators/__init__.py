@@ -66,6 +66,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     (KMV k-min coincidence)
   round13           lorenz_curve (bucketed_running), ngram_novelty,
                     cross_source_leakage, dedup_cluster_hist
+  round13b          session_bounce_rate, customer_reorder_gaps,
+                    boilerplate_prefixes
 """
 
 from __future__ import annotations
@@ -85,6 +87,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round11b, round11c, round11d,
                                           round11e, round12, round12b,
                                           round12c, round12d, round13,
+                                          round13b,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -108,7 +111,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             volume_agglo, round10f, round10g, round10h, round10i,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
-            round11e, round12, round12b, round12c, round12d, round13)
+            round11e, round12, round12b, round12c, round12d, round13,
+            round13b)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

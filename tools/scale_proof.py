@@ -56,7 +56,8 @@ SLOW_SECONDARY = [
     # r13 additions: the n-gram exploders and the bucketed_running
     # consumers (the new primitive's first proof entries)
     "lorenz_curve", "ngram_novelty", "cross_source_leakage",
-    "dedup_cluster_hist",
+    "dedup_cluster_hist", "session_bounce_rate", "customer_reorder_gaps",
+    "boilerplate_prefixes",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -150,6 +151,14 @@ RATIO_NOTES = {
     "lorenz_curve": "distinct-revenue-cents domain growth (same "
         "family as q70) through bucketed_running; saturates at the "
         "cent ceiling",
+    "session_bounce_rate": "per-user session windows — users grow "
+        "~10× with events; cell-keyed folds after; fixed overhead "
+        "over a ~1 s base",
+    "customer_reorder_gaps": "per-customer lag windows + the "
+        "(segment, gap-days) histogram pick — gap-day domain is "
+        "calendar-bounded; fixed overhead over a sub-second base",
+    "boilerplate_prefixes": "one hash groupBy + TakeOrdered(20) — "
+        "any >2× is fixed overhead over a sub-second base",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join whose output (and so any
