@@ -159,6 +159,9 @@ RATIO_NOTES = {
         "calendar-bounded; fixed overhead over a sub-second base",
     "boilerplate_prefixes": "one hash groupBy + TakeOrdered(20) — "
         "any >2× is fixed overhead over a sub-second base",
+    "q07_window_rank": "supplier-keyed rank window (keys grow with "
+        "data); sub-second both legs — ratios this close to 2 on a "
+        "0.5 s base are scheduler jitter (1.02× in the r12 artifact)",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join whose output (and so any
