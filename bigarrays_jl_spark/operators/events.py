@@ -69,14 +69,21 @@ SELECT window_start, count(*) AS n_events FROM (
 # the batch twin of session_window(ts, '30 minutes')
 # --------------------------------------------------------------------------
 
-def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
+def sessionized(e: DataFrame) -> DataFrame:
+    """``e`` (needs user_id, ts, event_id) plus a per-user
+    ``session_id`` via the 30-minute gaps-and-islands canon — THE
+    sessionization shared by events_sessionize and session_bounce_rate
+    (round13b.py); one definition so the operators can't drift."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_session = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
-    sess = (e.withColumn("new_s", new_session)
+    return (e.withColumn("new_s", new_session)
              .withColumn("session_id", F.sum("new_s").over(
                  w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+
+
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    sess = sessionized(load(spark, sf, "events"))
     return (sess.groupBy("user_id")
                 .agg(F.max("session_id").cast("bigint").alias("n_sessions"),
                      F.count("*").alias("n_events"),

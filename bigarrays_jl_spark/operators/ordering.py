@@ -380,7 +380,19 @@ def bucketed_running(df: DataFrame, value: str,
                 # (p≤28,s) terms never approach 10^(37−s).
                 tgt = DecimalType(37, dt.scale)
                 local, off = local.cast(tgt), off.cast(tgt)
-            expr = F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+            # NULL-fill ONLY where NULL is legitimate, so a decimal
+            # overflow (cast → NULL) stays VISIBLE instead of silently
+            # becoming 0: the offset is NULL only for bucket 0 (the min
+            # value maps there by construction, so every later bucket
+            # has at least one earlier row), and an inclusive local sum
+            # of non-null terms is never NULL.  Exclusive local sums
+            # keep the coalesce (the first row of every bucket is a
+            # legitimate NULL — same idiom as the naive window's
+            # ``coalesce(sum(...) over (... 1 PRECEDING), 0)``).
+            off = F.when(F.col("__b") == 0, F.lit(0)).otherwise(off)
+            if not inclusive:
+                local = F.coalesce(local, F.lit(0))
+            expr = local + off
         else:                       # greatest() skips NULLs in Spark
             expr = F.greatest(local, off)
         res = res.withColumn(out, expr)

@@ -43,12 +43,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.functions import fingerprint
+from bigarrays_jl_spark.functions import fingerprint, shingle_array
 from bigarrays_jl_spark.operators.ordering import bucketed_running
 from bigarrays_jl_spark.sources.tables import load
 
 
 def lorenz_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Deciles whose rank target k·N DIV 10 is 0 (only possible when
+    the corpus has fewer than 10 customers) are omitted — the SQL twin
+    shares the rule, and a sub-10-customer Lorenz curve is degenerate
+    anyway."""
     rev = (load(spark, sf, "orders")
            .groupBy("o_custkey")
            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
@@ -110,15 +114,11 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     d = (load(spark, sf, "documents")
          .select("doc_id", "source",
                  F.split(F.col("text"), " ").alias("ws")))
-    n = F.size("ws")
-    tri = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at("ws", i), F.element_at("ws", i + 1),
-            F.element_at("ws", i + 2))))
-    # sequence(1, n-2) DESCENDS for n < 3 — guard, don't trust the data
-    e = (d.filter(n >= 3)
-         .select("doc_id", "source", F.explode(tri).alias("g"))
+    # shingle_array carries the short-document guard (sequence DESCENDS
+    # below n tokens) and is the repo's one shingling definition; its
+    # empty array for short docs drops in the explode
+    tri = F.array_distinct(shingle_array("ws", 3))
+    e = (d.select("doc_id", "source", F.explode(tri).alias("g"))
          .localCheckpoint(eager=False))       # firsts + probe reuse
     firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
@@ -162,14 +162,10 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     Shared with the streaming twin (streaming/windows.py) so batch and
     incremental leakage can never disagree on what counts as a gram."""
     d = docs.select("source", F.split(F.col("text"), " ").alias("ws"))
-    n = F.size("ws")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (LEAK_N - 1)),
-        lambda i: F.md5(F.concat_ws(
-            " ", *[F.element_at("ws", i + j) for j in range(LEAK_N)])))
-    # sequence(a, b) DESCENDS when b < a — guard short docs out first
-    return (d.filter(n >= LEAK_N)
-            .select("source", F.explode(grams).alias("ph"))
+    # shingle_array = the repo's one shingling definition (guarded for
+    # short docs — empty arrays drop in the explode)
+    grams = F.transform(shingle_array("ws", LEAK_N), F.md5)
+    return (d.select("source", F.explode(grams).alias("ph"))
             .distinct())
 
 

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.operators.events import SESSION_GAP_MIN
+from bigarrays_jl_spark.operators.events import (SESSION_GAP_MIN,
+                                                 sessionized)
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.sources.tables import load
 
@@ -40,13 +41,7 @@ BOILER_TOPK = 20
 def session_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").select("user_id", "ts", "event_id",
                                          "event_type")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1) \
-             .otherwise(0)
-    sess = (e.withColumn("new_s", new_s)
-            .withColumn("session_id", F.sum("new_s").over(
-                w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    sess = sessionized(e)          # the events.py 30-min canon, shared
     per = (sess.groupBy("user_id", "session_id")
            .agg(F.count("*").alias("n_ev"),
                 F.min_by("event_type", F.struct("ts", "event_id"))
@@ -177,11 +172,15 @@ def boilerplate_prefixes(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("n_sources").cast("bigint").alias("n_sources")))
 
 
+# prefix expression derives from BOILER_K exactly like the Spark side,
+# so changing the constant can never desynchronize operator and oracle
+_PREFIX_SQL = " || ' ' || ".join(f"ws[{i + 1}]" for i in range(BOILER_K))
+
 BOILERPLATE_SQL = f"""
 WITH w AS (
   SELECT source, string_split(text, ' ') AS ws FROM documents),
 g AS (
-  SELECT md5(ws[1] || ' ' || ws[2]) AS ph,
+  SELECT md5({_PREFIX_SQL}) AS ph,
          count(*) AS n_docs, count(DISTINCT source) AS n_sources
   FROM w WHERE len(ws) >= {BOILER_K}
   GROUP BY 1 HAVING count(*) > 1)

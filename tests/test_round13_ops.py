@@ -106,4 +106,5 @@ def test_round13_plan_shapes(spark, sf_dir):
     assert not single_partition_windows(nv)
     ch = dedup_cluster_hist(spark, sf_dir)
     assert has_partial_aggregation(ch)
-    assert ch.rdd.getNumPartitions() >= 1
+    # two map-side-combined groupBys and nothing else: no funnel stage
+    assert "Exchange SinglePartition" not in simple_plan(ch)

@@ -13,17 +13,23 @@ from bigarrays_jl_spark.sources.tables import load
 
 
 def test_bounce_rate_matches_python(spark, sf_dir):
+    # ORDER by the raw microsecond ts (the operator/oracle sort key) but
+    # compute gaps on floored seconds (the cast("long") canon) — sorting
+    # on the floored value would mis-attribute entries whenever two
+    # same-second events' event_id order disagrees with their
+    # sub-second order (review finding r13)
     rows = (load(spark, sf_dir, "events")
-            .select("user_id", F.col("ts").cast("long").alias("t"),
+            .select("user_id", "ts",
+                    F.col("ts").cast("long").alias("t"),
                     "event_id", "event_type").collect())
     per_user = defaultdict(list)
     for r in rows:
-        per_user[r.user_id].append((r.t, r.event_id, r.event_type))
+        per_user[r.user_id].append((r.ts, r.event_id, r.t, r.event_type))
     stats = defaultdict(lambda: [0, 0])       # entry -> [sessions, bounces]
     for evs in per_user.values():
-        evs.sort()
+        evs.sort(key=lambda x: (x[0], x[1]))
         sessions = []
-        for t, eid, ty in evs:
+        for _ts, eid, t, ty in evs:
             if not sessions or t - sessions[-1][-1][0] > SESSION_GAP_MIN * 60:
                 sessions.append([])
             sessions[-1].append((t, eid, ty))

@@ -74,11 +74,24 @@ def heaps_vocab(mult: int) -> list[str]:
     alphabetic — the near-dup mutation regexp ``^[a-z]+ `` must keep
     matching the first token of a document)."""
     import math
+
+    def sfx(q: int) -> str:
+        # bijective base-26: 0->'a', 25->'z', 26->'aa' — suffixes stay
+        # purely alphabetic at ANY multiplier (a single chr() walked
+        # past 'z' into punctuation above mult ~729, where the '^[a-z]+ '
+        # near-dup mutation regexp would silently stop matching)
+        out = ""
+        q += 1
+        while q:
+            q, r = divmod(q - 1, 26)
+            out = chr(ord("a") + r) + out
+        return out
+
     v = max(len(VOCAB), int(round(len(VOCAB) * math.sqrt(mult))))
     words = list(VOCAB)
     i = 0
     while len(words) < v:
-        words.append(VOCAB[i % len(VOCAB)] + chr(ord("a") + i // len(VOCAB)))
+        words.append(VOCAB[i % len(VOCAB)] + sfx(i // len(VOCAB)))
         i += 1
     return words
 
