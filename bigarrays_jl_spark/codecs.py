@@ -136,7 +136,18 @@ class BloscCodec(Codec):
 
 
 class JpegCodec(Codec):
-    """Parity stub: unimplemented in the reference (src/Codings.jl:82-94)."""
+    """Encode: parity stub — unimplemented in the reference
+    (src/Codings.jl:82-94, ``error("unimplemented!")``).
+
+    Decode: OPT-IN extra beyond the reference (whose decode is
+    commented out upstream), enabled when Pillow is importable.  The
+    neuroglancer jpeg convention stores a [sx, sy, sz] chunk as one
+    grayscale image of width sx and height sy·sz (slices stacked
+    vertically); row-major pixel order of that image — x fastest, then
+    y, then z — IS the Fortran-order voxel payload every other codec
+    emits, so the decode is ``np.asarray(img).tobytes()`` with no
+    transpose.  Without Pillow the reference-parity
+    NotImplementedError stands."""
 
     name = "jpeg"
 
@@ -144,7 +155,23 @@ class JpegCodec(Codec):
         raise NotImplementedError("jpeg encoding is unimplemented (reference parity)")
 
     def decode(self, data: bytes) -> bytes:
-        raise NotImplementedError("jpeg decoding is disabled (reference parity)")
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "jpeg decoding is disabled (reference parity; install "
+                "Pillow for the opt-in decode)") from None
+        import io
+
+        import numpy as np
+        img = Image.open(io.BytesIO(data))
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8 or arr.ndim != 2:
+            raise ValueError(
+                "jpeg decode supports single-channel uint8 chunks "
+                f"(got dtype={arr.dtype}, ndim={arr.ndim}); "
+                "multi-channel jpeg layers are out of scope")
+        return arr.tobytes()
 
 
 _CODECS = {

@@ -47,9 +47,64 @@ def test_zstd_roundtrip_and_sniff():
 def test_jpeg_parity_stub(payload):
     c = codecs.get_codec("jpeg")
     with pytest.raises(NotImplementedError):
-        c.encode(payload)
+        c.encode(payload)           # parity stub ALWAYS (ref is dead)
+    try:
+        import PIL  # noqa: F401  (decode is opt-in when Pillow exists)
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            c.decode(payload)
+
+
+def test_jpeg_decode_plumbing_with_fake_pillow(monkeypatch):
+    """The opt-in decode path, driven by an injected fake PIL: verifies
+    the BytesIO hand-off, the uint8/2-D validation, and the documented
+    Fortran contract (row-major (sy·sz, sx) pixels == F-order payload)
+    without the real library (absent in this container)."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+    sx, sy, sz = 4, 3, 2
+    chunk = np.arange(sx * sy * sz, dtype=np.uint8).reshape(
+        (sx, sy, sz), order="F")
+    header = b"FAKEJPG0"
+    # the fake "jpeg" = header + row-major pixels of the stacked image
+    pixels = chunk.reshape((sx, sy * sz), order="F").T   # (sy*sz, sx)
+    payload = header + np.ascontiguousarray(pixels).tobytes()
+
+    def fake_open(bio):
+        assert isinstance(bio, io.BytesIO)
+        raw = bio.read()
+        assert raw.startswith(header)
+        return np.frombuffer(raw[len(header):], np.uint8).reshape(
+            sy * sz, sx)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=fake_open)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    c = codecs.get_codec("jpeg")
+    out = c.decode(payload)
+    # decoded bytes reshaped F-order reproduce the chunk exactly
+    assert (np.frombuffer(out, np.uint8).reshape((sx, sy, sz), order="F")
+            == chunk).all()
+    # encode stays the parity stub even with "Pillow" present
     with pytest.raises(NotImplementedError):
-        c.decode(payload)
+        c.encode(out)
+
+
+def test_jpeg_decode_rejects_unsupported_modes(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(
+        open=lambda bio: np.zeros((2, 2, 3), np.uint8))   # RGB
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    with pytest.raises(ValueError, match="single-channel"):
+        codecs.get_codec("jpeg").decode(b"x")
 
 
 def test_unknown_encoding():
