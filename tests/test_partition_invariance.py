@@ -34,6 +34,8 @@ PARTITION_SENSITIVE = [
     "q84_rfm_segments",         # 3× distributed_ntile offsets (r12 rewrite)
     "interval_overlap_join",    # prefix-sum island ids + grid join (r12)
     "retrieval_rrf_hybrid",     # two distributed_prefix_sum ranks (r12)
+    "lorenz_curve",             # bucketed_running dual cum sums (r13)
+    "q86_kaplan_meier",         # bucketed_running decimal logs (r13)
 ]
 
 

@@ -375,3 +375,44 @@ def test_ares_integer_keys_order_embed_float_priorities(pairs):
     int_seq = [int_key(*pairs[i]) for i in floats]
     assert all(a <= b for a, b in zip(int_seq, int_seq[1:])), \
         (pairs, ints, floats)
+
+
+# -- bucketed_running ≡ naive whole-table window (r13) -----------------------
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(-1000, 1000),   # value
+                          st.integers(0, 50),         # w1 (sum weight)
+                          st.integers(-99, 99)),      # m  (max candidate)
+                min_size=1, max_size=60,
+                unique_by=lambda t: t[0]),
+       st.integers(2, 9))                              # bucket count
+def test_bucketed_running_equals_naive_window(spark, rows, n_buckets):
+    """The two-level rewrite is bit-identical to the single-partition
+    window it replaced, for every (kind, inclusive) spec combination,
+    on arbitrary unique-valued integer histograms and tiny bucket
+    counts (maximizing bucket-boundary crossings)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.ordering import bucketed_running
+
+    df = spark.createDataFrame(rows, "v long, w1 long, m long")
+    got = {r.v: (r.s_in, r.s_ex, r.m_in, r.m_ex)
+           for r in bucketed_running(
+               df, "v",
+               [("s_in", "w1", "sum", True),
+                ("s_ex", "w1", "sum", False),
+                ("m_in", "m", "max", True),
+                ("m_ex", "m", "max", False)],
+               n_buckets=n_buckets).collect()}
+    cum_in = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum_ex = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    want = {r.v: (r.s_in, r.s_ex, r.m_in, r.m_ex)
+            for r in df.select(
+                "v",
+                F.sum("w1").over(cum_in).alias("s_in"),
+                F.coalesce(F.sum("w1").over(cum_ex), F.lit(0))
+                 .alias("s_ex"),
+                F.max("m").over(cum_in).alias("m_in"),
+                F.max("m").over(cum_ex).alias("m_ex")).collect()}
+    assert got == want
