@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 import random
 
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.functions import shingle_array, tokens
 from bigarrays_jl_spark.sources.tables import fan_out, load
 
@@ -185,9 +186,9 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
     # is O(docs × bands) compact rows (~130 B/row) — the standard LSH
     # signature-table materialization.  eager=False keeps plan
     # construction lazy (.schema/.explain trigger no job); a
-    # fault-tolerant deployment would use reliable checkpointing or
-    # persist(DISK) instead of executor-local blocks.
-    return bands.localCheckpoint(eager=False)
+    # fault-tolerant deployment sets sparkgraft.checkpoint.reliable=true
+    # and this becomes a reliable .checkpoint() (see checkpointing.py).
+    return materialize(bands, eager=False)
 
 
 def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
@@ -307,7 +308,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # stored set is O(corpus distinct shingles) — heavier than the
     # compact signature table — but recomputing it costs the same
     # shuffle again, so caching wins whenever executor storage holds it.
-    sh_all = _shingles(_augmented(spark, sf)).localCheckpoint(eager=False)
+    sh_all = materialize(_shingles(_augmented(spark, sf)), eager=False)
     # hot-shingle set from CORPUS-level document frequency (one narrow
     # partial-aggregated groupBy), so a pair's reported Jaccard is a
     # property of the corpus alone — never of which other docs happened
@@ -471,18 +472,20 @@ MAX_CC_ROUNDS = 15
 
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
-    edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
-                                      F.col("doc_a").alias("doc_b")))
-             .toDF("src", "dst").localCheckpoint())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    edges = materialize(
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                 F.col("doc_a").alias("doc_b")))
+             .toDF("src", "dst"))
+    labels = materialize(
+        edges.select(F.col("src").alias("node")).distinct()
+             .withColumn("label", F.col("node")))
     changed = None
     for _ in range(MAX_CC_ROUNDS):
         prop = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "label"))
-        new = (labels.select("node", "label").union(prop)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint())
+        new = materialize(
+            labels.select("node", "label").union(prop)
+                  .groupBy("node").agg(F.min("label").alias("label")))
         changed = (new.join(labels.withColumnRenamed("label", "old"), "node")
                    .filter(F.col("label") != F.col("old")).count())
         labels = new

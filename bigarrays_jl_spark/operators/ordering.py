@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window as W
 
+from ..checkpointing import materialize
+
 
 def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
                            weight: Column, value: str, tiebreak: str,
@@ -55,16 +57,19 @@ def distributed_prefix_sum(spark: SparkSession, df: DataFrame,
     Two costs are inherent and worth knowing at cluster scale: (1) this
     function runs driver-side actions (the probe and per-bucket totals)
     at CONSTRUCTION time — the offsets must become literals — so merely
-    building the plan scans the input once; (2) ``localCheckpoint`` is
-    executor-local, so losing an executor loses its blocks without
-    lineage to recompute — on a long-lived cluster with dynamic
-    allocation, swap in ``spark.sparkContext.setCheckpointDir`` +
-    ``.checkpoint()`` (reliable storage) at the cost of one write.
+    building the plan scans the input once; (2) the default
+    materialization is executor-local (``localCheckpoint``), so losing
+    an executor loses its blocks without lineage to recompute — on a
+    long-lived cluster with dynamic allocation, set
+    ``sparkgraft.checkpoint.reliable=true`` (plus ``setCheckpointDir``)
+    and every primitive here writes its blocks to reliable storage
+    instead, at the cost of one write (see ``checkpointing.py``;
+    bit-identical results in both modes, pytest-pinned).
     """
     n_buckets = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    df = df.localCheckpoint(eager=True)  # the single source scan
+    df = materialize(df, eager=True)  # the single source scan
     head = df.select(F.percentile_approx(value, probs).alias("b")).first()
     raw = head["b"] if head is not None else None
     if raw is None:  # empty input: nothing to rank
@@ -133,9 +138,9 @@ def grouped_ntile(spark: SparkSession, df: DataFrame, n_tiles: int,
     # keyed input once so the boundary probe, the bucketed join, the
     # per-bucket counts and the final window all read the checkpointed
     # blocks instead of rescanning the corpus four times
-    df = df.withColumn(
+    df = materialize(df.withColumn(
         "__g", F.coalesce(F.col(group).cast("string"), F.lit(null_g))
-    ).localCheckpoint(eager=True)
+    ), eager=True)
     bdf = (df.groupBy("__g")
            .agg(F.percentile_approx(value, probs).alias("__bs")))
     j = df.join(F.broadcast(bdf), "__g")
@@ -284,10 +289,11 @@ def bucketed_quantile_pick(hist: DataFrame, group: str, val: str,
     # wb is consumed twice (offset subtotals + the final pick); the
     # checkpoint keeps the second pass off the source scan — measured
     # neutral at sf0.1 and ~15 % faster at sf1
-    wb = (base.join(F.broadcast(rng), "g")
-          .withColumn("b", ((F.col("v") - F.col("lo")) / width)
-                      .cast("long"))
-          .localCheckpoint(eager=False))
+    wb = materialize(
+        base.join(F.broadcast(rng), "g")
+            .withColumn("b", ((F.col("v") - F.col("lo")) / width)
+                        .cast("long")),
+        eager=False)
     w_off = (W.partitionBy("g").orderBy("b")
              .rowsBetween(W.unboundedPreceding, -1))
     offs = (wb.groupBy("g", "b").agg(F.sum("w").alias("bw"))
@@ -341,11 +347,12 @@ def bucketed_running(df: DataFrame, value: str,
     orig = df.columns
     rng = df.agg(F.min(value).alias("__lo"), F.max(value).alias("__hi"))
     width = ((F.col("__hi") - F.col("__lo")) / n_buckets + 1).cast("long")
-    wb = (df.crossJoin(F.broadcast(rng))          # 1-row scalar join
+    wb = materialize(
+        df.crossJoin(F.broadcast(rng))            # 1-row scalar join
           .withColumn("__b", ((F.col(value) - F.col("__lo")) / width)
                       .cast("long"))
-          .drop("__lo", "__hi")
-          .localCheckpoint(eager=False))          # consumed twice below
+          .drop("__lo", "__hi"),
+        eager=False)                              # consumed twice below
 
     def _agg(kind, col):
         return F.sum(col) if kind == "sum" else F.max(col)
