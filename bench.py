@@ -212,6 +212,43 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
                 "dist_read_mb_s": round(mb / r, 2)}
 
 
+def stage_scan_probe(spark, td: str):
+    """Stage an ~84 MB binary-payload parquet (same shape as the
+    dist_scan table: 64³-byte payload rows) and warm its pages; returns
+    (df, mb).  The scan of this table is the contention PROBE — a pure
+    warm parquet scan with zero engine code, so its MB/s measures the
+    VM, not the plans."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = 320                                   # 320 × 64³ B ≈ 84 MB
+    mdf = spark.range(n).repartition(cpus)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [np.random.default_rng(int(i))
+                        .integers(0, 256, size=64 * 64 * 64, dtype=np.uint8)
+                        .tobytes() for i in pdf["id"]]
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    path = td + "/scan_probe"
+    mdf.mapInPandas(gen, schema="id long, payload binary") \
+        .write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    # warm the PAYLOAD pages (footer-only count warms nothing)
+    df.agg(F.sum(F.length("payload"))).collect()
+    return df, n * 64 * 64 * 64 / 1e6
+
+
+def scan_probe_mb_s(probe_df, mb: float) -> float:
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    probe_df.agg(F.sum(F.length("payload"))).collect()
+    return round(mb / (time.time() - t0), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from bigarrays_jl_spark.operators import ALL_QUERIES
@@ -262,7 +299,18 @@ def main() -> None:
             print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         return timings
 
+    # interleaved floor probes (r13 verdict task 3): the r13 driver
+    # window showed one single-sample probe can mis-normalize the whole
+    # artifact (dist_scan read 688 MB/s in a window whose neighbors ran
+    # 982) — so the probe of record is the MEDIAN of three samples taken
+    # before, between, and after the timed blocks, which one contention
+    # spike (in either direction) cannot move.
+    probe_td = tempfile.TemporaryDirectory()
+    probe_df, probe_mb = stage_scan_probe(spark, probe_td.name)
+    floor_samples = [scan_probe_mb_s(probe_df, probe_mb)]
+
     timings = time_queries(HEADLINE)
+    floor_samples.append(scan_probe_mb_s(probe_df, probe_mb))
     secondary = time_queries(SECONDARY)
 
     # best-of-N for the volume paths too: the first full-size pass pays
@@ -276,18 +324,22 @@ def main() -> None:
 
     vol_stats = best_of(run_volume_bench, 3)
     vol_stats.update(best_of(run_volume_distributed_bench, 3))
+    floor_samples.append(scan_probe_mb_s(probe_df, probe_mb))
+    probe_td.cleanup()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # floor-normalized headline (r9 verdict task 2): dist_scan is a pure
+    # floor-normalized headline (r9 verdict task 2): the probe is a pure
     # warm parquet scan with no engine code, so its ratio to the nominal
     # floor (800 MB/s, pinned once from the r8 artifact) measures VM
     # contention, not plan quality.  headline_normalized rescales the
     # raw total to nominal-floor conditions so round-over-round
     # comparisons stop being dominated by VM lottery — and a real plan
     # regression can't hide behind "the VM was slow".  Both numbers are
-    # in the artifact; the raw total stays the gate.
+    # in the artifact; the raw total stays the gate.  Since r14 the
+    # probe of record is the median of the three interleaved samples,
+    # not the single in-bench dist_scan measurement.
     floor_nominal = 800.0
-    scan = vol_stats.get("dist_scan_mb_s") or floor_nominal
+    scan = sorted(floor_samples)[1]
     normalized = round(total * min(1.0, scan / floor_nominal), 3)
     full = {
         "metric": "headline_queries_total",
@@ -297,6 +349,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
         "floor_nominal_mb_s": floor_nominal,
+        "floor_probe_mb_s": floor_samples,
+        "floor_median_mb_s": scan,
         "headline_normalized": normalized,
         "secondary_total": round(sum(secondary.values()), 3),
         "secondary": secondary,
