@@ -164,6 +164,19 @@ def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def _batch_already_in(spark: SparkSession, path: str,
+                      batch_id: int) -> bool:
+    """True when ``path`` already holds rows for ``batch_id`` — the
+    foreachBatch exactly-once guard.  Structured Streaming replays a
+    failed micro-batch under the SAME batch_id, so "this batch_id is
+    already committed to the output" means exactly "the output append
+    happened; don't append it again".  One parquet read with the
+    batch_id predicate pushed down; costs a footer scan per batch."""
+    df = _read_index_or_none(spark, path)
+    return (df is not None and
+            df.filter(F.col("batch_id") == batch_id).limit(1).count() > 0)
+
+
 def streaming_incremental_dedup(docs: DataFrame, index_path: str,
                                 out_path: str, checkpoint_path: str):
     """Production ingest-dedup bridge: foreachBatch + the
@@ -185,11 +198,15 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
     Scale shape: the anti-join shuffles on the fingerprint hash (or
     broadcasts the micro-batch — Spark picks, the batch is the small
     side); index growth is one 16-byte row per ADMITTED doc, and no
-    step ever rescans previously-deduped data.  Admitted rows carry
-    ``batch_id`` so a replayed micro-batch (foreachBatch is
-    at-least-once after a restart) is reconcilable downstream; the
-    index itself is replay-safe because re-appended fingerprints are
-    deduplicated by the very anti-join they feed.
+    step ever rescans previously-deduped data.
+
+    Replay safety is EXACTLY-ONCE on both outputs (r13 advice): a
+    replayed micro-batch (foreachBatch is at-least-once after a crash)
+    whose out append already committed is caught by the batch_id guard
+    — the out write is skipped and the index is repaired from the
+    committed rows, so neither a crash between the two appends nor a
+    post-commit driver death can duplicate out rows or lose index
+    hashes.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -197,6 +214,18 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _batch_already_in(spark, out_path, batch_id):
+            # replayed batch whose out append committed: never recompute
+            # admission — re-derive the admitted fingerprints from the
+            # committed rows and append only the ones the index is
+            # missing (the crash-between-appends case)
+            replay = (spark.read.parquet(out_path)
+                      .filter(F.col("batch_id") == batch_id).select("fp"))
+            idx = _read_index_or_none(spark, index_path)
+            if idx is not None:
+                replay = replay.join(idx.select("fp"), "fp", "left_anti")
+            replay.write.mode("append").parquet(index_path)
+            return
         best = (batch_df.withColumn("fp", fingerprint())
                 .groupBy("fp")
                 .agg(F.min("doc_id").alias("doc_id"),
@@ -240,11 +269,14 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
     Scale shape: probing costs O(batch × bands) rows against the index
     join — never corpus × corpus — and the index grows by bands-per-doc
     compact rows per batch; this is ``dedup_incremental_minhash``'s
-    plan run continuously.  Matches carry ``batch_id`` for replay
-    reconciliation (foreachBatch is at-least-once across restarts);
-    index re-appends from a replayed batch add duplicate signature rows,
-    which change no match results (the est_jaccard max is idempotent) —
-    compact the index offline if replays accumulate.
+    plan run continuously.  Matches carry ``batch_id``, and replay is
+    EXACTLY-ONCE on both outputs (r13 advice): a replayed batch whose
+    match append already committed skips the match write (batch_id
+    guard); the probe excludes the batch's OWN doc_ids from the index
+    side (a replayed batch whose index append committed would otherwise
+    find its own signatures and emit spurious self-matches); and the
+    index append anti-joins the standing index on (doc_id, b) so
+    re-appended signatures can never duplicate rows.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -258,12 +290,17 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
         # missing-path only; real I/O errors fail the batch for retry
         # (see streaming_incremental_dedup)
         idx = _read_index_or_none(spark, index_path)
-        if idx is not None:
+        matches_done = _batch_already_in(spark, out_path, batch_id)
+        if idx is not None and not matches_done:
+            # probe only the PRE-batch corpus: a replayed batch whose
+            # index append committed must not match against itself
+            probe = idx.join(bands.select("doc_id").distinct(),
+                             "doc_id", "left_anti")
             shared = F.size(F.filter(
                 F.zip_with(F.col("a.sig"), F.col("i.sig"),
                            lambda x, y: x == y), lambda m: m))
             (bands.alias("a")
-             .join(idx.alias("i"), (F.col("a.b") == F.col("i.b"))
+             .join(probe.alias("i"), (F.col("a.b") == F.col("i.b"))
                    & (F.col("a.band") == F.col("i.band")))
              .select(F.col("a.doc_id").alias("batch_doc"),
                      F.col("i.doc_id").alias("corpus_doc"),
@@ -274,7 +311,12 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
              .filter(F.col("est_jaccard") >= threshold)
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(out_path))
-        bands.write.mode("append").parquet(index_path)
+        # append only the signatures the index is missing — a replayed
+        # batch (or a crash between the two appends) cannot duplicate
+        # index rows, keeping the index semantically a set
+        new_bands = bands if idx is None else bands.join(
+            idx.select("doc_id", "b"), ["doc_id", "b"], "left_anti")
+        new_bands.write.mode("append").parquet(index_path)
 
     return (docs.writeStream
             .foreachBatch(process_batch)
@@ -303,13 +345,28 @@ def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
     Scale shape: the per-batch state is (paragraphs in the batch), the
     index holds one 16-byte hash per DISTINCT paragraph ever admitted,
     and the anti-join shuffles on the hash (or broadcasts the batch —
-    Spark picks).  Nothing rescans previously-deduped data; replayed
-    micro-batches (at-least-once foreachBatch) re-append hashes that
-    the anti-join itself already filters, so the index stays
-    semantically a set.  Returns the started StreamingQuery.
+    Spark picks).  Nothing rescans previously-deduped data.
+
+    Replay safety is EXACTLY-ONCE on both outputs (r13 advice): a
+    replayed micro-batch whose out append already committed is caught
+    by the batch_id guard — the out write is skipped and the index is
+    repaired from the committed rows — so neither a crash between the
+    two appends nor a post-commit driver death can duplicate out rows
+    or lose index hashes.  Returns the started StreamingQuery.
     """
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _batch_already_in(spark, out_path, batch_id):
+            # out append committed on a previous attempt: repair the
+            # index from the committed rows instead of recomputing
+            # admission (recomputing would re-admit and duplicate)
+            replay = (spark.read.parquet(out_path)
+                      .filter(F.col("batch_id") == batch_id).select("ph"))
+            idx = _read_index_or_none(spark, index_path)
+            if idx is not None:
+                replay = replay.join(idx.select("ph"), "ph", "left_anti")
+            replay.write.mode("append").parquet(index_path)
+            return
         paras = (batch_df
                  .select("doc_id", "source",
                          F.posexplode(F.split(F.col("text"), r"\. "))
@@ -360,9 +417,14 @@ def streaming_source_leakage(docs: DataFrame, index_path: str,
     Scale shape: per batch the work is (batch grams) + one index-sized
     matrix refresh — the index holds one 16-byte hash per distinct
     (source, gram), orders of magnitude smaller than the corpus, and
-    nothing ever rescans previously-processed documents.  Replayed
-    micro-batches (at-least-once foreachBatch) re-append pairs that the
-    matrix's ``distinct()`` read collapses, so results are replay-safe.
+    nothing ever rescans previously-processed documents.
+
+    Replay safety is EXACTLY-ONCE on the matrix output (r13 advice):
+    the matrix append is last and guarded by batch_id, so a replayed
+    micro-batch (at-least-once foreachBatch) whose matrix row already
+    committed returns without appending a duplicate; index re-appends
+    from a partially-committed attempt are collapsed by the anti-join
+    and the matrix's ``distinct()`` read.
     Returns the started StreamingQuery (caller stops it).
     """
     from bigarrays_jl_spark.operators.round13 import (doc_shingles,
@@ -370,6 +432,10 @@ def streaming_source_leakage(docs: DataFrame, index_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _batch_already_in(spark, out_path, batch_id):
+            # the matrix append is the LAST write, so its presence means
+            # the whole batch committed — nothing to redo
+            return
         sp = doc_shingles(batch_df.select("source", "text"))
         # missing-path = first batch; other read errors fail the batch
         # so the checkpoint retries it (see streaming_incremental_dedup)

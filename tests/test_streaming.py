@@ -1080,3 +1080,182 @@ def test_streaming_source_leakage_matches_batch_twin(spark, sf_dir, tmp_path):
     # index == the corpus's distinct (source, gram) pairs
     n_idx = spark.read.parquet(idx).distinct().count()
     assert n_idx == doc_shingles(d).count()
+
+
+# -- foreachBatch replay exactly-once (r13 advice) --------------------------
+# Structured Streaming replays a failed/uncommitted micro-batch under the
+# SAME batch_id.  The durable-index bridges guard their output appends by
+# batch_id, so a replay can neither duplicate out rows (post-commit driver
+# death) nor lose index hashes (crash between the two appends).  Deleting
+# the checkpoint and restarting on the same single-file source is an exact
+# simulation: the whole source replays as batch_id 0 with identical data.
+
+def _replay(spark, make_query, schema, src, idx, out, ckpt):
+    import shutil
+    shutil.rmtree(ckpt)
+    q = make_query(spark.readStream.schema(schema).parquet(src),
+                   idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_paragraph_dedup_replay_exactly_once(spark, sf_dir,
+                                                       tmp_path):
+    from bigarrays_jl_spark.streaming.windows import streaming_paragraph_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    q = streaming_paragraph_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_before = spark.read.parquet(out).count()
+    idx_before = spark.read.parquet(idx).count()
+    assert out_before > 0
+
+    _replay(spark, streaming_paragraph_dedup, d.schema, src, idx, out, ckpt)
+    # exactly-once: the replayed batch appends NOTHING to either output
+    assert spark.read.parquet(out).count() == out_before, "out duplicated"
+    assert spark.read.parquet(idx).count() == idx_before, "index duplicated"
+
+
+def test_streaming_paragraph_dedup_repairs_index_after_partial_commit(
+        spark, sf_dir, tmp_path):
+    # crash-between-appends simulation: out committed for batch 0, index
+    # append never happened.  The replay must NOT rewrite out (that
+    # would duplicate every row) and must rebuild the index from the
+    # committed out rows.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import streaming_paragraph_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    q = streaming_paragraph_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_before = {(r.doc_id, r.pidx, r.ph)
+                  for r in spark.read.parquet(out).collect()}
+    shutil.rmtree(idx)                       # the index append "never ran"
+
+    _replay(spark, streaming_paragraph_dedup, d.schema, src, idx, out, ckpt)
+    out_after = spark.read.parquet(out)
+    assert {(r.doc_id, r.pidx, r.ph)
+            for r in out_after.collect()} == out_before
+    assert out_after.count() == len(out_before), "out duplicated"
+    want_idx = {ph for _, _, ph in out_before}
+    assert {r.ph for r in spark.read.parquet(idx).collect()} == want_idx
+    assert spark.read.parquet(idx).count() == len(want_idx)
+
+
+def test_streaming_incremental_dedup_replay_exactly_once(spark, sf_dir,
+                                                         tmp_path):
+    from bigarrays_jl_spark.streaming.windows import \
+        streaming_incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    q = streaming_incremental_dedup(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_before = spark.read.parquet(out).count()
+    idx_before = spark.read.parquet(idx).count()
+    assert out_before > 0
+
+    _replay(spark, streaming_incremental_dedup, d.schema, src, idx, out,
+            ckpt)
+    assert spark.read.parquet(out).count() == out_before, "out duplicated"
+    assert spark.read.parquet(idx).count() == idx_before, "index duplicated"
+
+
+def test_streaming_minhash_replay_no_duplicates(spark, sf_dir, tmp_path):
+    # two phases (corpus seeds the index, then "today's crawl" produces
+    # matches), then a full replay: deleting the checkpoint replays BOTH
+    # files as one batch whose docs are all already indexed — the
+    # self-exclusion probe must emit zero spurious matches and the
+    # (doc_id, b) anti-join must append zero index rows
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.operators.dedup import _augmented
+    from bigarrays_jl_spark.streaming.windows import streaming_minhash_neardup
+
+    aug = _augmented(spark, sf_dir)
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    cut = aug.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    aug.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(src)
+
+    q1 = streaming_minhash_neardup(
+        spark.readStream.schema(aug.schema).parquet(src), idx, out, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    aug.filter(F.col("doc_id") > cut).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = streaming_minhash_neardup(
+        spark.readStream.schema(aug.schema).parquet(src), idx, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    out_before = spark.read.parquet(out).count()
+    idx_before = spark.read.parquet(idx).count()
+    assert out_before > 0, "fixture produced no cross-phase matches"
+    # the index must already be a set on (doc_id, b)
+    assert idx_before == spark.read.parquet(idx) \
+        .select("doc_id", "b").distinct().count()
+
+    _replay(spark, streaming_minhash_neardup, aug.schema, src, idx, out,
+            ckpt)
+    assert spark.read.parquet(out).count() == out_before, "matches duplicated"
+    assert spark.read.parquet(idx).count() == idx_before, "index duplicated"
+
+
+def test_streaming_source_leakage_replay_no_duplicate_matrix(spark, sf_dir,
+                                                             tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import streaming_source_leakage
+
+    d = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    q = streaming_source_leakage(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_before = spark.read.parquet(out).count()
+    idx_before = spark.read.parquet(idx).count()
+    assert out_before > 0
+
+    _replay(spark, streaming_source_leakage, d.schema, src, idx, out, ckpt)
+    assert spark.read.parquet(out).count() == out_before, \
+        "matrix rows duplicated"
+    assert spark.read.parquet(idx).count() == idx_before, "index duplicated"
