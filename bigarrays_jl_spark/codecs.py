@@ -147,14 +147,22 @@ class JpegCodec(Codec):
     y, then z — IS the Fortran-order voxel payload every other codec
     emits, so the decode is ``np.asarray(img).tobytes()`` with no
     transpose.  Without Pillow the reference-parity
-    NotImplementedError stands."""
+    NotImplementedError stands.
+
+    Caller invariant (r13 advice): the bytes→bytes API cannot see the
+    chunk's dims, so an image whose (width, height) aspect differs
+    from (sx, sy·sz) but matches in TOTAL bytes would reshape cleanly
+    and yield scrambled voxels.  Callers that know the chunk shape
+    should pass ``expected_width=sx`` (``decode_payload`` does); the
+    downstream F-order reshape still catches any byte-COUNT mismatch."""
 
     name = "jpeg"
 
     def encode(self, data: bytes) -> bytes:
         raise NotImplementedError("jpeg encoding is unimplemented (reference parity)")
 
-    def decode(self, data: bytes) -> bytes:
+    def decode(self, data: bytes, *,
+               expected_width: int | None = None) -> bytes:
         try:
             from PIL import Image
         except ImportError:
@@ -171,6 +179,11 @@ class JpegCodec(Codec):
                 "jpeg decode supports single-channel uint8 chunks "
                 f"(got dtype={arr.dtype}, ndim={arr.ndim}); "
                 "multi-channel jpeg layers are out of scope")
+        if expected_width is not None and arr.shape[1] != expected_width:
+            raise ValueError(
+                f"jpeg image width {arr.shape[1]} != chunk sx "
+                f"{expected_width}: the stacked-slice layout would "
+                "reshape into scrambled voxels")
         return arr.tobytes()
 
 
@@ -183,6 +196,19 @@ _CODECS = {
 }
 
 DEFAULT_ENCODING = "gzip"  # src/Codings.jl:37
+
+
+def decode_payload(encoding: str, data: bytes,
+                   expected_width: int | None = None) -> bytes:
+    """``get_codec(enc).decode(data)`` with the jpeg aspect guard
+    applied when the caller knows the chunk's sx (r13 advice): jpeg is
+    the one codec whose output shape depends on image geometry rather
+    than input length, so a wrong-aspect image with the right TOTAL
+    bytes would otherwise reshape into scrambled voxels downstream."""
+    codec = get_codec(encoding)
+    if expected_width is not None and isinstance(codec, JpegCodec):
+        return codec.decode(data, expected_width=expected_width)
+    return codec.decode(data)
 
 
 def get_codec(encoding: str) -> Codec:

@@ -85,8 +85,13 @@ def decode_chunk_payload(enc: str, payload, shape, nc: int, dtype):
     import numpy as _np
 
     from bigarrays_jl_spark import codecs as _codecs
-    arr = _np.frombuffer(_codecs.get_codec(enc).decode(bytes(payload)),
-                         dtype=_np.dtype(dtype))
+    # decode_payload applies the jpeg aspect guard (width must be this
+    # chunk's sx); the reshape below still validates the byte COUNT for
+    # every codec
+    arr = _np.frombuffer(
+        _codecs.decode_payload(enc, bytes(payload),
+                               expected_width=int(shape[0])),
+        dtype=_np.dtype(dtype))
     if nc > 1:
         return arr.reshape((*shape, nc), order="F")
     return arr.reshape(tuple(shape), order="F")[..., _np.newaxis]
@@ -540,9 +545,21 @@ class Volume:
                 "payload": pa.array([r[4] for r in rs], pa.binary()),
             })
 
+        def _spark_df(tbl):
+            # createDataFrame(pa.Table) is a PySpark ≥4.0 API (the
+            # zero-copy driver-transit path this ingest is sized for);
+            # on 3.x fall back through pandas — one extra copy, same
+            # schema — so the driver-array path degrades instead of
+            # breaking (r13 advice: no declared version floor)
+            import pyspark
+            if int(pyspark.__version__.split(".")[0]) >= 4:
+                return self.spark.createDataFrame(tbl)
+            return self.spark.createDataFrame(
+                tbl.to_pandas(),
+                "cx int, cy int, cz int, key string, payload binary")
+
         df = functools.reduce(
-            DataFrame.unionAll,
-            [self.spark.createDataFrame(_tbl(s)) for s in slices])
+            DataFrame.unionAll, [_spark_df(_tbl(s)) for s in slices])
         n_tgt = min(len(rows), self.spark.sparkContext.defaultParallelism)
         if n_tgt > len(slices):
             df = df.repartition(n_tgt)

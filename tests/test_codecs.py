@@ -115,3 +115,55 @@ def test_unknown_encoding():
 def test_available_encodings():
     av = codecs.available_encodings()
     assert "raw" in av and "gzip" in av
+
+
+def test_jpeg_decode_width_validation(monkeypatch):
+    """r13 advice: same TOTAL bytes but wrong aspect must be rejected
+    when the caller supplies the chunk's sx (expected_width)."""
+    import sys
+    import types
+
+    import numpy as np
+    img = np.zeros((4, 8), np.uint8)          # 32 bytes, width 8
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda bio: img)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    c = codecs.get_codec("jpeg")
+    # matching width decodes; byte-identical result with no width hint
+    assert c.decode(b"x", expected_width=8) == c.decode(b"x")
+    # same 32 bytes, wrong aspect: caught instead of scrambling voxels
+    with pytest.raises(ValueError, match="width"):
+        c.decode(b"x", expected_width=16)
+
+
+def test_jpeg_real_pillow_roundtrip():
+    """Genuine Pillow encode → our decode (r13 verdict task 6).
+    Auto-skips where Pillow is absent (this sandbox); on a Pillow
+    environment it proves the stacked-slice layout end-to-end: a
+    smooth grayscale chunk written by PIL.Image.save(format=JPEG)
+    comes back with the right shape and near-identical values (JPEG is
+    lossy, so the pin is a tolerance, not bit-equality)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    sx, sy, sz = 16, 8, 4
+    # smooth gradient: low-frequency content JPEG preserves well
+    x, y, z = np.meshgrid(np.arange(sx), np.arange(sy), np.arange(sz),
+                          indexing="ij")
+    chunk = (64 + 4 * x + 2 * y + 8 * z).astype(np.uint8)
+    stacked = chunk.reshape((sx, sy * sz), order="F").T   # (sy*sz, sx)
+    bio = io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(stacked), mode="L") \
+        .save(bio, format="JPEG", quality=95)
+
+    out = codecs.get_codec("jpeg").decode(bio.getvalue(), expected_width=sx)
+    got = np.frombuffer(out, np.uint8).reshape((sx, sy, sz), order="F")
+    assert got.shape == chunk.shape
+    assert np.abs(got.astype(int) - chunk.astype(int)).max() <= 12
+    # the aspect guard fires on a wrong sx even for a real jpeg
+    with pytest.raises(ValueError, match="width"):
+        codecs.get_codec("jpeg").decode(bio.getvalue(),
+                                        expected_width=sx * 2)
