@@ -13,9 +13,12 @@
 - ``boilerplate_prefixes`` — the C4-style boilerplate detector: the
   top-20 repeated document PREFIXES (first ``BOILER_K`` words, hashed)
   with how many docs and distinct sources carry each.  A real crawl
-  dedups headers/footers by exactly this grouping; ``BOILER_K`` is 2
-  on the demo corpus (its synthetic docs only collide on short
-  prefixes — production uses 8+ like cross_source_leakage's 8-grams).
+  dedups headers/footers by exactly this grouping; ``BOILER_K`` is 8
+  — the production scale, same as cross_source_leakage's 8-grams.
+  (r13 shipped with a demo-collision K=2; the r14 fixture plants
+  shared 8-word header templates in the sf1 corpus, and the driver's
+  own documents tables collide naturally at 8 — 23 groups at sf0.01,
+  233 at sf0.1 — so the production K is provable at every SF.)
 
 Scale: bounce sessions use only per-user windows then cell-keyed
 folds; reorder gaps fold to a (segment, gap-days) histogram before the
@@ -34,7 +37,7 @@ from bigarrays_jl_spark.operators.events import (SESSION_GAP_MIN,
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.sources.tables import load
 
-BOILER_K = 2        # prefix words; demo-corpus collision scale (prod: 8+)
+BOILER_K = 8        # prefix words — production scale (r13 verdict task 2)
 BOILER_TOPK = 20
 
 

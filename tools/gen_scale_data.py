@@ -26,7 +26,8 @@ Distributions mirrored from /root/testdata/sf0.1 (duckdb-sampled):
                     words — 31 at mult=1, matching the driver; 98 at
                     mult=10), ~2% near-dup
                     chains (copy of doc_id−37 with one word replaced)
-                    + ~0.15% exact dups, lang en 40% / 4×15%,
+                    + ~0.15% exact dups, ~6% carrying one of 4 shared
+                    8-word boilerplate headers, lang en 40% / 4×15%,
                     source src0-19
   embeddings 2e4·m  64-dim float32, 10 labels, gaussian cluster per
                     label (center 3·e_{label mod 64} idiom)
@@ -60,6 +61,20 @@ VOCAB = ["spark", "batch", "line", "column", "order", "small", "sort",
          "part", "vector", "key", "agg", "the", "a", "big", "shuffle",
          "plan", "read", "write"]
 LANGS = ["en", "zh", "es", "fr", "de"]
+
+# shared boilerplate header templates (r13 verdict task 2): a real
+# crawl's headers/footers collide on ≥8-word prefixes by construction,
+# so ~6% of docs get one of these four 8-word headers prepended —
+# giving the boilerplate detector production-scale collision groups to
+# find (BOILER_K = 8) instead of the demo-scale 2-word accidents.
+# Applied BEFORE the dup-chain copy so exact dups still share full
+# text, and first-word-mutation near-dups keep matching ``^[a-z]+ ``.
+BOILER_HEADERS = [
+    "terms of service apply to all content below",
+    "subscribe to our newsletter for weekly updates today",
+    "copyright all rights reserved by the site owner",
+    "cookie policy this site uses cookies for analytics",
+]
 
 
 def heaps_vocab(mult: int) -> list[str]:
@@ -211,14 +226,21 @@ def gen(spark: SparkSession, mult: int, out: str) -> None:
     # the minhash/jaccard/fingerprint operators grade against
     words = heaps_vocab(mult)
     vocab = F.array(*[F.lit(v) for v in words])
+    salad = F.array_join(F.transform(
+        F.sequence(F.lit(1), (F.rand(SEED + 33) * 112 + 8).cast("int")),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.hash(F.col("id") * 1000 + i,
+                                  F.lit(SEED)), len(words)) + 1)
+            .cast("int"))), " ")
+    header = F.element_at(
+        F.array(*[F.lit(h) for h in BOILER_HEADERS]),
+        (F.pmod(F.hash(F.col("id"), F.lit(SEED + 41)),
+                len(BOILER_HEADERS)) + 1).cast("int"))
     base = spark.range(0, n_doc, 1, par).select(
         F.col("id").alias("doc_id"),
-        F.array_join(F.transform(
-            F.sequence(F.lit(1), (F.rand(SEED + 33) * 112 + 8).cast("int")),
-            lambda i: F.element_at(
-                vocab, (F.pmod(F.hash(F.col("id") * 1000 + i,
-                                      F.lit(SEED)), len(words)) + 1)
-                .cast("int"))), " ").alias("text"),
+        F.when(F.pmod(F.hash(F.col("id"), F.lit(SEED + 40)), 100) < 6,
+               F.concat(header, F.lit(" "), salad))
+        .otherwise(salad).alias("text"),
         F.when(F.rand(SEED + 34) < 0.4, "en")
         .otherwise(_pick(LANGS[1:], SEED + 35)).alias("lang"),
         F.concat(F.lit("src"),
