@@ -1,0 +1,141 @@
+"""Streaming twins of the r13 engagement/curation analytics
+(streaming/curation.py): snapshot == batch twin on full, prefix-split,
+and restarted feeds, plus the exactly-once replay contract."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.round13b import (boilerplate_prefixes,
+                                                   session_bounce_rate)
+from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.streaming.curation import (boilerplate_snapshot,
+                                                   session_bounce_snapshot,
+                                                   streaming_boilerplate,
+                                                   streaming_session_bounce)
+
+
+def _run(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _bounce_rows(df):
+    return {(r.entry_type, r.n_sessions, r.n_bounces, r.bounce_rate)
+            for r in df.collect()}
+
+
+def _boiler_rows(df):
+    return [(r.ph, r.n_docs, r.n_sources)
+            for r in df.orderBy(F.desc("n_docs"), "ph").collect()]
+
+
+def test_streaming_session_bounce_full_feed(spark, sf_dir, tmp_path):
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    e.coalesce(1).write.parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    got = _bounce_rows(session_bounce_snapshot(spark, out, st))
+    want = _bounce_rows(session_bounce_rate(spark, sf_dir))
+    assert got == want and len(want) > 0
+
+
+def test_streaming_session_bounce_prefix_split_and_restart(spark, sf_dir,
+                                                           tmp_path):
+    # event-time-ordered split at the median ts with a RESTART between:
+    # sessions spanning the boundary must be MERGED by the durable open
+    # state (entry type from the first half, event counts summed), and
+    # the final snapshot must equal the batch operator exactly
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    cut = e.agg(F.expr("percentile(cast(ts as long), 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    e.filter(F.col("ts").cast("long") <= cut).coalesce(1).write.parquet(src)
+
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    # the boundary must actually split sessions for the merge to be
+    # load-bearing: at least one user has events on both sides
+    both = (e.groupBy("user_id")
+            .agg(F.min(F.col("ts").cast("long")).alias("lo"),
+                 F.max(F.col("ts").cast("long")).alias("hi"))
+            .filter((F.col("lo") <= cut) & (F.col("hi") > cut)).count())
+    assert both > 0, "split produced no cross-boundary users"
+
+    e.filter(F.col("ts").cast("long") > cut).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+
+    got = _bounce_rows(session_bounce_snapshot(spark, out, st))
+    want = _bounce_rows(session_bounce_rate(spark, sf_dir))
+    assert got == want
+
+
+def test_streaming_session_bounce_replay_exactly_once(spark, sf_dir,
+                                                      tmp_path):
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    e.coalesce(1).write.parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    before = _bounce_rows(session_bounce_snapshot(spark, out, st))
+    n_partials = spark.read.parquet(out).count()
+
+    shutil.rmtree(ckpt)              # whole source replays as batch 0
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    assert spark.read.parquet(out).count() == n_partials, \
+        "partials duplicated"
+    assert _bounce_rows(session_bounce_snapshot(spark, out, st)) == before
+
+
+def test_streaming_boilerplate_full_and_split(spark, sf_dir, tmp_path):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+
+    _run(streaming_boilerplate(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt))
+    d.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(streaming_boilerplate(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt))
+
+    # the LAST monitor refresh and the snapshot both equal the batch
+    # operator over the full corpus, in top-20 order
+    want = _boiler_rows(boilerplate_prefixes(spark, sf_dir))
+    assert _boiler_rows(boilerplate_snapshot(spark, idx)) == want
+    last = spark.read.parquet(out).agg(F.max("batch_id")).first()[0]
+    got_last = _boiler_rows(
+        spark.read.parquet(out).filter(F.col("batch_id") == last)
+        .drop("batch_id"))
+    assert got_last == want and len(want) > 0
+
+
+def test_streaming_boilerplate_replay_exactly_once(spark, sf_dir, tmp_path):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+    _run(streaming_boilerplate(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt))
+    n_out = spark.read.parquet(out).count()
+    snap = _boiler_rows(boilerplate_snapshot(spark, idx))
+
+    shutil.rmtree(ckpt)
+    _run(streaming_boilerplate(
+        spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt))
+    assert spark.read.parquet(out).count() == n_out, "monitor duplicated"
+    assert _boiler_rows(boilerplate_snapshot(spark, idx)) == snap

@@ -143,8 +143,15 @@ RATIO_NOTES = {
         "bounded at sources² rows — the cost is the distinct over "
         "the exploded grams, linear in postings",
     "dedup_cluster_hist": "two map-side groupBys over the md5+regex "
-        "fingerprint — normalization CPU is linear in bytes; the "
-        "delta is fixed overhead over a sub-second base",
+        "fingerprint — normalization CPU is linear in bytes, and "
+        "MEASURED (r13 verdict task 5): the identical groupBy with "
+        "md5(text) instead of md5(norm_text) runs 0.29 s at sf1 vs "
+        "2.30 s with the regex — the [^a-z0-9 ] regexp_replace is "
+        "88% of the pipeline (39% at sf0.1, where the base is "
+        "smaller), so the ratio is regex CPU, not a plan defect; no "
+        "JVM builtin (translate/lower) reproduces arbitrary-class "
+        "removal semantics, and the canon is shared by every "
+        "fingerprint consumer, so the cost is kept and pinned",
     "day_funnel_conversion": "per-(user, day) funnel cells grow ~10× "
         "with events; the conversion fold is cell-keyed and map-side "
         "partial — fixed overhead over a sub-second base",
