@@ -76,6 +76,7 @@ SECONDARY = [
     "lorenz_curve", "ngram_novelty", "cross_source_leakage",
     "dedup_cluster_hist", "session_bounce_rate", "customer_reorder_gaps",
     "boilerplate_prefixes",
+    "quality_filter_funnel", "dedup_audit_pr", "emb_outlier_zscore",
 ]
 
 

@@ -68,6 +68,9 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     cross_source_leakage, dedup_cluster_hist
   round13b          session_bounce_rate, customer_reorder_gaps,
                     boilerplate_prefixes
+  round14           quality_filter_funnel (Gopher cascade retention),
+                    dedup_audit_pr (LSH screen precision/recall),
+                    emb_outlier_zscore (pre-ANN embedding hygiene)
 """
 
 from __future__ import annotations
@@ -87,7 +90,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round11b, round11c, round11d,
                                           round11e, round12, round12b,
                                           round12c, round12d, round13,
-                                          round13b,
+                                          round13b, round14,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -112,7 +115,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
-            round13b)
+            round13b, round14)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

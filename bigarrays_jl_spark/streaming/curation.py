@@ -261,3 +261,62 @@ def boilerplate_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
             .orderBy(F.col("n_docs").desc(), F.col("ph"))
             .limit(BOILER_TOPK)
             .select("ph", "n_docs", "n_sources"))
+
+
+def streaming_quality_funnel(docs: DataFrame, out_path: str,
+                             checkpoint_path: str):
+    """Continuous Gopher-cascade retention monitor — the streaming twin
+    of ``quality_filter_funnel`` (operators/round14.py).  The funnel is
+    pure counting, so the durable state IS the output: each micro-batch
+    appends one row of exactly-mergeable counter partials
+    ``(n, s1, s2, s3, s4, batch_id)`` and ``quality_funnel_snapshot``
+    folds them into the 4-stage funnel.  Replay safety: one guarded
+    append (batch_id), integer partials, nothing else to repair.
+
+    Scale shape: per batch the work is the same map-side flag pass as
+    the batch operator folding to ONE row; the partials table grows one
+    row per batch."""
+    from bigarrays_jl_spark.operators.extensions import _gopher_metrics
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_already_in(spark, out_path, batch_id):
+            return
+        g = _gopher_metrics(F.col("text"))
+        c1 = g["ok_words"]
+        c2 = c1 & g["ok_word_len"]
+        c3 = c2 & g["ok_alpha"]
+        c4 = g["gopher_pass"]
+        (batch_df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            *[F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(k)
+              for k, c in (("s1", c1), ("s2", c2), ("s3", c3),
+                           ("s4", c4))])
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
+def quality_funnel_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Fold the counter partials into the exact quality_filter_funnel
+    output (stage, rule, n_in, n_out, retained_frac)."""
+    from bigarrays_jl_spark.operators.round14 import FUNNEL_STAGES
+    tot = (spark.read.parquet(out_path).distinct()    # replay-safe fold
+           .agg(*[F.sum(c).cast("bigint").alias(c)
+                  for c in ("n", "s1", "s2", "s3", "s4")]))
+    stages = [
+        F.struct(F.lit(i + 1).cast("bigint").alias("stage"),
+                 F.lit(FUNNEL_STAGES[i]).alias("rule"),
+                 F.col(n_in).alias("n_in"), F.col(n_out).alias("n_out"))
+        for i, (n_in, n_out) in enumerate(
+            (("n", "s1"), ("s1", "s2"), ("s2", "s3"), ("s3", "s4")))]
+    return (tot.select(F.explode(F.array(*stages)).alias("r"))
+            .select("r.stage", "r.rule", "r.n_in", "r.n_out",
+                    F.when(F.col("r.n_in") > 0,
+                           F.round(F.col("r.n_out").cast("double")
+                                   / F.col("r.n_in"), 6))
+                    .alias("retained_frac")))

@@ -36,6 +36,7 @@ PARTITION_SENSITIVE = [
     "retrieval_rrf_hybrid",     # two distributed_prefix_sum ranks (r12)
     "lorenz_curve",             # bucketed_running dual cum sums (r13)
     "q86_kaplan_meier",         # bucketed_running decimal logs (r13)
+    "emb_outlier_zscore",       # fixed-point stats + ordered fold (r14)
 ]
 
 

@@ -1,0 +1,120 @@
+"""Round-14 tests beyond the registry oracle: python brute-force twins
+plus the plan-shape pins specific to each operator."""
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.round14 import (AUDIT_T, EMB_Q,
+                                                  OUTLIER_TOPK,
+                                                  dedup_audit_pr,
+                                                  emb_outlier_zscore,
+                                                  quality_filter_funnel)
+from bigarrays_jl_spark.sources.tables import load
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def test_quality_funnel_matches_python(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    n = len(docs)
+    s = [0, 0, 0, 0]
+    for r in docs:
+        ts = [t for t in r.text.split(" ") if t != ""]
+        nw = len(ts)
+        ok_w = 20 <= nw <= 1000
+        mean_len = round(sum(len(t) for t in ts) / nw, 4) if nw else None
+        ok_l = ok_w and mean_len is not None and 3 <= mean_len <= 10
+        alpha = (round(sum(1 for t in ts if any(c.isalpha() for c in t))
+                       / nw, 4) if nw else None)
+        ok_a = ok_l and alpha is not None and alpha >= 0.8
+        ok_s = ok_a and sum(1 for t in ts if t in GOPHER_STOPWORDS) >= 2
+        for i, ok in enumerate((ok_w, ok_l, ok_a, ok_s)):
+            s[i] += ok
+    want = {(1, "word_count", n, s[0]),
+            (2, "mean_word_len", s[0], s[1]),
+            (3, "alpha_frac", s[1], s[2]),
+            (4, "stopwords", s[2], s[3])}
+    rows = quality_filter_funnel(spark, sf_dir).collect()
+    got = {(r.stage, r.rule, r.n_in, r.n_out) for r in rows}
+    assert got == want
+    for r in rows:
+        if r.n_in > 0:
+            assert r.retained_frac == round(r.n_out / r.n_in, 6)
+    # the cascade must actually funnel on this corpus (each stage keeps
+    # at most what entered, and the corpus has some failures overall)
+    assert s[3] <= s[0] <= n and s[3] < n
+
+
+def test_dedup_audit_consistent_with_components(spark, sf_dir):
+    # the audit's inputs ARE the registry's two canon pair sets; check
+    # the scalar identities rather than recomputing minhash in python
+    from bigarrays_jl_spark.operators.dedup import (dedup_minhash_pairs,
+                                                    dedup_ngram_jaccard)
+    pred = {(r.doc_a, r.doc_b)
+            for r in dedup_minhash_pairs(spark, sf_dir).collect()
+            if r.est_jaccard >= AUDIT_T}
+    truth = {(r.doc_a, r.doc_b)
+             for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    hit = pred & truth
+    row = dedup_audit_pr(spark, sf_dir).collect()[0]
+    assert (row.n_predicted, row.n_truth, row.n_hit) == \
+        (len(pred), len(truth), len(hit))
+    assert row.prec_at_t == round(len(hit) / len(pred), 6)
+    assert row.rec_at_t == round(len(hit) / len(truth), 6)
+    assert row.n_hit > 0
+
+
+def test_emb_outlier_matches_python(spark, sf_dir):
+    vecs = {r.vec_id: list(r.embedding)
+            for r in load(spark, sf_dir, "embeddings").collect()}
+    dim = 64
+    n = len(vecs)
+    xi = {vid: [round(float(x) * EMB_Q) for x in v]
+          for vid, v in vecs.items()}
+    mu, var = [], []
+    for d in range(dim):
+        sx = sum(q[d] for q in xi.values())
+        sxx = sum(q[d] * q[d] for q in xi.values())
+        mu.append(sx / n)
+        var.append((sxx - sx * sx / n) / n)
+    scores = {}
+    for vid, q in xi.items():
+        t = 0.0
+        for d in range(dim):
+            if var[d] > 0:
+                z = q[d] - mu[d]
+                t += z * z / var[d]
+        scores[vid] = round(t, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:OUTLIER_TOPK]
+    got = [(r.vec_id, r.score)
+           for r in emb_outlier_zscore(spark, sf_dir).collect()]
+    # float-tolerant compare: python's sum order differs from the
+    # pinned fold, so allow 1e-6 relative on the score while requiring
+    # the same vector ranking
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_round14_plan_shapes(spark, sf_dir):
+    from bigarrays_jl_spark.plans.explain import (has_partial_aggregation,
+                                                  simple_plan,
+                                                  single_partition_windows,
+                                                  uses_take_ordered)
+    qf = quality_filter_funnel(spark, sf_dir)
+    assert not single_partition_windows(qf)
+    assert has_partial_aggregation(qf)
+
+    eo = emb_outlier_zscore(spark, sf_dir)
+    assert uses_take_ordered(eo)                  # top-20 heap, no sort
+    assert not single_partition_windows(eo)
+    plan = simple_plan(eo)
+    # the 64-entry stats row must broadcast, not shuffle, onto vectors
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    ap = dedup_audit_pr(spark, sf_dir)
+    assert not single_partition_windows(ap)
+    assert "CartesianProduct" not in simple_plan(ap)

@@ -139,3 +139,41 @@ def test_streaming_boilerplate_replay_exactly_once(spark, sf_dir, tmp_path):
         spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt))
     assert spark.read.parquet(out).count() == n_out, "monitor duplicated"
     assert _boiler_rows(boilerplate_snapshot(spark, idx)) == snap
+
+
+def test_streaming_quality_funnel_split_and_replay(spark, sf_dir, tmp_path):
+    from bigarrays_jl_spark.operators.round14 import quality_filter_funnel
+    from bigarrays_jl_spark.streaming.curation import (
+        quality_funnel_snapshot, streaming_quality_funnel)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    src = str(tmp_path / "src")
+    out, ckpt = (str(tmp_path / p) for p in ("out", "ckpt"))
+    d.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+
+    def run():
+        q = streaming_quality_funnel(
+            spark.readStream.schema(d.schema).parquet(src), out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    d.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()                                   # restart on same checkpoint
+
+    def rows(df):
+        return {(r.stage, r.rule, r.n_in, r.n_out, r.retained_frac)
+                for r in df.collect()}
+
+    want = rows(quality_filter_funnel(spark, sf_dir))
+    assert rows(quality_funnel_snapshot(spark, out)) == want
+
+    n_partials = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt)                     # full replay as batch 0
+    run()
+    assert spark.read.parquet(out).count() == n_partials
+    assert rows(quality_funnel_snapshot(spark, out)) == want

@@ -58,6 +58,9 @@ SLOW_SECONDARY = [
     "lorenz_curve", "ngram_novelty", "cross_source_leakage",
     "dedup_cluster_hist", "session_bounce_rate", "customer_reorder_gaps",
     "boilerplate_prefixes",
+    # r14 additions: the dedup QA audit (candidate-pair-sized joins)
+    # and the embedding outlier screen (n x 64 quantized cells)
+    "dedup_audit_pr", "emb_outlier_zscore", "quality_filter_funnel",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
