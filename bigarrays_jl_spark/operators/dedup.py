@@ -191,11 +191,14 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
     return materialize(bands, eager=False)
 
 
-def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
+def _band_candidates(spark: SparkSession, sf: str,
+                     bands: DataFrame | None = None) -> DataFrame:
     """Distinct LSH candidate pairs (doc_a < doc_b) from the band join —
     the ONLY discovery path; exact verification never self-joins the
-    shingle inverted index (O(docs × bands) rows shuffle, never O(n²))."""
-    bands = _bands(spark, sf)
+    shingle inverted index (O(docs × bands) rows shuffle, never O(n²)).
+    Pass ``bands`` to reuse an already-materialized signature table
+    (dedup_audit_pr shares one across its two legs)."""
+    bands = _bands(spark, sf) if bands is None else bands
     a, bb = bands.alias("a"), bands.alias("b2")
     return (a.join(bb, (F.col("a.b") == F.col("b2.b"))
                    & (F.col("a.band") == F.col("b2.band"))
@@ -205,7 +208,8 @@ def _band_candidates(spark: SparkSession, sf: str) -> DataFrame:
              .distinct())
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_minhash_pairs(spark: SparkSession, sf: str,
+                        bands: DataFrame | None = None) -> DataFrame:
     # Signatures are computed entirely map-side with higher-order
     # functions — no shingle explode, no distinct, no groupBy.  min()
     # over hashed shingles is insensitive to duplicate shingles, so the
@@ -287,7 +291,8 @@ GROUP BY doc_a, doc_b
 SHINGLE_DF_CAP = 512  # corpus-level df guard; at bench SFs no shingle reaches it
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_ngram_jaccard(spark: SparkSession, sf: str,
+                        bands: DataFrame | None = None) -> DataFrame:
     """LSH-*verified* near-dup pairs: exact shingle Jaccard >= 0.5, but
     only for pairs the MinHash band join surfaced — NOT all-pairs
     Jaccard.  At 8 hashes / 4 bands a true J=0.5 pair is surfaced with
@@ -298,7 +303,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     true pair has J >= 0.87).  Precision is exact: every reported pair
     carries its true corpus Jaccard."""
     from pyspark.sql import Window as W
-    cand = _band_candidates(spark, sf)
+    cand = _band_candidates(spark, sf, bands)
     cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
              .union(cand.select(F.col("doc_b").alias("doc_id")))
              .distinct())

@@ -107,10 +107,13 @@ FROM f
 
 
 def dedup_audit_pr(spark: SparkSession, sf: str) -> DataFrame:
-    pred = (dedup_minhash_pairs(spark, sf)
+    from bigarrays_jl_spark.operators.dedup import _bands
+    bands = _bands(spark, sf)      # ONE signature table for both legs
+    pred = (dedup_minhash_pairs(spark, sf, bands=bands)
             .filter(F.col("est_jaccard") >= AUDIT_T)
             .select("doc_a", "doc_b"))
-    truth = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf, bands=bands).select("doc_a",
+                                                               "doc_b")
     hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     np_ = pred.agg(F.count("*").cast("bigint").alias("n_predicted"))
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
