@@ -71,6 +71,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
   round14           quality_filter_funnel (Gopher cascade retention),
                     dedup_audit_pr (LSH screen precision/recall),
                     emb_outlier_zscore (pre-ANN embedding hygiene)
+  round14b          retrieval_mmr_rerank (MMR diversity re-rank;
+                    recursive-CTE greedy oracle)
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round11b, round11c, round11d,
                                           round11e, round12, round12b,
                                           round12c, round12d, round13,
-                                          round13b, round14,
+                                          round13b, round14, round14b,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -115,7 +117,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
-            round13b, round14)
+            round13b, round14, round14b)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
