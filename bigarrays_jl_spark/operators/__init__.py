@@ -72,7 +72,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     dedup_audit_pr (LSH screen precision/recall),
                     emb_outlier_zscore (pre-ANN embedding hygiene)
   round14b          retrieval_mmr_rerank (MMR diversity re-rank;
-                    recursive-CTE greedy oracle)
+                    recursive-CTE greedy oracle), ann_recall_audit
+                    (recall@k of IVF nprobe 1/2 vs brute truth)
 """
 
 from __future__ import annotations

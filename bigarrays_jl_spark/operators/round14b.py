@@ -157,3 +157,80 @@ QUERIES = {
 ORACLES = {
     "retrieval_mmr_rerank": RETRIEVAL_MMR_RERANK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# ann_recall_audit — recall@k of the IVF index against the brute-force
+# ground truth, per nprobe setting.  THE go/no-go metric for shipping
+# an ANN index: quantization loses neighbors at cell boundaries, and
+# this measures exactly how many, at the demo nlist, for nprobe 1 and 2
+# (the standard recall/cost knob).  All recall math is exact-integer:
+# per-query hits are counts, mean recall is one division of integer
+# sums (never an order-dependent average of doubles), min recall is a
+# division of the integer minimum.  Composes the registry's own ANN
+# canons — brute, IVF, IVF-nprobe2 — so the audit can never drift from
+# the indexes it grades; cost is three broadcast-probed scans plus
+# query-count-sized joins.
+# --------------------------------------------------------------------------
+
+from bigarrays_jl_spark.operators.similarity import (ANN_COSINE_TOPK_SQL,
+                                                     ANN_IVF_NPROBE2_SQL,
+                                                     ANN_IVF_TOPK_SQL,
+                                                     TOP_K, ann_cosine_topk,
+                                                     ann_ivf_nprobe2_topk,
+                                                     ann_ivf_topk)
+
+
+def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    brute = materialize(
+        ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
+    qids = brute.select("qid").distinct()
+
+    def leg(approx: DataFrame, variant: str) -> DataFrame:
+        hits = (approx.select("qid", "vec_id")
+                .join(brute, ["qid", "vec_id"], "left_semi")
+                .groupBy("qid").agg(F.count("*").alias("h")))
+        per = (qids.join(hits, "qid", "left")
+               .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
+        return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                        F.sum("h").cast("bigint").alias("sum_hits"),
+                        F.min("h").cast("bigint").alias("min_hits"))
+                .select(F.lit(variant).alias("variant"), "n_queries",
+                        "sum_hits",
+                        (F.col("sum_hits").cast("double")
+                         / (F.col("n_queries") * TOP_K)).alias("mean_recall"),
+                        (F.col("min_hits").cast("double") / TOP_K)
+                        .alias("min_recall")))
+
+    return (leg(ann_ivf_topk(spark, sf), "ivf_nprobe1")
+            .unionByName(leg(ann_ivf_nprobe2_topk(spark, sf),
+                             "ivf_nprobe2")))
+
+
+def _recall_leg_sql(approx_sql: str, variant: str) -> str:
+    return f"""
+  SELECT '{variant}' AS variant,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(h) AS BIGINT) AS sum_hits,
+         CAST(sum(h) AS DOUBLE) / (count(*) * {TOP_K}) AS mean_recall,
+         CAST(min(h) AS DOUBLE) / {TOP_K} AS min_recall
+  FROM (
+    SELECT q.qid,
+           coalesce((SELECT count(*) FROM ({approx_sql}) a
+                     WHERE a.qid = q.qid
+                       AND EXISTS (SELECT 1 FROM brute b
+                                   WHERE b.qid = a.qid
+                                     AND b.vec_id = a.vec_id)), 0) AS h
+    FROM (SELECT DISTINCT qid FROM brute) q)"""
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH brute AS (SELECT qid, vec_id FROM ({ANN_COSINE_TOPK_SQL}) bb)
+{_recall_leg_sql(ANN_IVF_TOPK_SQL, 'ivf_nprobe1')}
+UNION ALL
+{_recall_leg_sql(ANN_IVF_NPROBE2_SQL, 'ivf_nprobe2')}
+"""
+
+
+QUERIES["ann_recall_audit"] = ann_recall_audit
+ORACLES["ann_recall_audit"] = ANN_RECALL_AUDIT_SQL

@@ -173,3 +173,28 @@ def test_mmr_matches_python_and_diversifies(spark, sf_dir):
     assert [v for _, v, _ in got] != plain or all(
         MMR_MU * max((sim.get((c, p), 0.0) for p in sel), default=0.0) == 0
         for sel in [selected] for c in selected)
+
+
+def test_ann_recall_audit_consistency(spark, sf_dir):
+    # per-variant identities against the registry's own topk queries,
+    # plus the structural pin: nprobe=2 recall >= nprobe=1 recall
+    from bigarrays_jl_spark.operators.round14b import ann_recall_audit
+    from bigarrays_jl_spark.operators.similarity import (TOP_K,
+                                                         ann_cosine_topk,
+                                                         ann_ivf_nprobe2_topk,
+                                                         ann_ivf_topk)
+    brute = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, sf_dir)
+             .select("qid", "vec_id").collect()}
+    nq = len({q for q, _ in brute})
+    rows = {r.variant: r for r in ann_recall_audit(spark, sf_dir).collect()}
+    for variant, fn in (("ivf_nprobe1", ann_ivf_topk),
+                        ("ivf_nprobe2", ann_ivf_nprobe2_topk)):
+        approx = {(r.qid, r.vec_id)
+                  for r in fn(spark, sf_dir).select("qid", "vec_id")
+                  .collect()}
+        hits = len(approx & brute)
+        r = rows[variant]
+        assert r.n_queries == nq and r.sum_hits == hits
+        assert r.mean_recall == hits / (nq * TOP_K)
+    assert rows["ivf_nprobe2"].mean_recall >= rows["ivf_nprobe1"].mean_recall
+    assert rows["ivf_nprobe2"].sum_hits > 0
