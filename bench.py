@@ -77,7 +77,7 @@ SECONDARY = [
     "dedup_cluster_hist", "session_bounce_rate", "customer_reorder_gaps",
     "boilerplate_prefixes",
     "quality_filter_funnel", "dedup_audit_pr", "emb_outlier_zscore",
-    "retrieval_mmr_rerank", "ann_recall_audit",
+    "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Round-14 batch 3 (builder extension, SURVEY §2C):
+
+``events_hdr_quantiles`` — P50/P90/P99 of the event value per type
+from a BOUNDED, EXACTLY-MERGEABLE decimal-HDR histogram: each value's
+cents map to the bucket (digit count of cents, first two significant
+digits), giving ≤ ~900 possible buckets per key at ANY data size with
+≤ ~5 % relative value error — the HdrHistogram idea in decimal, made
+cross-engine exact (bucket id and lower bound are pure integer/string
+ops, no log()).  This is the bounded-state complement to the exact
+value-domain quantiles (leadtime_quantiles, q70): those carry the full
+distinct-value domain (fine in batch, unbounded in a stream); the HDR
+buckets are what a production latency pipeline actually keeps, and
+``streaming/hdr.py`` runs the SAME histogram as per-batch mergeable
+partials with a snapshot == batch pin.
+
+The quantile pick itself runs through ``ordering.bucketed_quantile_pick``
+(the repo's one quantile canon — no single-partition window), and the
+reported estimate is the bucket LOWER BOUND in cents (a deterministic
+integer), so the whole result rides the exact value-hash oracle
+instead of a tolerance band.
+
+Scale shape: one map-side fold to ≤ (types × 900) bucket rows, three
+two-level picks over that bounded table, broadcast totals.  At 100 TB
+the histogram is still ≤ 900 rows per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.sources.tables import load
+
+
+def hdr_bucket_cents(cents: Column) -> Column:
+    """Cents → decimal-HDR bucket LOWER BOUND (also the bucket id): the
+    first two significant decimal digits, zero-padded to the original
+    magnitude.  45 678 → 45 000; 94 → 94; 7 → 7; 0 → 0.  Pure
+    string/integer ops — identical in Spark and DuckDB by construction.
+    SQL twin: CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
+              * power-of-ten(len - 2)  (CASE on len <= 2)."""
+    s = cents.cast("string")
+    d = F.length(s)
+    head = F.substring(s, 1, 2).cast("bigint")
+    # 10^(d-2) as an exact BIGINT: repeat('0', d-2) appended to '1'
+    pow10 = F.concat(F.lit("1"), F.repeat(F.lit("0"), d - 2)).cast("bigint")
+    return F.when(d <= 2, cents).otherwise(head * pow10)
+
+
+def events_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    hist = (e.select("event_type", hdr_bucket_cents(F.col("c")).alias("lb"))
+            .groupBy("event_type", "lb").agg(F.count("*").alias("n")))
+    p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 1, 2, "p50_cents")
+    p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 9, 10, "p90_cents")
+    p99 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 99, 100, "p99_cents")
+    tot = (hist.groupBy("event_type")
+           .agg(F.sum("n").cast("bigint").alias("n_events"),
+                F.count("*").cast("bigint").alias("n_buckets")))
+    return (tot.join(p50, "event_type").join(p90, "event_type")
+            .join(p99, "event_type")
+            .select("event_type", "n_events", "n_buckets",
+                    F.col("p50_cents").cast("bigint").alias("p50_cents"),
+                    F.col("p90_cents").cast("bigint").alias("p90_cents"),
+                    F.col("p99_cents").cast("bigint").alias("p99_cents")))
+
+
+# the bucket map and the den·cum >= num·tot pick, in plain SQL over the
+# same integer domain
+_HDR_BUCKET_SQL = """
+  CASE WHEN length(CAST(c AS VARCHAR)) <= 2 THEN c
+       ELSE CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
+            * CAST('1' || repeat('0', length(CAST(c AS VARCHAR)) - 2)
+                   AS BIGINT) END
+"""
+
+EVENTS_HDR_QUANTILES_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+h AS (
+  SELECT event_type, {_HDR_BUCKET_SQL} AS lb, count(*) AS n
+  FROM e GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, lb, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY lb
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h)
+SELECT event_type,
+       CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(CASE WHEN 2 * cum >= tot THEN lb END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN 10 * cum >= 9 * tot THEN lb END) AS BIGINT)
+         AS p90_cents,
+       CAST(min(CASE WHEN 100 * cum >= 99 * tot THEN lb END) AS BIGINT)
+         AS p99_cents
+FROM cum GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_hdr_quantiles": events_hdr_quantiles,
+}
+
+ORACLES = {
+    "events_hdr_quantiles": EVENTS_HDR_QUANTILES_SQL,
+}

@@ -1,0 +1,69 @@
+"""Streaming decimal-HDR quantiles — the twin of
+``events_hdr_quantiles`` (operators/round14c.py), and the reason that
+operator exists: the decimal-HDR histogram is BOUNDED (≤ ~900 buckets
+per key at any data size) and EXACTLY MERGEABLE (bucket counts are
+integers under addition), so the streaming state is a tiny partials
+table and the snapshot is bit-identical to the batch operator over
+everything seen — no watermark, no value-domain growth, no
+approximation drift between engines.
+
+Each micro-batch appends its per-(type, bucket) counts under
+``batch_id`` (one guarded write — replay-exact); the snapshot folds
+``distinct()`` partials and runs the SAME bucketed_quantile_pick canon
+as the batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
+from bigarrays_jl_spark.streaming.windows import _batch_already_in
+
+
+def streaming_hdr_quantiles(events: DataFrame, out_path: str,
+                            checkpoint_path: str):
+    """``events`` needs event_type and value.  Appends mergeable
+    ``(event_type, lb, n, batch_id)`` bucket partials; fold with
+    ``hdr_snapshot``.  Returns the started StreamingQuery."""
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _batch_already_in(spark, out_path, batch_id):
+            return
+        (batch_df
+         .select("event_type",
+                 hdr_bucket_cents(F.round(F.col("value") * 100)
+                                  .cast("bigint")).alias("lb"))
+         .groupBy("event_type", "lb").agg(F.count("*").alias("n"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    return (events.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .start())
+
+
+def hdr_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Fold the bucket partials into the exact events_hdr_quantiles
+    output over everything the stream has seen."""
+    hist = (spark.read.parquet(out_path).distinct()   # replay-safe fold
+            .groupBy("event_type", "lb").agg(F.sum("n").alias("n")))
+    p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 1, 2, "p50_cents")
+    p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 9, 10, "p90_cents")
+    p99 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                 99, 100, "p99_cents")
+    tot = (hist.groupBy("event_type")
+           .agg(F.sum("n").cast("bigint").alias("n_events"),
+                F.count("*").cast("bigint").alias("n_buckets")))
+    return (tot.join(p50, "event_type").join(p90, "event_type")
+            .join(p99, "event_type")
+            .select("event_type", "n_events", "n_buckets",
+                    F.col("p50_cents").cast("bigint").alias("p50_cents"),
+                    F.col("p90_cents").cast("bigint").alias("p90_cents"),
+                    F.col("p99_cents").cast("bigint").alias("p99_cents")))

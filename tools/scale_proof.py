@@ -61,7 +61,7 @@ SLOW_SECONDARY = [
     # r14 additions: the dedup QA audit (candidate-pair-sized joins)
     # and the embedding outlier screen (n x 64 quantized cells)
     "dedup_audit_pr", "emb_outlier_zscore", "quality_filter_funnel",
-    "retrieval_mmr_rerank", "ann_recall_audit",
+    "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
