@@ -130,6 +130,16 @@ RATIO_NOTES = {
     "sketch_union_distinct": "the exact-union leg (countDistinct per "
         "pair over the raw stream) grows with users; the sketch leg is "
         "minima-bounded — in production only the sketch side runs",
+    "sketch_jaccard": "same exact-vs-sketch pairing as "
+        "sketch_union_distinct: the k-min coincidence fold is "
+        "minima-bounded, the exact-Jaccard grading leg rescans the raw "
+        "stream per type pair — only the sketch side runs in "
+        "production; ratios hover at ~2× on a sub-second base",
+    "dedup_audit_pr": "2.1×: composes the minhash screen AND the exact "
+        "candidate-verified Jaccard over one shared signature table — "
+        "its cost IS the sum of dedup_minhash_pairs + "
+        "dedup_ngram_jaccard (both individually annotated, "
+        "candidate-output-bound) plus candidate-pair-sized joins",
     "text_tfidf_topk": "same posting-table growth as text_bm25 "
         "(Heaps-law vocab since r13); r13 fixed the two plan defects "
         "the first proof run exposed at 7.5× — the tf table now "
