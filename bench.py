@@ -78,6 +78,7 @@ SECONDARY = [
     "boilerplate_prefixes",
     "quality_filter_funnel", "dedup_audit_pr", "emb_outlier_zscore",
     "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
+    "quality_calibration", "dedup_storage_savings",
 ]
 
 

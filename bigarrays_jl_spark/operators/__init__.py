@@ -76,6 +76,8 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     (recall@k of IVF nprobe 1/2 vs brute truth)
   round14c          events_hdr_quantiles (bounded mergeable decimal-HDR
                     histogram quantiles; streaming twin streaming/hdr.py)
+  round14d          quality_calibration (classifier-vs-rules curve),
+                    dedup_storage_savings (per-source dedup byte savings)
 """
 
 from __future__ import annotations
@@ -96,7 +98,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round11e, round12, round12b,
                                           round12c, round12d, round13,
                                           round13b, round14, round14b,
-                                          round14c,
+                                          round14c, round14d,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -121,7 +123,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
-            round13b, round14, round14b, round14c)
+            round13b, round14, round14b, round14c, round14d)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

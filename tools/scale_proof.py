@@ -62,6 +62,7 @@ SLOW_SECONDARY = [
     # and the embedding outlier screen (n x 64 quantized cells)
     "dedup_audit_pr", "emb_outlier_zscore", "quality_filter_funnel",
     "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
+    "quality_calibration", "dedup_storage_savings",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
