@@ -220,7 +220,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str,
     # signature table — the whole plan is two shuffles: the band
     # self-join (whose two identical exchanges Spark reuses, so the scan
     # and hashing run once) and the final pair-dedup aggregation.
-    bands = _bands(spark, sf)
+    bands = _bands(spark, sf) if bands is None else bands
     a, bb = bands.alias("a"), bands.alias("b2")
     # estimated Jaccard = fraction of matching signature slots, computed
     # inline from the carried signatures; max() collapses duplicate

@@ -36,16 +36,24 @@ from bigarrays_jl_spark.sources.tables import load
 def hdr_bucket_cents(cents: Column) -> Column:
     """Cents → decimal-HDR bucket LOWER BOUND (also the bucket id): the
     first two significant decimal digits, zero-padded to the original
-    magnitude.  45 678 → 45 000; 94 → 94; 7 → 7; 0 → 0.  Pure
-    string/integer ops — identical in Spark and DuckDB by construction.
-    SQL twin: CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
-              * power-of-ten(len - 2)  (CASE on len <= 2)."""
-    s = cents.cast("string")
+    magnitude.  45 678 → 45 000; 94 → 94; 7 → 7; 0 → 0.  Negative
+    cents (refunds, deltas — possible on arbitrary streaming feeds)
+    bucket by magnitude with the bound on the LOW side: −45 678 →
+    −46 000, so lb(c) ≤ c holds over the whole integer line and lb is
+    monotone (r14 review: counting the '-' as a digit silently returned
+    an UPPER bound for negatives).  Pure string/integer ops — identical
+    in Spark and DuckDB by construction."""
+    m = F.abs(cents)
+    s = m.cast("string")
     d = F.length(s)
     head = F.substring(s, 1, 2).cast("bigint")
     # 10^(d-2) as an exact BIGINT: repeat('0', d-2) appended to '1'
     pow10 = F.concat(F.lit("1"), F.repeat(F.lit("0"), d - 2)).cast("bigint")
-    return F.when(d <= 2, cents).otherwise(head * pow10)
+    mag_lo = head * pow10                       # lower edge of |c|'s bucket
+    mag_hi = (head + 1) * pow10                 # upper edge (exclusive)
+    return (F.when(d <= 2, cents)               # |c| ≤ 99: exact bucket
+             .when(cents >= 0, mag_lo)
+             .otherwise(-mag_hi))
 
 
 def events_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -74,10 +82,15 @@ def events_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 # the bucket map and the den·cum >= num·tot pick, in plain SQL over the
 # same integer domain
 _HDR_BUCKET_SQL = """
-  CASE WHEN length(CAST(c AS VARCHAR)) <= 2 THEN c
-       ELSE CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT)
-            * CAST('1' || repeat('0', length(CAST(c AS VARCHAR)) - 2)
-                   AS BIGINT) END
+  CASE WHEN length(CAST(abs(c) AS VARCHAR)) <= 2 THEN c
+       WHEN c >= 0 THEN
+         CAST(substr(CAST(abs(c) AS VARCHAR), 1, 2) AS BIGINT)
+         * CAST('1' || repeat('0', length(CAST(abs(c) AS VARCHAR)) - 2)
+                AS BIGINT)
+       ELSE
+         -(CAST(substr(CAST(abs(c) AS VARCHAR), 1, 2) AS BIGINT) + 1)
+         * CAST('1' || repeat('0', length(CAST(abs(c) AS VARCHAR)) - 2)
+                AS BIGINT) END
 """
 
 EVENTS_HDR_QUANTILES_SQL = f"""

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.operators.extensions import (_cls_metrics,
+from bigarrays_jl_spark.operators.extensions import (TEXT_GOPHER_RULES_SQL,
+                                                     _cls_metrics,
                                                      _cls_score_ctes,
                                                      _gopher_metrics)
 from bigarrays_jl_spark.sources.tables import fan_out, load
@@ -59,25 +60,13 @@ def quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
                      / (F.col("n_docs") * 1e6)).alias("mean_score")))
 
 
+# the Gopher side of the oracle reuses TEXT_GOPHER_RULES_SQL verbatim —
+# the same shared-fragment discipline as the classifier CTEs, so a
+# canon change can never leave this oracle grading the old rules
 QUALITY_CALIBRATION_SQL = f"""
 WITH {_cls_score_ctes('documents')},
-g AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS ts
-  FROM documents),
 gm AS (
-  SELECT doc_id,
-         (len(ts) BETWEEN 20 AND 1000)
-         AND (CASE WHEN len(ts) > 0 THEN
-                round(CAST(list_sum(list_transform(ts, x -> length(x)))
-                           AS DOUBLE) / len(ts), 4) END BETWEEN 3 AND 10)
-         AND (CASE WHEN len(ts) > 0 THEN
-                round(CAST(len(list_filter(ts,
-                        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-                      / len(ts), 4) END >= 0.8)
-         AND (len(list_filter(ts, x -> x IN
-                ('the', 'a', 'and', 'of', 'to', 'in'))) >= 2) AS gp
-  FROM g),
+  SELECT doc_id, gopher_pass AS gp FROM ({TEXT_GOPHER_RULES_SQL}) gq),
 s AS (
   SELECT CAST(floor(cls.score * 10) AS BIGINT) AS score_bin,
          CAST(round(cls.score * 1e6) AS BIGINT) AS si,

@@ -55,11 +55,28 @@ def _state_version_path(state_path: str, batch_id: int) -> str:
     return f"{state_path.rstrip('/')}/v{batch_id}"
 
 
+def _state_committed(spark: SparkSession, vpath: str) -> bool:
+    """True only for a COMPLETE job-committed state version — the
+    ``_SUCCESS`` marker, not mere readability: a crash during the state
+    overwrite can leave v(N) readable-but-partial (v2 committers commit
+    task files directly) or ``_temporary``-only, and treating either as
+    committed would silently drop open sessions (r14 review)."""
+    from py4j.protocol import Py4JJavaError
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(vpath + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return bool(fs.exists(jpath))
+    except Py4JJavaError:
+        return False
+
+
 def _latest_state_before(spark: SparkSession, state_path: str,
                          batch_id: int) -> DataFrame | None:
-    """The newest committed state version STRICTLY BEFORE ``batch_id``
-    — the input a (re)computation of batch N must read, regardless of
-    whether a half-finished attempt already wrote v(N)."""
+    """The newest COMMITTED (``_SUCCESS``-marked) state version STRICTLY
+    BEFORE ``batch_id`` — the input a (re)computation of batch N must
+    read, regardless of whether a half-finished attempt already wrote
+    v(N)."""
     from py4j.protocol import Py4JJavaError
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(state_path)
@@ -75,7 +92,8 @@ def _latest_state_before(spark: SparkSession, state_path: str,
         name = st.getPath().getName()
         if name.startswith("v") and name[1:].isdigit():
             v = int(name[1:])
-            if v < batch_id and v > best:
+            if v < batch_id and v > best and _state_committed(
+                    spark, _state_version_path(state_path, v)):
                 best = v
     if best < 0:
         return None
@@ -99,7 +117,7 @@ def streaming_session_bounce(events: DataFrame, state_path: str,
         spark = batch_df.sparkSession
         vN = _state_version_path(state_path, batch_id)
         partials_done = _batch_already_in(spark, out_path, batch_id)
-        if partials_done and _read_index_or_none(spark, vN) is not None:
+        if partials_done and _state_committed(spark, vN):
             return                              # fully committed
         prev = _latest_state_before(spark, state_path, batch_id)
 

@@ -150,16 +150,23 @@ def streaming_corpus_dedup(docs: DataFrame,
 
 
 def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a durable-index parquet dir, returning None ONLY when the
-    path does not exist yet (legitimate first batch).  Any other failure
-    (throttling, corrupt file, permissions) propagates so foreachBatch
-    fails the micro-batch and the checkpoint retries it — treating those
-    as "no index" would silently disable dedup for the batch."""
+    """Read a durable-index parquet dir, returning None when the path
+    does not exist yet (legitimate first batch) OR holds no committed
+    footers (a crashed first append left only ``_temporary`` — the
+    committed state is genuinely empty, and treating it as an error
+    would wedge the stream: the replay hits the same exception forever,
+    r14 review).  Any other failure (throttling, corrupt file,
+    permissions) propagates so foreachBatch fails the micro-batch and
+    the checkpoint retries it — treating those as "no index" would
+    silently disable dedup for the batch."""
     from pyspark.errors import AnalysisException
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg):
             return None
         raise
 
@@ -311,11 +318,16 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
              .filter(F.col("est_jaccard") >= threshold)
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(out_path))
-        # append only the signatures the index is missing — a replayed
-        # batch (or a crash between the two appends) cannot duplicate
-        # index rows, keeping the index semantically a set
+        # append only the signatures the index is missing — keyed on the
+        # FULL row identity (doc_id, b, band) so a replayed batch (or a
+        # crash between the two appends) cannot duplicate index rows,
+        # while a doc RE-INGESTED under the same doc_id with changed
+        # text (different band hashes) still gets its new signatures
+        # indexed; the old version's rows remain, as they always did —
+        # the index accumulates, compact offline
         new_bands = bands if idx is None else bands.join(
-            idx.select("doc_id", "b"), ["doc_id", "b"], "left_anti")
+            idx.select("doc_id", "b", "band"), ["doc_id", "b", "band"],
+            "left_anti")
         new_bands.write.mode("append").parquet(index_path)
 
     return (docs.writeStream

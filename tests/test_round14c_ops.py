@@ -11,8 +11,11 @@ from bigarrays_jl_spark.sources.tables import load
 
 
 def _hdr_lb(c: int) -> int:
-    s = str(c)
-    return c if len(s) <= 2 else int(s[:2]) * 10 ** (len(s) - 2)
+    s = str(abs(c))
+    if len(s) <= 2:
+        return c
+    edge = int(s[:2]) * 10 ** (len(s) - 2)
+    return edge if c >= 0 else -(edge + 10 ** (len(s) - 2))
 
 
 def _python_hdr(rows):
@@ -56,7 +59,9 @@ def test_hdr_bucket_map_properties(spark):
     # powers of ten, 9-runs)
     from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
     vals = [0, 1, 9, 10, 42, 99, 100, 101, 950, 999, 1000, 45678,
-            99999, 100000, 31415926]
+            99999, 100000, 31415926,
+            -1, -42, -99, -100, -101, -999, -1000, -45678, -99999,
+            -100000]
     df = spark.createDataFrame([(v,) for v in vals], "c long")
     got = {r.c: r.lb for r in
            df.select("c", hdr_bucket_cents(F.col("c")).alias("lb"))

@@ -177,3 +177,50 @@ def test_streaming_quality_funnel_split_and_replay(spark, sf_dir, tmp_path):
     run()
     assert spark.read.parquet(out).count() == n_partials
     assert rows(quality_funnel_snapshot(spark, out)) == want
+
+
+def test_read_index_or_none_footerless_dir(spark, tmp_path):
+    # a crashed first append leaves out_path holding only _temporary
+    # (no committed footers): the reader must treat it as "no committed
+    # data" instead of raising UNABLE_TO_INFER_SCHEMA forever (which
+    # would wedge every guarded bridge's replay — r14 review)
+    import os
+
+    from bigarrays_jl_spark.streaming.windows import (_batch_already_in,
+                                                      _read_index_or_none)
+    p = tmp_path / "out" / "_temporary" / "0"
+    os.makedirs(p)
+    assert _read_index_or_none(spark, str(tmp_path / "out")) is None
+    assert _batch_already_in(spark, str(tmp_path / "out"), 0) is False
+
+
+def test_session_bounce_ignores_uncommitted_state_version(spark, sf_dir,
+                                                          tmp_path):
+    # a half-written v(N) (no _SUCCESS) must be treated as uncommitted:
+    # the replay recomputes from v<N instead of adopting partial state
+    import os
+
+    from bigarrays_jl_spark.streaming.curation import streaming_session_bounce
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    e.coalesce(1).write.parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    want = _bounce_rows(session_bounce_snapshot(spark, out, st))
+
+    # simulate a crash mid-overwrite of v0: strip its _SUCCESS marker
+    # and drop a part file, then replay (checkpoint deleted)
+    v0 = os.path.join(st, "v0")
+    os.remove(os.path.join(v0, "_SUCCESS"))
+    parts = [f for f in os.listdir(v0) if f.startswith("part-")]
+    os.remove(os.path.join(v0, parts[0]))
+    shutil.rmtree(ckpt)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    # the replay rebuilt v0 from scratch (partials were committed, so it
+    # recomputes state only) and the snapshot is intact
+    assert os.path.exists(os.path.join(v0, "_SUCCESS"))
+    assert _bounce_rows(session_bounce_snapshot(spark, out, st)) == want
