@@ -136,6 +136,11 @@ RATIO_NOTES = {
         "minima-bounded, the exact-Jaccard grading leg rescans the raw "
         "stream per type pair — only the sketch side runs in "
         "production; ratios hover at ~2× on a sub-second base",
+    "q89_stratified_effect": "2.1×: per-stratum arm sums are one "
+        "map-side conditional fold over events; heavy-error exposure "
+        "users grow with data and the sub-second base amortizes two "
+        "broadcast joins poorly — fixed overhead plus user growth, "
+        "wobbling around the 2× line run-to-run",
     "dedup_audit_pr": "2.1×: composes the minhash screen AND the exact "
         "candidate-verified Jaccard over one shared signature table — "
         "its cost IS the sum of dedup_minhash_pairs + "
