@@ -4,11 +4,16 @@ Pattern: media (image/audio/video) are opaque ``binary`` payload columns
 with a typed metadata struct riding alongside — exactly the chunk-payload
 machinery the Volume uses (SURVEY §1.6), applied to per-document blobs.
 
-The container has no image/audio libraries, so the *decode* step is a
-stub: ``decode_media`` raises NotImplementedError for real codecs, and
-the tested pipeline uses the deterministic byte-level feature extractor
-``mm_byte_features`` (mapInPandas, Arrow-batched) whose features are also
-SQL-expressible — giving the UDF plumbing a real DuckDB oracle.
+Decode: ``decode_media`` routes image/jpeg through the volume codec
+registry's Pillow-gated JpegCodec (codecs.py — one decode canon for
+chunks AND document payloads; opt-in, raises without Pillow just like
+the chunk path), and ``mm_decode_image`` is the Arrow-batched
+mapInPandas pipeline over it.  Formats with no in-repo codec
+(audio/video) remain explicit NotImplementedError stubs — this
+container has no decode libraries for them.  The always-runnable
+pipeline twin is the deterministic byte-level feature extractor
+``mm_byte_features`` (mapInPandas, Arrow-batched) whose features are
+also SQL-expressible — giving the UDF plumbing a real DuckDB oracle.
 
 Scale notes: payloads never pass through Python row-at-a-time; the
 feature extractor is an Arrow-batched mapInPandas and everything else is
@@ -41,14 +46,81 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("meta"))
 
 
-def decode_media(payload_format: str):
-    """Real media decode — stubbed: the container has no imaging/audio
-    libraries.  The Spark-side plumbing (schema, batching, partitioning)
-    is exercised by mm_byte_features below."""
-    raise NotImplementedError(
-        f"decode for {payload_format!r} requires imaging/audio libraries "
-        "not present in this environment; see mm_byte_features for the "
-        "tested UDF pipeline shape")
+# media formats with an in-repo decode path, routed through the volume
+# codec registry (one decode canon for chunks AND document payloads)
+_MEDIA_CODECS = {
+    "image/jpeg": "jpeg",
+    "jpeg": "jpeg",
+    "jpg": "jpeg",
+}
+
+
+def decode_media(payload_format: str, payload: bytes, *,
+                 expected_width: int | None = None) -> bytes:
+    """Decode a media payload to raw uint8 pixels through the volume
+    codec registry (r14 verdict task 4: one gated decode path shared
+    with the chunk store instead of a free-standing stub).
+
+    - ``image/jpeg`` (also ``jpeg``/``jpg``) routes to
+      ``codecs.JpegCodec`` — the Pillow-gated decoder the volume uses
+      for jpeg-encoded chunks (codecs.py:143), including the r14
+      aspect guard when the caller knows the image width.  Without
+      Pillow it raises NotImplementedError, the same honest gate as
+      the chunk path.
+    - every other format (audio/video/container formats) remains an
+      explicit NotImplementedError stub: there is no in-repo codec for
+      them and no decode library in this container; the Spark-side
+      plumbing (schema, batching, partitioning) is exercised by
+      ``mm_decode_image`` below and by ``mm_byte_features``.
+    """
+    enc = _MEDIA_CODECS.get(payload_format.lower())
+    if enc is None:
+        raise NotImplementedError(
+            f"decode for {payload_format!r}: no in-repo codec (audio/"
+            "video decode libraries are not present in this "
+            "environment); image/jpeg routes through the gated volume "
+            "codec — see mm_decode_image for the UDF pipeline shape")
+    from bigarrays_jl_spark import codecs
+    return codecs.decode_payload(enc, payload,
+                                 expected_width=expected_width)
+
+
+def mm_decode_image(media: DataFrame,
+                    expected_width: int | None = None) -> DataFrame:
+    """Arrow-batched image-decode pipeline over a media table with
+    ``(doc_id, mime, payload)`` columns: each payload decodes through
+    ``decode_media`` (the Pillow-gated codec path) and folds to
+    per-image pixel statistics — the schema/batching/partitioning a
+    real image corpus runs at 100 TB, with only the kernel gated on
+    the imaging library.  Integer-exact stats (mean×10⁴ floor-divided)
+    so any oracle comparison is rounding-free.
+
+    Raises (inside the executor, failing the job with the gate's
+    message) when Pillow is absent — decode is opt-in, never silently
+    faked."""
+    m = media.select("doc_id", "mime", "payload")
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for b in it:
+            ids, npx, means = [], [], []
+            for doc_id, mime, p in zip(b["doc_id"], b["mime"],
+                                       b["payload"]):
+                pix = decode_media(mime, bytes(p),
+                                   expected_width=expected_width)
+                a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                ids.append(doc_id)
+                npx.append(len(a))
+                means.append(int(a.sum()) * 10000 // len(a)
+                             if len(a) else None)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_pixels": pd.Series(npx, dtype="int64"),
+                "mean_pixel_e4": pd.Series(means, dtype="Int64"),
+            })
+
+    return m.mapInPandas(
+        dec, schema="doc_id bigint, n_pixels bigint, mean_pixel_e4 bigint")
 
 
 # --------------------------------------------------------------------------

@@ -19,7 +19,11 @@ replay guard.
   user (a replayed log or a watermarked upstream provides this); the
   state merge looks only at the gap between a batch's first event and
   the open session's last, so late data older than the open session
-  would need the batch operator's full recompute instead.
+  would need the batch operator's full recompute instead.  Since r15
+  the contract is ENFORCED, not assumed: a batch carrying events older
+  than any user's open session raises before writing anything (the
+  checkpoint retries the batch), so a shuffled feed is an error, never
+  a silently-wrong bounce rate.
 
 - ``streaming_boilerplate`` — continuous boilerplate-prefix monitor,
   the twin of ``boilerplate_prefixes``.  The durable index holds
@@ -31,8 +35,10 @@ Scale shape: session state is one row per user with an open session
 (users-sized, not events-sized) and is rewritten per batch into a
 VERSIONED directory (``state/v<batch_id>``) — the rewrite is the price
 of exact replay (recompute batch N from state v<N) and is how a real
-pipeline would checkpoint dimension-sized state; prune versions older
-than N−1 offline.  The boilerplate index grows |distinct (prefix,
+pipeline would checkpoint dimension-sized state; the bridge GCs
+superseded versions itself after each commit (``_prune_state_versions``
+keeps the newest 2 committed — everything older is unreachable by the
+replay rule).  The boilerplate index grows |distinct (prefix,
 source) per batch| rows per batch; the monitor refresh is index-sized.
 """
 
@@ -69,6 +75,57 @@ def _state_committed(spark: SparkSession, vpath: str) -> bool:
         return bool(fs.exists(jpath))
     except Py4JJavaError:
         return False
+
+
+def _prune_state_versions(spark: SparkSession, state_path: str,
+                          keep_last: int = 2) -> list[str]:
+    """Retention GC for the versioned session state (r14 verdict task
+    2): delete every ``v<id>`` directory STRICTLY OLDER than the oldest
+    of the newest ``keep_last`` COMMITTED (``_SUCCESS``-marked)
+    versions.  Returns the removed directory names.
+
+    Safety: a replayed batch N reads the newest committed version
+    STRICTLY BELOW N (``_latest_state_before``), so after batch N
+    commits v(N), only v(N) and the version it was computed from can
+    ever be read again — ``keep_last=2`` preserves exactly those, and
+    anything older is unreachable.  Markerless directories older than
+    the retention floor are dead crash artifacts (their batch must have
+    completed in a later attempt or the stream checkpoint could not
+    have advanced past it) and are removed too; markerless directories
+    NEWER than the floor are left alone (they may be a write in
+    flight).  Uses the Hadoop FS API so the same code runs on object
+    stores, where this state would live in production; mirrors
+    ``windows.compact_merged_table``'s contract for the merge table."""
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: a replayed batch reads the "
+            "committed version below its own")
+    from py4j.protocol import Py4JJavaError
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        entries = fs.listStatus(jpath)
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in str(e.java_exception):
+            return []
+        raise
+    versions = sorted(
+        int(st.getPath().getName()[1:]) for st in entries
+        if st.getPath().getName().startswith("v")
+        and st.getPath().getName()[1:].isdigit())
+    committed = [v for v in versions if _state_committed(
+        spark, _state_version_path(state_path, v))]
+    if len(committed) <= keep_last:
+        return []
+    floor = committed[-keep_last]
+    removed = []
+    for v in versions:
+        if v < floor:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                _state_version_path(state_path, v)), True)
+            removed.append(f"v{v}")
+    return removed
 
 
 def _latest_state_before(spark: SparkSession, state_path: str,
@@ -154,7 +211,28 @@ def streaming_session_bounce(events: DataFrame, state_path: str,
                   .withColumn("m_n",
                               F.when(merged, F.col("n_ev") + F.col("p_n"))
                                .otherwise(F.col("n_ev"))))
-        per = per.localCheckpoint(eager=True)   # three consumers below
+        per = per.localCheckpoint(eager=True)   # four consumers below
+
+        # ordering-contract guard (r14 verdict task 2): the state merge
+        # assumes per-user event-time-ordered micro-batches (module
+        # docstring) — a batch carrying events OLDER than a user's open
+        # session would silently mis-merge (wrong entry type, split
+        # counts), so detect it and FAIL the micro-batch instead.  One
+        # user-sized count on the already-checkpointed frame; the raise
+        # happens before any write, so the checkpoint retries cleanly
+        # once the feed is fixed (or the operator is rerun in batch
+        # mode, which has no ordering precondition).
+        n_late = per.filter(is_first & F.col("p_last").isNotNull()
+                            & (F.col("first_sec") < F.col("p_last"))
+                            ).count()
+        if n_late > 0:
+            raise ValueError(
+                f"out-of-order micro-batch: {n_late} user(s) have "
+                f"events older than their open session "
+                f"(batch first_sec < open-state last_sec); "
+                f"streaming_session_bounce requires per-user "
+                f"event-time-ordered batches — recompute in batch mode "
+                f"(session_bounce_rate) for late data")
 
         # open sessions that the batch did NOT merge close now
         closed_prev = (per.filter(is_first & F.col("p_last").isNotNull()
@@ -191,6 +269,11 @@ def streaming_session_bounce(events: DataFrame, state_path: str,
                                F.col("last_sec").cast("bigint")
                                 .alias("last_sec")))
         new_open.write.mode("overwrite").parquet(vN)
+        # retention GC (r14 verdict task 2): with v(batch_id) committed,
+        # only it and its input version remain reachable — prune the
+        # rest so a long-running stream holds O(2 × users) state, not
+        # O(batches × users)
+        _prune_state_versions(spark, state_path, keep_last=2)
 
     return (events.writeStream
             .foreachBatch(process_batch)

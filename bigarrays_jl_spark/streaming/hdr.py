@@ -52,18 +52,46 @@ def hdr_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
     output over everything the stream has seen."""
     hist = (spark.read.parquet(out_path).distinct()   # replay-safe fold
             .groupBy("event_type", "lb").agg(F.sum("n").alias("n")))
+    return _quantiles_of(hist)
+
+
+def hdr_merge_snapshot(spark: SparkSession,
+                       out_paths: list[str]) -> DataFrame:
+    """Cross-SKETCH merge (r14 verdict task 6): fold the partial
+    tables of SEVERAL independent HDR streams — two datacenters, a
+    backfill plus the live feed — into one quantile snapshot.  Each
+    table's partials dedup by their own (event_type, lb, batch_id)
+    rows first (replay safety is per-stream — two streams legitimately
+    carry identical partial rows), then bucket counts ADD across
+    sketches: the merge is the same integer monoid the per-batch fold
+    uses, so merge-of-streams == one stream over the union, exactly."""
+    pieces = [spark.read.parquet(p).distinct() for p in out_paths]
+    allp = pieces[0]
+    for p in pieces[1:]:
+        allp = allp.unionByName(p)
+    hist = allp.groupBy("event_type", "lb").agg(F.sum("n").alias("n"))
+    return _quantiles_of(hist)
+
+
+def _quantiles_of(hist: DataFrame) -> DataFrame:
+    """(event_type, lb, n) histogram → the events_hdr_quantiles output
+    shape (shared by the single-stream and merged snapshots)."""
     p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
                                  1, 2, "p50_cents")
     p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
                                  9, 10, "p90_cents")
     p99 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
                                  99, 100, "p99_cents")
+    p999 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
+                                  999, 1000, "p999_cents")
     tot = (hist.groupBy("event_type")
            .agg(F.sum("n").cast("bigint").alias("n_events"),
                 F.count("*").cast("bigint").alias("n_buckets")))
     return (tot.join(p50, "event_type").join(p90, "event_type")
-            .join(p99, "event_type")
+            .join(p99, "event_type").join(p999, "event_type")
             .select("event_type", "n_events", "n_buckets",
                     F.col("p50_cents").cast("bigint").alias("p50_cents"),
                     F.col("p90_cents").cast("bigint").alias("p90_cents"),
-                    F.col("p99_cents").cast("bigint").alias("p99_cents")))
+                    F.col("p99_cents").cast("bigint").alias("p99_cents"),
+                    F.col("p999_cents").cast("bigint")
+                     .alias("p999_cents")))

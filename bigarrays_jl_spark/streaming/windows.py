@@ -158,16 +158,49 @@ def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     r14 review).  Any other failure (throttling, corrupt file,
     permissions) propagates so foreachBatch fails the micro-batch and
     the checkpoint retries it — treating those as "no index" would
-    silently disable dedup for the batch."""
+    silently disable dedup for the batch.
+
+    The schema-inference failure is NOT taken at face value (r14
+    advice): a durable index whose data files were LOST (directory and
+    ``_SUCCESS`` survive, part files gone) raises the same
+    UNABLE_TO_INFER_SCHEMA as the genuinely-empty case, and classifying
+    it as "no index yet" would silently re-admit every previously
+    deduped document.  So the handler lists the directory and returns
+    None only when it holds no visible data file AND no commit marker —
+    the crashed-first-append shape; a marker with no data (or any
+    visible file Spark nonetheless could not read) is corruption and
+    propagates."""
     from pyspark.errors import AnalysisException
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
         msg = str(e)
-        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
-                or "Unable to infer schema" in msg):
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
+        if ("UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg):
+            from py4j.protocol import Py4JJavaError
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            try:
+                entries = fs.listStatus(jpath)
+            except Py4JJavaError as le:
+                if "FileNotFoundException" in str(le.java_exception):
+                    return None         # raced a concurrent cleanup
+                raise
+            names = [st.getPath().getName() for st in entries]
+            visible = [n for n in names
+                       if not n.startswith(("_", "."))]
+            if not visible and "_SUCCESS" not in names:
+                return None             # only _temporary/: never committed
+            raise RuntimeError(
+                f"durable index at {path} is corrupt: committed "
+                f"marker/files present but unreadable as parquet "
+                f"(visible={visible[:5]}, marker="
+                f"{'_SUCCESS' in names}); refusing to treat as empty "
+                f"— that would re-admit previously deduped rows"
+            ) from e
         raise
 
 
@@ -279,11 +312,15 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
     plan run continuously.  Matches carry ``batch_id``, and replay is
     EXACTLY-ONCE on both outputs (r13 advice): a replayed batch whose
     match append already committed skips the match write (batch_id
-    guard); the probe excludes the batch's OWN doc_ids from the index
-    side (a replayed batch whose index append committed would otherwise
-    find its own signatures and emit spurious self-matches); and the
-    index append anti-joins the standing index on (doc_id, b) so
-    re-appended signatures can never duplicate rows.
+    guard); the probe excludes the batch's OWN (doc_id, b, band) rows
+    from the index side (a replayed batch whose index append committed
+    would otherwise find its own signatures and emit spurious
+    self-matches — exact-row exclusion, not doc_id-wide, so a corpus
+    doc's EARLIER version stays probeable by other batch docs, r14
+    advice; same-id (X, X) drift pairs are structurally out of scope —
+    see the probe comment); and the index append anti-joins the
+    standing index on (doc_id, b, band) so re-appended signatures can
+    never duplicate rows.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -299,10 +336,26 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
         idx = _read_index_or_none(spark, index_path)
         matches_done = _batch_already_in(spark, out_path, batch_id)
         if idx is not None and not matches_done:
-            # probe only the PRE-batch corpus: a replayed batch whose
-            # index append committed must not match against itself
-            probe = idx.join(bands.select("doc_id").distinct(),
-                             "doc_id", "left_anti")
+            # probe only the PRE-batch signatures: a replayed batch
+            # whose index append committed must not match against its
+            # own rows.  The exclusion is keyed on the FULL row
+            # identity (doc_id, b, band) — minhash recompute is
+            # deterministic, so a replay's signatures are exactly the
+            # rows the crashed attempt appended and all of them drop
+            # out — NOT on doc_id alone (r14 advice): under the broad
+            # exclusion, a batch containing doc_id X silently removed
+            # X's EARLIER version's rows from everyone's probe, so a
+            # different batch doc Y near-dup to old-X went unreported.
+            # Exact-row exclusion keeps old-X probeable by Y while
+            # still covering every row a replay could self-match.
+            # (A same-id (X, X) drift pair remains out of scope by
+            # construction, not by exclusion: band-equality LSH only
+            # surfaces candidates whose (b, band) rows are EQUAL, and
+            # an equal same-id row is indistinguishable from a replay's
+            # own append — drifted bands produce no candidate at all.)
+            probe = idx.join(
+                bands.select("doc_id", "b", "band").distinct(),
+                ["doc_id", "b", "band"], "left_anti")
             shared = F.size(F.filter(
                 F.zip_with(F.col("a.sig"), F.col("i.sig"),
                            lambda x, y: x == y), lambda m: m))

@@ -1259,3 +1259,64 @@ def test_streaming_source_leakage_replay_no_duplicate_matrix(spark, sf_dir,
     assert spark.read.parquet(out).count() == out_before, \
         "matrix rows duplicated"
     assert spark.read.parquet(idx).count() == idx_before, "index duplicated"
+
+
+def test_streaming_minhash_exact_row_probe_exclusion(spark, sf_dir,
+                                                     tmp_path):
+    # r14 advice: the probe's replay self-exclusion is keyed on the
+    # FULL (doc_id, b, band) row identity, not doc_id alone.  Under the
+    # broad doc_id exclusion, a batch containing doc_id X removed X's
+    # EARLIER version's signatures from everyone's probe, so a
+    # different batch doc Y near-dup to old-X went silently unreported.
+    # Pin: (1) Y-vs-old-X matches ARE emitted even when X itself is in
+    # the batch; (2) an exact replay still emits no new matches (the
+    # exactly-once contract the exclusion exists for).
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigarrays_jl_spark.streaming.windows import streaming_minhash_neardup
+
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", "text").filter(F.length("text") > 200)
+         .orderBy("doc_id").limit(20))
+    src = str(tmp_path / "src")
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+    d.coalesce(1).write.parquet(src)
+
+    def run():
+        q = streaming_minhash_neardup(
+            spark.readStream.schema(d.schema).parquet(src), idx, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()                                     # batch 0 seeds the index
+    # batch 1 carries BOTH a re-ingested X (same doc_id, mutated text)
+    # and a near-dup twin Y = X + 1000000 of X's ORIGINAL text: Y must
+    # match old-X despite X's doc_id being present in the batch
+    drift = d.withColumn("text", F.expr("substring(text, 13)"))
+    twins = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+    (drift.unionByName(twins)
+          .coalesce(1).write.mode("append").parquet(src))
+    run()
+
+    matches = spark.read.parquet(out)
+    y_vs_oldx = matches.filter(
+        (F.col("batch_doc") >= 1000000)
+        & (F.col("batch_doc") - 1000000 == F.col("corpus_doc"))
+        & (F.col("batch_id") == 1))
+    assert y_vs_oldx.count() > 0, \
+        "batch doc Y not compared against old-X (probe over-excluded)"
+    # no (X, X) self pairs: identical rows are replay-indistinguishable
+    # and excluded; drifted bands can never be LSH candidates
+    assert matches.filter(
+        F.col("batch_doc") == F.col("corpus_doc")).count() == 0
+
+    # exact replay of everything as one batch 0: identical signatures
+    # are excluded row-for-row, so no NEW matches appear
+    n_before = matches.count()
+    shutil.rmtree(ckpt)
+    run()
+    assert spark.read.parquet(out).count() == n_before

@@ -224,3 +224,74 @@ def test_session_bounce_ignores_uncommitted_state_version(spark, sf_dir,
     # recomputes state only) and the snapshot is intact
     assert os.path.exists(os.path.join(v0, "_SUCCESS"))
     assert _bounce_rows(session_bounce_snapshot(spark, out, st)) == want
+
+
+def test_session_bounce_state_gc_keeps_last_two(spark, sf_dir, tmp_path):
+    # r14 verdict task 2: a long-running stream must not accumulate one
+    # state version per batch — after N batches exactly the newest 2
+    # committed versions survive, and the snapshot is still exact
+    import os
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    cuts = e.agg(
+        F.expr("percentile(cast(ts as long), array(0.33, 0.66))")
+    ).first()[0]
+    lo, hi = int(cuts[0]), int(cuts[1])
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    ts = F.col("ts").cast("long")
+
+    e.filter(ts <= lo).coalesce(1).write.parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    e.filter((ts > lo) & (ts <= hi)).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    e.filter(ts > hi).coalesce(1).write.mode("append").parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+
+    vdirs = sorted(d for d in os.listdir(st) if d.startswith("v"))
+    assert vdirs == ["v1", "v2"], f"GC left {vdirs}"
+    got = _bounce_rows(session_bounce_snapshot(spark, out, st))
+    want = _bounce_rows(session_bounce_rate(spark, sf_dir))
+    assert got == want
+
+
+def test_session_bounce_out_of_order_batch_raises(spark, sf_dir, tmp_path):
+    # r14 verdict task 2: the per-user event-time ordering contract is
+    # enforced — a batch carrying events OLDER than an open session
+    # fails the micro-batch instead of silently mis-merging
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                             "event_type")
+    cut = e.agg(F.expr("percentile(cast(ts as long), 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    st, out, ckpt = (str(tmp_path / p) for p in ("st", "out", "ckpt"))
+    ts = F.col("ts").cast("long")
+
+    # deliberately shuffled feed: the LATER half arrives first
+    e.filter(ts > cut).coalesce(1).write.parquet(src)
+    _run(streaming_session_bounce(
+        spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+    e.filter(ts <= cut).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="out-of-order"):
+        _run(streaming_session_bounce(
+            spark.readStream.schema(e.schema).parquet(src), st, out, ckpt))
+
+
+def test_read_index_lost_data_files_raises(spark, tmp_path):
+    # r14 advice: a durable index whose data files were LOST (dir and
+    # _SUCCESS survive, part files gone) must NOT read as "no index
+    # yet" — that would silently re-admit previously deduped docs.
+    # Only the never-committed shape (no marker, no visible files)
+    # reads as empty.
+    import os
+
+    from bigarrays_jl_spark.streaming.windows import _read_index_or_none
+    p = tmp_path / "idx"
+    os.makedirs(p / "_temporary" / "0")
+    open(p / "_SUCCESS", "w").close()
+    with pytest.raises(RuntimeError, match="corrupt"):
+        _read_index_or_none(spark, str(p))

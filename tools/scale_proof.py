@@ -29,7 +29,9 @@ SMALL = "/root/testdata/sf0.1"
 BIG = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft_sf1")
 RATIO_GATE = 12.0
 
-# the 10 slowest secondary queries from the r10 clean-window bench,
+# the slowest secondary queries per the CURRENT committed bench
+# artifact (re-trued each round — r15 added the 4 slowest then-uncovered:
+# basket_pairs, graph_hops_lsh, graph_sssp_lsh, q64_weighted_median),
 # plus the scale-shaped families (dedup/ANN/graph/volume) whose 100 TB
 # posture the judge grades
 SLOW_SECONDARY = [
@@ -63,6 +65,11 @@ SLOW_SECONDARY = [
     "dedup_audit_pr", "emb_outlier_zscore", "quality_filter_funnel",
     "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
     "quality_calibration", "dedup_storage_savings",
+    # r15: re-true the proof to the current slowest non-proof queries
+    # (r14 verdict task 3 — these were 4 of the 7 slowest registry
+    # queries outside the proof)
+    "basket_pairs", "graph_hops_lsh", "graph_sssp_lsh",
+    "q64_weighted_median",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -189,6 +196,20 @@ RATIO_NOTES = {
     "q07_window_rank": "supplier-keyed rank window (keys grow with "
         "data); sub-second both legs — ratios this close to 2 on a "
         "0.5 s base are scheduler jitter (1.02× in the r12 artifact)",
+    "basket_pairs": "pair output per basket is bounded by basket size "
+        "(order line counts are data-independent), so pairs grow "
+        "linearly with orders; the frequent-singleton broadcast prune "
+        "keeps the self-join candidate-sized — any >2× is the "
+        "two-pass (support count + join) overhead amortizing",
+    "graph_hops_lsh": "LSH edge count grows ~1.9× per data 10× on "
+        "this corpus; BFS shuffles the edge table once per hop "
+        "(bounded hop count) — edge-growth-bound, sub-linear in rows",
+    "graph_sssp_lsh": "same LSH edge growth; SSSP relaxation shuffles "
+        "the edge table per iteration until convergence — "
+        "edge-growth-bound, iteration count is diameter-bounded",
+    "q64_weighted_median": "distinct-cents domain growth through the "
+        "bucketed weighted-median pick (same domain story as q70); "
+        "saturates at the ~1e7 cent ceiling, bucket-parallel",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join whose output (and so any
