@@ -49,8 +49,11 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.operators.events import SESSION_GAP_MIN, sessionized
 from bigarrays_jl_spark.operators.round13b import BOILER_K, BOILER_TOPK
-from bigarrays_jl_spark.streaming.windows import (_batch_already_in,
-                                                  _read_index_or_none)
+from bigarrays_jl_spark.streaming.replay import (
+    batch_already_in as _batch_already_in,
+    commit_marked,
+    guarded_append as _guarded_append,
+    read_index_or_none as _read_index_or_none)
 
 _GAP_S = SESSION_GAP_MIN * 60
 
@@ -61,20 +64,10 @@ def _state_version_path(state_path: str, batch_id: int) -> str:
     return f"{state_path.rstrip('/')}/v{batch_id}"
 
 
-def _state_committed(spark: SparkSession, vpath: str) -> bool:
-    """True only for a COMPLETE job-committed state version — the
-    ``_SUCCESS`` marker, not mere readability: a crash during the state
-    overwrite can leave v(N) readable-but-partial (v2 committers commit
-    task files directly) or ``_temporary``-only, and treating either as
-    committed would silently drop open sessions (r14 review)."""
-    from py4j.protocol import Py4JJavaError
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(vpath + "/_SUCCESS")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        return bool(fs.exists(jpath))
-    except Py4JJavaError:
-        return False
+# a COMPLETE job-committed state version = the shared _SUCCESS-marker
+# check (streaming/replay.py since r15); a readable-but-markerless
+# v(N) is a crash artifact and must not be adopted (r14 review)
+_state_committed = commit_marked
 
 
 def _prune_state_versions(spark: SparkSession, state_path: str,
@@ -330,19 +323,27 @@ def streaming_boilerplate(docs: DataFrame, index_path: str, out_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
-            return                              # monitor write was last
-        d = batch_df.select("source", F.split(F.col("text"), " ").alias("ws"))
-        prefix = F.md5(F.concat_ws(
-            " ", *[F.element_at("ws", i + 1) for i in range(BOILER_K)]))
-        (d.filter(F.size("ws") >= BOILER_K)
-         .select(prefix.alias("ph"), "source")
-         .groupBy("ph", "source").agg(F.count("*").alias("n"))
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(index_path))
-        (boilerplate_snapshot(spark, index_path)
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_path))
+
+        def write() -> None:
+            # the monitor append is LAST, so a guard hit means the whole
+            # batch committed; a replayed index append (crash between
+            # the two writes) re-appends exact-duplicate partial rows,
+            # which the snapshot's distinct() fold collapses — no
+            # repair hook needed
+            d = batch_df.select("source",
+                                F.split(F.col("text"), " ").alias("ws"))
+            prefix = F.md5(F.concat_ws(
+                " ", *[F.element_at("ws", i + 1) for i in range(BOILER_K)]))
+            (d.filter(F.size("ws") >= BOILER_K)
+             .select(prefix.alias("ph"), "source")
+             .groupBy("ph", "source").agg(F.count("*").alias("n"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(index_path))
+            (boilerplate_snapshot(spark, index_path)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+
+        _guarded_append(spark, out_path, batch_id, write)
 
     return (docs.writeStream
             .foreachBatch(process_batch)
@@ -381,20 +382,22 @@ def streaming_quality_funnel(docs: DataFrame, out_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
-            return
-        g = _gopher_metrics(F.col("text"))
-        c1 = g["ok_words"]
-        c2 = c1 & g["ok_word_len"]
-        c3 = c2 & g["ok_alpha"]
-        c4 = g["gopher_pass"]
-        (batch_df.agg(
-            F.count("*").cast("bigint").alias("n"),
-            *[F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(k)
-              for k, c in (("s1", c1), ("s2", c2), ("s3", c3),
-                           ("s4", c4))])
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_path))
+
+        def write() -> None:
+            g = _gopher_metrics(F.col("text"))
+            c1 = g["ok_words"]
+            c2 = c1 & g["ok_word_len"]
+            c3 = c2 & g["ok_alpha"]
+            c4 = g["gopher_pass"]
+            (batch_df.agg(
+                F.count("*").cast("bigint").alias("n"),
+                *[F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(k)
+                  for k, c in (("s1", c1), ("s2", c2), ("s3", c3),
+                               ("s4", c4))])
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+
+        _guarded_append(spark, out_path, batch_id, write)
 
     return (docs.writeStream
             .foreachBatch(process_batch)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
-from bigarrays_jl_spark.streaming.windows import _batch_already_in
+from bigarrays_jl_spark.streaming.replay import guarded_append
 
 
 def streaming_hdr_quantiles(events: DataFrame, out_path: str,
@@ -30,16 +30,16 @@ def streaming_hdr_quantiles(events: DataFrame, out_path: str,
     ``hdr_snapshot``.  Returns the started StreamingQuery."""
 
     def process_batch(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
-            return
-        (batch_df
-         .select("event_type",
-                 hdr_bucket_cents(F.round(F.col("value") * 100)
-                                  .cast("bigint")).alias("lb"))
-         .groupBy("event_type", "lb").agg(F.count("*").alias("n"))
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_path))
+        def write() -> None:
+            (batch_df
+             .select("event_type",
+                     hdr_bucket_cents(F.round(F.col("value") * 100)
+                                      .cast("bigint")).alias("lb"))
+             .groupBy("event_type", "lb").agg(F.count("*").alias("n"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+
+        guarded_append(batch_df.sparkSession, out_path, batch_id, write)
 
     return (events.writeStream
             .foreachBatch(process_batch)

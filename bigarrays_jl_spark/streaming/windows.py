@@ -149,72 +149,13 @@ def streaming_corpus_dedup(docs: DataFrame,
             .select("doc_id", "source", "fp"))
 
 
-def _read_index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a durable-index parquet dir, returning None when the path
-    does not exist yet (legitimate first batch) OR holds no committed
-    footers (a crashed first append left only ``_temporary`` — the
-    committed state is genuinely empty, and treating it as an error
-    would wedge the stream: the replay hits the same exception forever,
-    r14 review).  Any other failure (throttling, corrupt file,
-    permissions) propagates so foreachBatch fails the micro-batch and
-    the checkpoint retries it — treating those as "no index" would
-    silently disable dedup for the batch.
-
-    The schema-inference failure is NOT taken at face value (r14
-    advice): a durable index whose data files were LOST (directory and
-    ``_SUCCESS`` survive, part files gone) raises the same
-    UNABLE_TO_INFER_SCHEMA as the genuinely-empty case, and classifying
-    it as "no index yet" would silently re-admit every previously
-    deduped document.  So the handler lists the directory and returns
-    None only when it holds no visible data file AND no commit marker —
-    the crashed-first-append shape; a marker with no data (or any
-    visible file Spark nonetheless could not read) is corruption and
-    propagates."""
-    from pyspark.errors import AnalysisException
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            return None
-        if ("UNABLE_TO_INFER_SCHEMA" in msg
-                or "Unable to infer schema" in msg):
-            from py4j.protocol import Py4JJavaError
-            jvm = spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            try:
-                entries = fs.listStatus(jpath)
-            except Py4JJavaError as le:
-                if "FileNotFoundException" in str(le.java_exception):
-                    return None         # raced a concurrent cleanup
-                raise
-            names = [st.getPath().getName() for st in entries]
-            visible = [n for n in names
-                       if not n.startswith(("_", "."))]
-            if not visible and "_SUCCESS" not in names:
-                return None             # only _temporary/: never committed
-            raise RuntimeError(
-                f"durable index at {path} is corrupt: committed "
-                f"marker/files present but unreadable as parquet "
-                f"(visible={visible[:5]}, marker="
-                f"{'_SUCCESS' in names}); refusing to treat as empty "
-                f"— that would re-admit previously deduped rows"
-            ) from e
-        raise
-
-
-def _batch_already_in(spark: SparkSession, path: str,
-                      batch_id: int) -> bool:
-    """True when ``path`` already holds rows for ``batch_id`` — the
-    foreachBatch exactly-once guard.  Structured Streaming replays a
-    failed micro-batch under the SAME batch_id, so "this batch_id is
-    already committed to the output" means exactly "the output append
-    happened; don't append it again".  One parquet read with the
-    batch_id predicate pushed down; costs a footer scan per batch."""
-    df = _read_index_or_none(spark, path)
-    return (df is not None and
-            df.filter(F.col("batch_id") == batch_id).limit(1).count() > 0)
+# the replay-safety primitives live in streaming/replay.py (ONE home
+# since r15 — r14 verdict task 5); the underscore aliases are kept
+# because every guarded bridge and its tests import them from here
+from bigarrays_jl_spark.streaming.replay import (  # noqa: E402
+    batch_already_in as _batch_already_in,
+    guarded_append as _guarded_append,
+    read_index_or_none as _read_index_or_none)
 
 
 def streaming_incremental_dedup(docs: DataFrame, index_path: str,
@@ -254,7 +195,8 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
+
+        def repair() -> None:
             # replayed batch whose out append committed: never recompute
             # admission — re-derive the admitted fingerprints from the
             # committed rows and append only the ones the index is
@@ -265,25 +207,29 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
             if idx is not None:
                 replay = replay.join(idx.select("fp"), "fp", "left_anti")
             replay.write.mode("append").parquet(index_path)
-            return
-        best = (batch_df.withColumn("fp", fingerprint())
-                .groupBy("fp")
-                .agg(F.min("doc_id").alias("doc_id"),
-                     F.min_by("source", "doc_id").alias("source")))
-        # missing-path = first batch; any OTHER read error must FAIL the
-        # batch (checkpoint retries it) — swallowing a transient index
-        # read failure would skip the anti-join and silently re-admit
-        # every already-seen doc in this micro-batch
-        idx = _read_index_or_none(spark, index_path)
-        if idx is not None:
-            idx = idx.select("fp")
-        fresh = best if idx is None else best.join(idx, "fp", "left_anti")
-        # one evaluation, two consumers: avoid recomputing the anti-join
-        fresh = fresh.localCheckpoint(eager=True)
-        (fresh.withColumn("batch_id", F.lit(batch_id))
-              .select("doc_id", "source", "fp", "batch_id")
-              .write.mode("append").parquet(out_path))
-        fresh.select("fp").write.mode("append").parquet(index_path)
+
+        def write() -> None:
+            best = (batch_df.withColumn("fp", fingerprint())
+                    .groupBy("fp")
+                    .agg(F.min("doc_id").alias("doc_id"),
+                         F.min_by("source", "doc_id").alias("source")))
+            # missing-path = first batch; any OTHER read error must FAIL
+            # the batch (checkpoint retries it) — swallowing a transient
+            # index read failure would skip the anti-join and silently
+            # re-admit every already-seen doc in this micro-batch
+            idx = _read_index_or_none(spark, index_path)
+            if idx is not None:
+                idx = idx.select("fp")
+            fresh = (best if idx is None
+                     else best.join(idx, "fp", "left_anti"))
+            # one evaluation, two consumers: avoid recomputing the join
+            fresh = fresh.localCheckpoint(eager=True)
+            (fresh.withColumn("batch_id", F.lit(batch_id))
+                  .select("doc_id", "source", "fp", "batch_id")
+                  .write.mode("append").parquet(out_path))
+            fresh.select("fp").write.mode("append").parquet(index_path)
+
+        _guarded_append(spark, out_path, batch_id, write, repair)
 
     return (docs.writeStream
             .foreachBatch(process_batch)
@@ -334,8 +280,8 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
         # missing-path only; real I/O errors fail the batch for retry
         # (see streaming_incremental_dedup)
         idx = _read_index_or_none(spark, index_path)
-        matches_done = _batch_already_in(spark, out_path, batch_id)
-        if idx is not None and not matches_done:
+
+        def write_matches() -> None:
             # probe only the PRE-batch signatures: a replayed batch
             # whose index append committed must not match against its
             # own rows.  The exclusion is keyed on the FULL row
@@ -371,6 +317,9 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
              .filter(F.col("est_jaccard") >= threshold)
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(out_path))
+
+        if idx is not None:     # nothing to probe on the first batch
+            _guarded_append(spark, out_path, batch_id, write_matches)
         # append only the signatures the index is missing — keyed on the
         # FULL row identity (doc_id, b, band) so a replayed batch (or a
         # crash between the two appends) cannot duplicate index rows,
@@ -421,7 +370,8 @@ def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
     """
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
+
+        def repair() -> None:
             # out append committed on a previous attempt: repair the
             # index from the committed rows instead of recomputing
             # admission (recomputing would re-admit and duplicate)
@@ -431,28 +381,32 @@ def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
             if idx is not None:
                 replay = replay.join(idx.select("ph"), "ph", "left_anti")
             replay.write.mode("append").parquet(index_path)
-            return
-        paras = (batch_df
-                 .select("doc_id", "source",
-                         F.posexplode(F.split(F.col("text"), r"\. "))
-                          .alias("pidx", "para"))
-                 .filter(F.trim(F.col("para")) != "")
-                 .withColumn("ph", F.md5(F.trim(F.lower(F.col("para"))))))
-        best = (paras.groupBy("ph")
-                .agg(F.min(F.struct("doc_id", "pidx", "source"))
-                      .alias("k")))
-        # missing-path = first batch; other read errors fail the batch
-        # so the checkpoint retries it (see streaming_incremental_dedup)
-        idx = _read_index_or_none(spark, index_path)
-        if idx is not None:
-            best = best.join(idx.select("ph"), "ph", "left_anti")
-        fresh = best.localCheckpoint(eager=True)  # two consumers below
-        (fresh.select(F.col("k.doc_id").alias("doc_id"),
-                      F.col("k.pidx").alias("pidx"),
-                      F.col("k.source").alias("source"),
-                      "ph", F.lit(batch_id).alias("batch_id"))
-              .write.mode("append").parquet(out_path))
-        fresh.select("ph").write.mode("append").parquet(index_path)
+
+        def write() -> None:
+            paras = (batch_df
+                     .select("doc_id", "source",
+                             F.posexplode(F.split(F.col("text"), r"\. "))
+                              .alias("pidx", "para"))
+                     .filter(F.trim(F.col("para")) != "")
+                     .withColumn("ph",
+                                 F.md5(F.trim(F.lower(F.col("para"))))))
+            best = (paras.groupBy("ph")
+                    .agg(F.min(F.struct("doc_id", "pidx", "source"))
+                          .alias("k")))
+            # missing-path = first batch; other read errors fail the
+            # batch so the checkpoint retries it
+            idx = _read_index_or_none(spark, index_path)
+            if idx is not None:
+                best = best.join(idx.select("ph"), "ph", "left_anti")
+            fresh = best.localCheckpoint(eager=True)  # two consumers
+            (fresh.select(F.col("k.doc_id").alias("doc_id"),
+                          F.col("k.pidx").alias("pidx"),
+                          F.col("k.source").alias("source"),
+                          "ph", F.lit(batch_id).alias("batch_id"))
+                  .write.mode("append").parquet(out_path))
+            fresh.select("ph").write.mode("append").parquet(index_path)
+
+        _guarded_append(spark, out_path, batch_id, write, repair)
 
     return (docs.writeStream
             .foreachBatch(process_batch)
@@ -497,22 +451,24 @@ def streaming_source_leakage(docs: DataFrame, index_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _batch_already_in(spark, out_path, batch_id):
-            # the matrix append is the LAST write, so its presence means
-            # the whole batch committed — nothing to redo
-            return
-        sp = doc_shingles(batch_df.select("source", "text"))
-        # missing-path = first batch; other read errors fail the batch
-        # so the checkpoint retries it (see streaming_incremental_dedup)
-        idx = _read_index_or_none(spark, index_path)
-        if idx is not None:
-            sp = sp.join(idx.select("source", "ph"),
-                         ["source", "ph"], "left_anti")
-        sp.write.mode("append").parquet(index_path)
-        full = spark.read.parquet(index_path).distinct()  # replay-safe
-        (leakage_matrix(full)
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_path))
+
+        def write() -> None:
+            # the matrix append is the LAST write, so a guard hit means
+            # the whole batch committed — no repair hook needed
+            sp = doc_shingles(batch_df.select("source", "text"))
+            # missing-path = first batch; other read errors fail the
+            # batch so the checkpoint retries it
+            idx = _read_index_or_none(spark, index_path)
+            if idx is not None:
+                sp = sp.join(idx.select("source", "ph"),
+                             ["source", "ph"], "left_anti")
+            sp.write.mode("append").parquet(index_path)
+            full = spark.read.parquet(index_path).distinct()  # replay-safe
+            (leakage_matrix(full)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+
+        _guarded_append(spark, out_path, batch_id, write)
 
     return (docs.writeStream
             .foreachBatch(process_batch)
