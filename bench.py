@@ -79,6 +79,8 @@ SECONDARY = [
     "quality_filter_funnel", "dedup_audit_pr", "emb_outlier_zscore",
     "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
     "quality_calibration", "dedup_storage_savings",
+    # r15 additions
+    "events_hdr_merge", "cm_heavyhitters",
 ]
 
 
@@ -120,11 +122,19 @@ def run_volume_bench(spark) -> dict[str, float]:
 
 
 def run_volume_distributed_bench(spark) -> dict[str, float]:
-    """MB/s for the DISTRIBUTED volume paths on the same 84 MB volume:
+    """MB/s for the DISTRIBUTED volume paths on a ~537 MB volume:
     ingest_chunks (bulk write — payload generation and codec encode run
     in executors, nothing on the driver) and voxels() (decode → exploded
     relational read, aggregated distributed).  These are the 100 TB
-    paths; the driver-array bench above is the API-parity path."""
+    paths; the driver-array bench above is the API-parity path.
+
+    Sized ≥512 MB since r15 (was 84 MB): at 84 MB the pure scan leg
+    finished in ~90 ms, so fixed per-job overhead halved the reported
+    MB/s (the same bias r14's verdict flagged in the floor probe) —
+    dist_scan read ~900 when back-to-back larger scans read ~1300.  At
+    537 MB every leg runs long enough that job overhead is <20% of the
+    measurement, and dist_scan agrees with the (equally-sized) floor
+    probe, which is the artifact's calibration check."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -136,7 +146,7 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
         "num_channels": 1, "type": "image", "data_type": "uint8",
         "scales": [{"encoding": "gzip", "chunk_sizes": [[64, 64, 64]],
                     "key": "1_1_1", "resolution": [1, 1, 1],
-                    "voxel_offset": [0, 0, 0], "size": [256, 256, 1280]}]})
+                    "voxel_offset": [0, 0, 0], "size": [256, 256, 8192]}]})
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     with tempfile.TemporaryDirectory() as td:
         # steady-state warm-up on a throwaway 2-chunk volume: pays the
@@ -158,7 +168,7 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
         vol = Volume.create(spark, td + "/dvol", info)
         sc_ = vol.scale
         meta = []
-        for cs in ix.iter_chunk_slices(((0, 256), (0, 256), (0, 1280)),
+        for cs in ix.iter_chunk_slices(((0, 256), (0, 256), (0, 8192)),
                                        sc_.voxel_offset, sc_.volume_size,
                                        sc_.chunk_size):
             shape = [hi - lo for lo, hi in cs.cutout_box]
@@ -216,17 +226,27 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
 
 
 def stage_scan_probe(spark, td: str):
-    """Stage an ~84 MB binary-payload parquet (same shape as the
+    """Stage an ~524 MB binary-payload parquet (same shape as the
     dist_scan table: 64³-byte payload rows) and warm its pages; returns
     (df, mb).  The scan of this table is the contention PROBE — a pure
     warm parquet scan with zero engine code, so its MB/s measures the
-    VM, not the plans."""
+    VM, not the plans.
+
+    Sizing (r14 verdict task 1): the r14 probe was 84 MB over 32 tasks,
+    so the ~100–150 ms fixed per-job overhead was comparable to the
+    scan itself and the probe read systematically ~2× BELOW the same
+    run's dist_scan (348 vs 882; 452 vs 968 in the two r14 artifacts),
+    making headline_normalized ~2× flattering.  At ≥512 MB the scan is
+    ≥0.5 s at nominal floor, so job overhead is <20% instead of ~50%;
+    the artifact carries floor_vs_dist_scan as the calibration check
+    (probe median / same-run best-of-3 dist_scan — healthy ≈ within
+    ~15% of 1.0)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n = 320                                   # 320 × 64³ B ≈ 84 MB
+    n = 2000                                  # 2000 × 64³ B ≈ 524 MB
     mdf = spark.range(n).repartition(cpus)
 
     def gen(batches):
@@ -246,10 +266,22 @@ def stage_scan_probe(spark, td: str):
 
 
 def scan_probe_mb_s(probe_df, mb: float) -> float:
+    """One probe sample = best of three back-to-back scans, after a
+    forced JVM GC: the probe must measure the VM (its role is to
+    detect host contention windows), not the garbage debt the
+    preceding query block happens to have left — and it is compared
+    against a best-of-3 dist_scan (the calibration check), so a single
+    scan — which one GC pause can halve — would be systematically
+    pessimistic in exactly the way the r14 probe was."""
     from pyspark.sql import functions as F
-    t0 = time.time()
-    probe_df.agg(F.sum(F.length("payload"))).collect()
-    return round(mb / (time.time() - t0), 2)
+    probe_df.sparkSession._jvm.System.gc()
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        probe_df.agg(F.sum(F.length("payload"))).collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(mb / best, 2)
 
 
 def main() -> None:
@@ -340,10 +372,30 @@ def main() -> None:
     # regression can't hide behind "the VM was slow".  Both numbers are
     # in the artifact; the raw total stays the gate.  Since r14 the
     # probe of record is the median of the three interleaved samples,
-    # not the single in-bench dist_scan measurement.
-    floor_nominal = 800.0
+    # not the single in-bench dist_scan measurement.  The nominal floor
+    # was re-pinned 800 → 1300 in r15 when the probe grew 84 MB →
+    # 524 MB: the old 800 was calibrated to overhead-halved readings
+    # (r14 verdict, What's wrong #1), the new probe reads ~1300 on a
+    # healthy VM (3 staged runs: 1185/1293/1627; dist_scan on the
+    # equally-sized volume: 1336), so under healthy conditions
+    # normalized == raw and only genuine contention shrinks it.
+    floor_nominal = 1300.0
     scan = sorted(floor_samples)[1]
     normalized = round(total * min(1.0, scan / floor_nominal), 3)
+    # calibration evidence (r14 verdict task 1): the probe must agree
+    # with the same run's best-of-3 dist_scan — both are warm binary-
+    # payload parquet scans of ~equal size, so a ratio far from 1.0 in
+    # the SAME window means the probe is measuring job overhead (r14:
+    # the 84 MB probe read ~0.5×).  Two ratios are recorded because
+    # they answer different questions: floor_vs_dist_scan compares the
+    # mid-run MEDIAN (the normalization input — legitimately lower
+    # when the query phase contends with the scan), while
+    # floor_vs_dist_scan_same_window compares the probe sample taken
+    # immediately AFTER the dist bench against dist_scan itself — the
+    # overhead-bias check proper, expected ≈1.0±15%.
+    dist = vol_stats.get("dist_scan_mb_s")
+    cal = round(scan / dist, 3) if dist else None
+    cal_sw = round(floor_samples[-1] / dist, 3) if dist else None
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -354,6 +406,8 @@ def main() -> None:
         "floor_nominal_mb_s": floor_nominal,
         "floor_probe_mb_s": floor_samples,
         "floor_median_mb_s": scan,
+        "floor_vs_dist_scan": cal,
+        "floor_vs_dist_scan_same_window": cal_sw,
         "headline_normalized": normalized,
         "secondary_total": round(sum(secondary.values()), 3),
         "secondary": secondary,
@@ -374,6 +428,8 @@ def main() -> None:
         pass
     compact = {k: full[k] for k in (
         "metric", "value", "unit", "queries", "sf", "volume",
+        "floor_median_mb_s", "floor_vs_dist_scan",
+        "floor_vs_dist_scan_same_window",
         "headline_normalized", "secondary_total")}
     line = json.dumps(compact)
     assert len(line) < 1900, f"compact bench line too long: {len(line)}"

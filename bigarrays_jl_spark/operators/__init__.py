@@ -78,6 +78,9 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     histogram quantiles; streaming twin streaming/hdr.py)
   round14d          quality_calibration (classifier-vs-rules curve),
                     dedup_storage_savings (per-source dedup byte savings)
+  round15           cm_heavyhitters (Count-Min sketch frequency audit;
+                    4096-counter bounded mergeable sketch, streaming
+                    twin streaming/cm.py)
 """
 
 from __future__ import annotations
@@ -98,7 +101,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round11e, round12, round12b,
                                           round12c, round12d, round13,
                                           round13b, round14, round14b,
-                                          round14c, round14d,
+                                          round14c, round14d, round15,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -123,7 +126,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
-            round13b, round14, round14b, round14c, round14d)
+            round13b, round14, round14b, round14c, round14d, round15)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -1,0 +1,106 @@
+"""Round-15 tests: Count-Min heavy-hitter audit — python brute-force
+twin, the never-underestimates invariant, bounded sketch size, and the
+streaming twin's snapshot == batch / replay / cross-stream merge
+contracts."""
+
+import hashlib
+import shutil
+
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.operators.round15 import (CM_D, CM_TOPK, CM_W,
+                                                  cm_heavyhitters,
+                                                  cm_sketch_of,
+                                                  gram_counts)
+from bigarrays_jl_spark.sources.tables import load
+
+
+def _py_bucket(j: int, gram: str) -> int:
+    return int(hashlib.md5(f"{j}:{gram}".encode()).hexdigest()[:8],
+               16) % CM_W
+
+
+def _python_cm(texts):
+    from collections import Counter
+    exact = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            exact[ws[i] + " " + ws[i + 1]] += 1
+    sketch = Counter()
+    for g, n in exact.items():
+        for j in range(CM_D):
+            sketch[(j, _py_bucket(j, g))] += n
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CM_TOPK]
+    return {g: (n, min(sketch[(j, _py_bucket(j, g))]
+                       for j in range(CM_D)))
+            for g, n in top}
+
+
+def test_cm_heavyhitters_match_python(spark, sf_dir):
+    texts = [r.text for r in
+             load(spark, sf_dir, "documents").select("text").collect()]
+    want = _python_cm(texts)
+    got = {r.gram: (r.exact_n, r.cm_est)
+           for r in cm_heavyhitters(spark, sf_dir).collect()}
+    assert got == want and len(got) == CM_TOPK
+    # the CM invariant: estimates never undershoot
+    rows = cm_heavyhitters(spark, sf_dir).collect()
+    assert all(r.overest >= 0 for r in rows)
+    assert all(r.cm_est == r.exact_n + r.overest for r in rows)
+
+
+def test_cm_sketch_is_bounded(spark, sf_dir):
+    # the whole point: D x W counters at ANY corpus size
+    n = cm_sketch_of(gram_counts(spark, sf_dir)).count()
+    assert n <= CM_D * CM_W
+
+
+def test_streaming_cm_snapshot_replay_and_merge(spark, sf_dir, tmp_path):
+    from bigarrays_jl_spark.streaming.cm import (cm_merge_snapshot,
+                                                 cm_snapshot,
+                                                 streaming_cm_sketch)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    want = {tuple(r) for r in
+            cm_sketch_of(gram_counts(spark, sf_dir)).collect()}
+
+    # one stream, two batches with a restart between: snapshot == batch
+    src = str(tmp_path / "src")
+    out, ckpt = (str(tmp_path / p) for p in ("out", "ckpt"))
+    d.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+
+    def run(s, o, c):
+        q = streaming_cm_sketch(
+            spark.readStream.schema(d.schema).parquet(s), o, c)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(src, out, ckpt)
+    d.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run(src, out, ckpt)
+    assert {tuple(r) for r in cm_snapshot(spark, out).collect()} == want
+
+    # full replay as batch 0: the guard keeps the partials exactly-once
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt)
+    run(src, out, ckpt)
+    assert spark.read.parquet(out).count() == n, "partials duplicated"
+    assert {tuple(r) for r in cm_snapshot(spark, out).collect()} == want
+
+    # two INDEPENDENT streams over disjoint doc shards merge to the
+    # batch sketch of the union — cross-sketch mergeability
+    outs = []
+    for shard in (0, 1):
+        s = str(tmp_path / f"s{shard}")
+        o, c = (str(tmp_path / f"{p}{shard}") for p in ("o", "c"))
+        (d.filter(F.col("doc_id") % 2 == shard)
+         .coalesce(1).write.parquet(s))
+        run(s, o, c)
+        outs.append(o)
+    got = {tuple(r) for r in cm_merge_snapshot(spark, outs).collect()}
+    assert got == want and len(want) > 0

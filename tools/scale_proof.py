@@ -70,6 +70,8 @@ SLOW_SECONDARY = [
     # queries outside the proof)
     "basket_pairs", "graph_hops_lsh", "graph_sssp_lsh",
     "q64_weighted_median",
+    # r15 registry additions with scale-interesting shapes
+    "events_hdr_merge", "cm_heavyhitters",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -210,6 +212,14 @@ RATIO_NOTES = {
     "q64_weighted_median": "distinct-cents domain growth through the "
         "bucketed weighted-median pick (same domain story as q70); "
         "saturates at the ~1e7 cent ceiling, bucket-parallel",
+    "events_hdr_merge": "two map-side HDR sketch folds + a 900-bucket "
+        "merge — both legs linear in events; any >2× is fixed "
+        "overhead (two shard scans) over a sub-second base",
+    "cm_heavyhitters": "gram explode is corpus-linear and the sketch "
+        "folds onto 4096 fixed keys; the exact-truth leg (distinct "
+        "grams) grows with the Heaps vocab² bigram space — the same "
+        "posting-bound family as text_bm25; in production only the "
+        "4096-counter sketch side runs",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join whose output (and so any
