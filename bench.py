@@ -80,7 +80,7 @@ SECONDARY = [
     "retrieval_mmr_rerank", "ann_recall_audit", "events_hdr_quantiles",
     "quality_calibration", "dedup_storage_savings",
     # r15 additions
-    "events_hdr_merge", "cm_heavyhitters",
+    "events_hdr_merge", "cm_heavyhitters", "bloom_decontaminate",
 ]
 
 

@@ -80,7 +80,9 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     dedup_storage_savings (per-source dedup byte savings)
   round15           cm_heavyhitters (Count-Min sketch frequency audit;
                     4096-counter bounded mergeable sketch, streaming
-                    twin streaming/cm.py)
+                    twin streaming/cm.py), bloom_decontaminate
+                    (Bloom pre-screen for train/eval decontamination,
+                    FP-audited against the exact join)
 """
 
 from __future__ import annotations

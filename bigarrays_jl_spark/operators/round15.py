@@ -1,4 +1,7 @@
-"""Round-15 batch (builder extension, SURVEY §2C):
+"""Round-15 batch (builder extension, SURVEY §2C): two bounded
+screening structures with exact audits — ``cm_heavyhitters`` (Count-
+Min frequency sketch) and ``bloom_decontaminate`` (Bloom-filter
+decontamination pre-screen, defined below).
 
 ``cm_heavyhitters`` — Count-Min sketch audit over document word
 bigrams: a D×W integer bucket table (D=4 hash rows, W=1024 buckets —
@@ -145,3 +148,121 @@ QUERIES = {
 ORACLES = {
     "cm_heavyhitters": CM_HEAVYHITTERS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# bloom_decontaminate — Bloom-filter pre-screen for train/eval
+# decontamination, audited against the exact join.  The production
+# pattern at 100 TB: the eval set's 8-grams fold into an M-bit Bloom
+# bitset (demo M = 2^17 bits = 16 KB, sized to the demo corpus's ~23k
+# eval grams for a measurable ~5-10% FP rate — production sizes M to
+# its eval-gram count the same way; the bitset broadcasts either way),
+# training docs are screened MAP-SIDE against it, and only
+# bloom-positive grams ever reach the exact verification join — the
+# corpus-sized anti-join the screen exists to avoid.  Bloom filters
+# have NO false negatives (every truly-shared gram sets all K of its
+# bits), so per doc ``n_bloom_pos ≥ n_exact_shared`` structurally and
+# the audit's ``n_false_pos`` column is the screen's measured cost.
+# Same cross-engine determinism as the CM sketch: bit positions are
+# md5-nibble integer hashes, counts are integers, hash-exact oracle.
+#
+# Scale shape: the bitset is ≤ K×|eval grams| distinct positions
+# (bounded by M = 4M); the screen is one broadcast join over exploded
+# train grams; the exact leg joins only for the audit (production runs
+# it only on bloom-positive survivors).  Composes the
+# pipeline_decontaminate canon (same tokens → 8-gram shingles, same
+# doc_id % 10 eval split) so the screen can never drift from the
+# exact operator it accelerates.
+# --------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 131072           # 2^17 bits = 16 KB bitset
+
+
+def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions.expressions import tokens
+    from bigarrays_jl_spark.operators.pipeline import DECON_NGRAM
+    d = load(spark, sf, "documents").select("doc_id", tokens().alias("t"))
+    arr = (d.select("doc_id",
+                    F.array_distinct(
+                        shingle_array("t", DECON_NGRAM)).alias("ss"))
+           .localCheckpoint(eager=False))     # eval + train legs reuse
+    ev = (arr.filter(F.col("doc_id") % 10 == 0)
+          .select(F.explode("ss").alias("s")).distinct()
+          .localCheckpoint(eager=False))      # bitset + exact-audit legs
+    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    bits = (ev.select(F.explode(jarr).alias("j"), "s")
+            .select("j", bloom_bit_col().alias("bit")).distinct())
+    tr = (arr.filter(F.col("doc_id") % 10 != 0)
+          .select("doc_id", F.explode("ss").alias("s"))
+          .localCheckpoint(eager=False))      # screen + audit legs
+    probe = tr.select("doc_id", "s", F.explode(jarr).alias("j")) \
+        .select("doc_id", "s", "j", bloom_bit_col().alias("bit"))
+    pos = (probe.join(F.broadcast(bits), ["j", "bit"])
+           .groupBy("doc_id", "s")
+           .agg(F.count("*").alias("k_hit"))
+           .filter(F.col("k_hit") == BLOOM_K)
+           .select("doc_id", "s"))
+    exact = tr.join(ev, "s", "left_semi")
+    n_pos = (pos.groupBy("doc_id")
+             .agg(F.count("*").cast("bigint").alias("n_bloom_pos")))
+    n_ex = (exact.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_exact_shared")))
+    return (n_pos.join(n_ex, "doc_id", "left")
+            .select("doc_id", "n_bloom_pos",
+                    F.coalesce("n_exact_shared", F.lit(0)).cast("bigint")
+                    .alias("n_exact_shared"))
+            .withColumn("n_false_pos",
+                        (F.col("n_bloom_pos") - F.col("n_exact_shared"))
+                        .cast("bigint")))
+
+
+def bloom_bit_col() -> Column:
+    """``bloom_bit`` applied to the in-scope (j, s) columns — the K
+    positions are generated by exploding j and hashing per row, so the
+    expression is shared by the bitset build and the probe."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                       F.col("s"))), 1, 8), 16, 10)
+        .cast("bigint") % BLOOM_M)
+
+
+BLOOM_DECONTAMINATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+                               i -> array_to_string(t[i:i+7], ' '))) AS s
+  FROM toks),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+bits AS (
+  SELECT DISTINCT j,
+         CAST({_hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} AS BIGINT)
+           % {BLOOM_M} AS bit
+  FROM ev, UNNEST(range(0, {BLOOM_K})) u(j)),
+tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+probe AS (
+  SELECT doc_id, s, j,
+         CAST({_hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} AS BIGINT)
+           % {BLOOM_M} AS bit
+  FROM tr, UNNEST(range(0, {BLOOM_K})) u(j)),
+pos AS (
+  SELECT doc_id, s FROM probe JOIN bits USING (j, bit)
+  GROUP BY doc_id, s HAVING count(*) = {BLOOM_K}),
+n_pos AS (
+  SELECT doc_id, count(*) AS n_bloom_pos FROM pos GROUP BY doc_id),
+n_ex AS (
+  SELECT doc_id, count(*) AS n_exact_shared
+  FROM tr SEMI JOIN ev USING (s) GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_bloom_pos AS BIGINT) AS n_bloom_pos,
+       CAST(coalesce(e.n_exact_shared, 0) AS BIGINT) AS n_exact_shared,
+       CAST(p.n_bloom_pos - coalesce(e.n_exact_shared, 0) AS BIGINT)
+         AS n_false_pos
+FROM n_pos p LEFT JOIN n_ex e USING (doc_id)
+"""
+
+QUERIES["bloom_decontaminate"] = bloom_decontaminate
+ORACLES["bloom_decontaminate"] = BLOOM_DECONTAMINATE_SQL

@@ -104,3 +104,41 @@ def test_streaming_cm_snapshot_replay_and_merge(spark, sf_dir, tmp_path):
         outs.append(o)
     got = {tuple(r) for r in cm_merge_snapshot(spark, outs).collect()}
     assert got == want and len(want) > 0
+
+
+def _py_bloom_bit(j: int, s: str) -> int:
+    from bigarrays_jl_spark.operators.round15 import BLOOM_M
+    return int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8],
+               16) % BLOOM_M
+
+
+def test_bloom_decontaminate_match_python(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round15 import (BLOOM_K,
+                                                      bloom_decontaminate)
+
+    rows = load(spark, sf_dir, "documents").select("doc_id",
+                                                   "text").collect()
+    grams = {}
+    for r in rows:
+        t = r.text.strip().lower().split()
+        grams[r.doc_id] = {" ".join(t[i:i + 8])
+                           for i in range(len(t) - 7)}
+    ev = set().union(*(g for d, g in grams.items() if d % 10 == 0),
+                     set())
+    bits = {(j, _py_bloom_bit(j, s)) for s in ev for j in range(BLOOM_K)}
+    want = {}
+    for d, g in grams.items():
+        if d % 10 == 0:
+            continue
+        pos = sum(1 for s in g
+                  if all((j, _py_bloom_bit(j, s)) in bits
+                         for j in range(BLOOM_K)))
+        exact = len(g & ev)
+        if pos > 0:
+            want[d] = (pos, exact, pos - exact)
+    got = {r.doc_id: (r.n_bloom_pos, r.n_exact_shared, r.n_false_pos)
+           for r in bloom_decontaminate(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+    # the Bloom invariant: no false negatives, so per doc pos >= exact
+    assert all(p >= e and fp == p - e >= 0
+               for p, e, fp in got.values())

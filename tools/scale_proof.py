@@ -71,7 +71,7 @@ SLOW_SECONDARY = [
     "basket_pairs", "graph_hops_lsh", "graph_sssp_lsh",
     "q64_weighted_median",
     # r15 registry additions with scale-interesting shapes
-    "events_hdr_merge", "cm_heavyhitters",
+    "events_hdr_merge", "cm_heavyhitters", "bloom_decontaminate",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -220,6 +220,11 @@ RATIO_NOTES = {
         "grams) grows with the Heaps vocab² bigram space — the same "
         "posting-bound family as text_bm25; in production only the "
         "4096-counter sketch side runs",
+    "bloom_decontaminate": "the screen is one broadcast join over "
+        "exploded train 8-grams (corpus-linear, K=3 rows per gram); "
+        "the exact leg exists only for the audit — at 100 TB only "
+        "bloom-positive survivors reach it; eval bitset is bounded "
+        "at 2^17 bits",
 }
 # excluded from the sf1 run, with reasons recorded in the artifact:
 # set_sim_join is an EXACT set-similarity join whose output (and so any
