@@ -142,3 +142,83 @@ def test_bloom_decontaminate_match_python(spark, sf_dir):
     # the Bloom invariant: no false negatives, so per doc pos >= exact
     assert all(p >= e and fp == p - e >= 0
                for p, e, fp in got.values())
+
+
+def test_streaming_bloom_screen_eval_first(spark, sf_dir, tmp_path):
+    # eval set streams first (the decontamination norm), train docs
+    # follow: the screen's snapshot equals the batch operator's
+    # bloom-positive counts; replay is exactly-once on the output
+    from bigarrays_jl_spark.operators.round15 import bloom_decontaminate
+    from bigarrays_jl_spark.streaming.bloom import (bloom_screen_snapshot,
+                                                    streaming_bloom_screen)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    bits, out, ckpt = (str(tmp_path / p) for p in ("bits", "out", "ckpt"))
+    d.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(src)
+
+    def run():
+        q = streaming_bloom_screen(
+            spark.readStream.schema(d.schema).parquet(src),
+            bits, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()                                 # batch 0: eval seeds the bits
+    # train docs land as two files -> (usually) one more micro-batch;
+    # either way every train doc is screened against the full eval bits
+    d.filter(F.col("doc_id") % 10 != 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    got = {(r.doc_id, r.n_bloom_pos)
+           for r in bloom_screen_snapshot(spark, out).collect()}
+    want = {(r.doc_id, r.n_bloom_pos)
+            for r in bloom_decontaminate(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0
+
+    # full replay as batch 0: bits anti-join + output guard keep both
+    # tables exactly-once
+    n_bits = spark.read.parquet(bits).count()
+    n_out = spark.read.parquet(out).count()
+    shutil.rmtree(ckpt)
+    run()
+    assert spark.read.parquet(bits).count() == n_bits, "bits duplicated"
+    assert spark.read.parquet(out).count() == n_out, "screen duplicated"
+    assert {(r.doc_id, r.n_bloom_pos)
+            for r in bloom_screen_snapshot(spark, out).collect()} == want
+
+
+def test_streaming_bloom_bits_union_across_shards(spark, sf_dir,
+                                                  tmp_path):
+    # the Bloom merge rule: two shards' bitsets union to the pooled
+    # eval set's bitset exactly
+    from bigarrays_jl_spark.streaming.bloom import (_bits_of, _doc_grams,
+                                                    bloom_bits_union,
+                                                    streaming_bloom_screen)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    want = {(r.j, r.bit) for r in _bits_of(_doc_grams(ev)).collect()}
+
+    paths = []
+    for shard in (0, 1):
+        src = str(tmp_path / f"src{shard}")
+        bits, out, ckpt = (str(tmp_path / f"{p}{shard}")
+                           for p in ("bits", "out", "ckpt"))
+        (ev.filter(F.floor(F.col("doc_id") / 10) % 2 == shard)
+         .coalesce(1).write.parquet(src))
+        q = streaming_bloom_screen(
+            spark.readStream.schema(d.schema).parquet(src),
+            bits, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        paths.append(bits)
+
+    got = {(r.j, r.bit)
+           for r in bloom_bits_union(spark, paths).collect()}
+    assert got == want and len(want) > 0
