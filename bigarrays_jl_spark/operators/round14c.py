@@ -152,8 +152,14 @@ def events_hdr_merge(spark: SparkSession, sf: str) -> DataFrame:
     This is how a 1000-executor fleet (or N datacenters) runs it: one
     tiny sketch per shard, a ≤ 900-rows-per-key merge, no raw-value
     shuffle."""
+    # exhaustive shard split: Spark's % keeps the dividend's sign
+    # (-3 % 2 == -1) and NULL % 2 is NULL, so a plain ==0/==1 parity
+    # pair would silently drop negative/NULL user_ids from BOTH shards
+    # and break merge == recompute (r15 review); pmod + coalesce sends
+    # every row to exactly one shard
+    shard = F.coalesce(F.pmod(F.col("user_id"), F.lit(2)), F.lit(0))
     e = load(spark, sf, "events").select(
-        "event_type", "user_id",
+        "event_type", shard.alias("shard"),
         F.round(F.col("value") * 100).cast("bigint").alias("c"))
 
     def sketch(part: DataFrame) -> DataFrame:
@@ -161,8 +167,8 @@ def events_hdr_merge(spark: SparkSession, sf: str) -> DataFrame:
                             hdr_bucket_cents(F.col("c")).alias("lb"))
                 .groupBy("event_type", "lb").agg(F.count("*").alias("n")))
 
-    s_even = sketch(e.filter(F.col("user_id") % 2 == 0))
-    s_odd = sketch(e.filter(F.col("user_id") % 2 == 1))
+    s_even = sketch(e.filter(F.col("shard") == 0))
+    s_odd = sketch(e.filter(F.col("shard") == 1))
     merged = (s_even.unionByName(s_odd)
               .groupBy("event_type", "lb")
               .agg(F.sum("n").alias("n")))

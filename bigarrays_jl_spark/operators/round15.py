@@ -167,7 +167,7 @@ ORACLES = {
 # md5-nibble integer hashes, counts are integers, hash-exact oracle.
 #
 # Scale shape: the bitset is ≤ K×|eval grams| distinct positions
-# (bounded by M = 4M); the screen is one broadcast join over exploded
+# (bounded by M = 2^17); the screen is one broadcast join over exploded
 # train grams; the exact leg joins only for the audit (production runs
 # it only on bloom-positive survivors).  Composes the
 # pipeline_decontaminate canon (same tokens → 8-gram shingles, same
@@ -196,16 +196,8 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     tr = (arr.filter(F.col("doc_id") % 10 != 0)
           .select("doc_id", F.explode("ss").alias("s"))
           .localCheckpoint(eager=False))      # screen + audit legs
-    probe = tr.select("doc_id", "s", F.explode(jarr).alias("j")) \
-        .select("doc_id", "s", "j", bloom_bit_col().alias("bit"))
-    pos = (probe.join(F.broadcast(bits), ["j", "bit"])
-           .groupBy("doc_id", "s")
-           .agg(F.count("*").alias("k_hit"))
-           .filter(F.col("k_hit") == BLOOM_K)
-           .select("doc_id", "s"))
+    n_pos = bloom_screen_counts(tr, bits)
     exact = tr.join(ev, "s", "left_semi")
-    n_pos = (pos.groupBy("doc_id")
-             .agg(F.count("*").cast("bigint").alias("n_bloom_pos")))
     n_ex = (exact.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_exact_shared")))
     return (n_pos.join(n_ex, "doc_id", "left")
@@ -225,6 +217,24 @@ def bloom_bit_col() -> Column:
         F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
                        F.col("s"))), 1, 8), 16, 10)
         .cast("bigint") % BLOOM_M)
+
+
+def bloom_screen_counts(tr_grams: DataFrame, bits: DataFrame) -> DataFrame:
+    """(doc_id, s) train grams screened against a (j, bit) bitset →
+    per-doc bloom-positive gram counts ``(doc_id, n_bloom_pos)`` — THE
+    screen rule (K-of-K bit hits per gram), shared by the batch audit
+    and the streaming bridge (streaming/bloom.py) so the two can never
+    silently diverge (r15 review)."""
+    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    probe = (tr_grams.select("doc_id", "s", F.explode(jarr).alias("j"))
+             .select("doc_id", "s", "j", bloom_bit_col().alias("bit")))
+    return (probe.join(F.broadcast(bits.select("j", "bit").distinct()),
+                       ["j", "bit"])
+            .groupBy("doc_id", "s")
+            .agg(F.count("*").alias("k_hit"))
+            .filter(F.col("k_hit") == BLOOM_K)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bloom_pos")))
 
 
 BLOOM_DECONTAMINATE_SQL = rf"""

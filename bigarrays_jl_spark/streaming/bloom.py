@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.functions.expressions import shingle_array, tokens
-from bigarrays_jl_spark.operators.round15 import BLOOM_K, bloom_bit_col
+from bigarrays_jl_spark.operators.round15 import (BLOOM_K, bloom_bit_col,
+                                                  bloom_screen_counts)
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
                                                  read_index_or_none)
 
@@ -81,28 +82,19 @@ def streaming_bloom_screen(docs: DataFrame, bits_path: str,
                                      ["j", "bit"], "left_anti")
         new_bits.write.mode("append").parquet(bits_path)
 
-        # 2. screen the batch's train docs against bits-so-far
+        # 2. screen the batch's train docs against bits-so-far — the
+        #    standing bits (already read for the anti-join) plus this
+        #    batch's additions, combined IN MEMORY instead of
+        #    re-listing/re-reading the bitset directory every batch
+        #    (a per-batch LIST+GET on a growing object-store dir in
+        #    the ingest hot path, r15 review); the screen rule itself
+        #    is the batch operator's bloom_screen_counts — one canon.
+        bits = (new_bits if standing is None
+                else standing.select("j", "bit").unionByName(new_bits))
+
         def write() -> None:
-            bits = read_index_or_none(spark, bits_path)
-            if bits is not None:
-                tr = grams.filter(F.col("doc_id") % 10 != 0)
-                jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
-                probe = (tr.select("doc_id", "s",
-                                   F.explode(jarr).alias("j"))
-                         .select("doc_id", "s", "j",
-                                 bloom_bit_col().alias("bit")))
-                screened = (probe.join(
-                    F.broadcast(bits.select("j", "bit").distinct()),
-                    ["j", "bit"])
-                    .groupBy("doc_id", "s")
-                    .agg(F.count("*").alias("k_hit"))
-                    .filter(F.col("k_hit") == BLOOM_K)
-                    .groupBy("doc_id")
-                    .agg(F.count("*").cast("bigint")
-                         .alias("n_bloom_pos")))
-            else:                   # no eval bits yet: nothing to flag
-                screened = spark.createDataFrame(
-                    [], "doc_id long, n_bloom_pos long")
+            tr = grams.filter(F.col("doc_id") % 10 != 0)
+            screened = bloom_screen_counts(tr, bits)
             # sentinel row (doc_id = -1): a batch whose screen flags
             # ZERO docs must still mark itself committed, or a replay
             # (which may see MORE bits than this batch did) would
@@ -141,10 +133,8 @@ def bloom_bits_union(spark: SparkSession,
                      bits_paths: list[str]) -> DataFrame:
     """Cross-shard bitset merge: the union of N independent streams'
     bitsets IS the bitset of the pooled eval set (set union — the
-    Bloom merge rule)."""
-    pieces = [spark.read.parquet(p).select("j", "bit")
-              for p in bits_paths]
-    allp = pieces[0]
-    for p in pieces[1:]:
-        allp = allp.unionByName(p)
-    return allp.distinct()
+    Bloom merge rule; per-stream dedup + union via the shared
+    ``merged_partials`` canon)."""
+    from bigarrays_jl_spark.streaming.replay import merged_partials
+    return (merged_partials(spark, bits_paths)
+            .select("j", "bit").distinct())

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.operators.round15 import (cm_sketch_of,
                                                   gram_counts_of)
-from bigarrays_jl_spark.streaming.replay import guarded_append
+from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 merged_partials)
 
 
 def streaming_cm_sketch(docs: DataFrame, out_path: str,
@@ -55,12 +56,7 @@ def cm_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
 def cm_merge_snapshot(spark: SparkSession,
                       out_paths: list[str]) -> DataFrame:
     """Cross-sketch merge: fold the partial tables of several
-    independent CM streams by bucket addition.  Per-stream replay
-    dedup first (distinct on the full (j, bucket, n, batch_id) row —
-    two streams legitimately carry identical rows), then counts ADD
-    across streams."""
-    pieces = [spark.read.parquet(p).distinct() for p in out_paths]
-    allp = pieces[0]
-    for p in pieces[1:]:
-        allp = allp.unionByName(p)
-    return (allp.groupBy("j", "bucket").agg(F.sum("n").alias("n")))
+    independent CM streams by bucket addition (per-stream replay
+    dedup + union via the shared ``merged_partials`` canon)."""
+    return (merged_partials(spark, out_paths)
+            .groupBy("j", "bucket").agg(F.sum("n").alias("n")))

@@ -290,6 +290,12 @@ def session_bounce_snapshot(spark: SparkSession, out_path: str,
                       .select("entry_type", "n_sessions", "n_bounces"))
     latest = _latest_state_before(spark, state_path, 1 << 62)
     if latest is not None:
+        # materialize NOW: the snapshot may be consumed lazily while
+        # the stream keeps committing batches, and the in-batch GC
+        # (_prune_state_versions) deletes superseded versions — a lazy
+        # reference to v<K> could dangle by action time (r15 review);
+        # the state is users-sized, so the eager copy is cheap
+        latest = latest.localCheckpoint(eager=True)
         pieces.append(latest.groupBy(F.col("entry").alias("entry_type"))
                       .agg(F.count("*").cast("bigint").alias("n_sessions"),
                            F.sum((F.col("n_ev") == 1).cast("int"))

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
-from bigarrays_jl_spark.streaming.replay import guarded_append
+from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 merged_partials)
 
 
 def streaming_hdr_quantiles(events: DataFrame, out_path: str,
@@ -59,17 +60,13 @@ def hdr_merge_snapshot(spark: SparkSession,
                        out_paths: list[str]) -> DataFrame:
     """Cross-SKETCH merge (r14 verdict task 6): fold the partial
     tables of SEVERAL independent HDR streams — two datacenters, a
-    backfill plus the live feed — into one quantile snapshot.  Each
-    table's partials dedup by their own (event_type, lb, batch_id)
-    rows first (replay safety is per-stream — two streams legitimately
-    carry identical partial rows), then bucket counts ADD across
-    sketches: the merge is the same integer monoid the per-batch fold
-    uses, so merge-of-streams == one stream over the union, exactly."""
-    pieces = [spark.read.parquet(p).distinct() for p in out_paths]
-    allp = pieces[0]
-    for p in pieces[1:]:
-        allp = allp.unionByName(p)
-    hist = allp.groupBy("event_type", "lb").agg(F.sum("n").alias("n"))
+    backfill plus the live feed — into one quantile snapshot.
+    Per-stream replay dedup + union via the shared ``merged_partials``
+    canon, then bucket counts ADD across sketches: the merge is the
+    same integer monoid the per-batch fold uses, so merge-of-streams
+    == one stream over the union, exactly."""
+    hist = (merged_partials(spark, out_paths)
+            .groupBy("event_type", "lb").agg(F.sum("n").alias("n")))
     return _quantiles_of(hist)
 
 

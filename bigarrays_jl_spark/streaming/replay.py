@@ -126,6 +126,23 @@ def guarded_append(spark: SparkSession, out_path: str, batch_id: int,
     return True
 
 
+def merged_partials(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union the partial tables of several independent streams for a
+    cross-sketch merge fold: each table dedups on its own FULL rows
+    first (replay safety is per-stream — two streams legitimately
+    carry identical partial rows, which must both survive), then the
+    union is returned for the caller's own fold (bucket-count
+    addition, bit-set distinct, …).  The shared front half of every
+    mergeable-sketch snapshot (CM, HDR, Bloom) — one home so the
+    per-stream-distinct-then-merge semantics cannot drift between
+    copies (r15 review)."""
+    pieces = [spark.read.parquet(p).distinct() for p in paths]
+    allp = pieces[0]
+    for p in pieces[1:]:
+        allp = allp.unionByName(p)
+    return allp
+
+
 def commit_marked(spark: SparkSession, dir_path: str) -> bool:
     """True only for a COMPLETE job-committed directory — the
     ``_SUCCESS`` marker, not mere readability: a crash during an
