@@ -8,9 +8,11 @@ Decode: ``decode_media`` routes image/jpeg through the volume codec
 registry's Pillow-gated JpegCodec (codecs.py — one decode canon for
 chunks AND document payloads; opt-in, raises without Pillow just like
 the chunk path), and ``mm_decode_image`` is the Arrow-batched
-mapInPandas pipeline over it.  Formats with no in-repo codec
-(audio/video) remain explicit NotImplementedError stubs — this
-container has no decode libraries for them.  The always-runnable
+mapInPandas pipeline over it.  ``audio/wav`` decodes for real with
+the stdlib ``wave`` parser (``decode_audio`` / ``mm_decode_audio`` —
+r15 verdict task 3; ungated, no dependency).  Only formats with no
+in-repo codec AND no stdlib parser (video/containers) remain explicit
+NotImplementedError stubs.  The always-runnable
 pipeline twin is the deterministic byte-level feature extractor
 ``mm_byte_features`` (mapInPandas, Arrow-batched) whose features are
 also SQL-expressible — giving the UDF plumbing a real DuckDB oracle.
@@ -54,6 +56,26 @@ _MEDIA_CODECS = {
     "jpg": "jpeg",
 }
 
+# audio formats decodable with the Python STDLIB (r15 verdict task 3:
+# WAV/PCM needs only `wave` + numpy — no new dependency, so unlike
+# jpeg it is NOT import-gated)
+_AUDIO_FORMATS = {"audio/wav", "audio/x-wav", "wav", "wave"}
+
+
+def decode_audio(payload: bytes):
+    """Parse a RIFF/WAVE container with the stdlib ``wave`` module —
+    the real audio decode path (r15 verdict task 3).  Returns
+    ``(sample_rate, n_channels, sampwidth_bytes, n_frames, pcm_bytes)``
+    where ``pcm_bytes`` is the raw little-endian PCM frame data.
+    Raises ``wave.Error`` on a malformed container — honest failure,
+    never a silent fake."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nf = w.getnframes()
+        return (w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                nf, w.readframes(nf))
+
 
 def decode_media(payload_format: str, payload: bytes, *,
                  expected_width: int | None = None) -> bytes:
@@ -67,19 +89,26 @@ def decode_media(payload_format: str, payload: bytes, *,
       aspect guard when the caller knows the image width.  Without
       Pillow it raises NotImplementedError, the same honest gate as
       the chunk path.
-    - every other format (audio/video/container formats) remains an
-      explicit NotImplementedError stub: there is no in-repo codec for
-      them and no decode library in this container; the Spark-side
-      plumbing (schema, batching, partitioning) is exercised by
-      ``mm_decode_image`` below and by ``mm_byte_features``.
+    - ``audio/wav`` (also ``wav``/``wave``) decodes with the stdlib
+      ``wave`` parser (``decode_audio``) and returns the raw PCM
+      bytes — always available, no gate (r15 verdict task 3).
+    - every other format (video/container formats) remains an explicit
+      NotImplementedError stub: there is no in-repo codec for them and
+      no decode library in this container; the Spark-side plumbing
+      (schema, batching, partitioning) is exercised by
+      ``mm_decode_image``/``mm_decode_audio`` and ``mm_byte_features``.
     """
-    enc = _MEDIA_CODECS.get(payload_format.lower())
+    fmt = payload_format.lower()
+    if fmt in _AUDIO_FORMATS:
+        return decode_audio(payload)[4]
+    enc = _MEDIA_CODECS.get(fmt)
     if enc is None:
         raise NotImplementedError(
-            f"decode for {payload_format!r}: no in-repo codec (audio/"
-            "video decode libraries are not present in this "
-            "environment); image/jpeg routes through the gated volume "
-            "codec — see mm_decode_image for the UDF pipeline shape")
+            f"decode for {payload_format!r}: no in-repo codec (video "
+            "decode libraries are not present in this environment); "
+            "image/jpeg routes through the gated volume codec and "
+            "audio/wav through the stdlib wave parser — see "
+            "mm_decode_image / mm_decode_audio for the UDF pipelines")
     from bigarrays_jl_spark import codecs
     return codecs.decode_payload(enc, payload,
                                  expected_width=expected_width)
@@ -121,6 +150,130 @@ def mm_decode_image(media: DataFrame,
 
     return m.mapInPandas(
         dec, schema="doc_id bigint, n_pixels bigint, mean_pixel_e4 bigint")
+
+
+# --------------------------------------------------------------------------
+# mm_decode_audio — REAL audio decode over binary WAV payloads (r15
+# verdict task 3).  The audio table synthesizes a genuine RIFF/WAVE
+# container per document (16-bit mono PCM whose samples derive
+# deterministically from the text bytes: sample_i = (byte_i - 128)·256,
+# rate = 8000 + (doc_id % 4)·4000 so the parse is exercised across
+# four rates); the decode leg then parses it back with the stdlib
+# ``wave`` module and folds per-clip stats — duration, sample rate,
+# and integer RMS (isqrt of the exact mean square; sum of squares is
+# exact int64, so the only rounding is the final floor-sqrt, which
+# DuckDB's correctly-rounded double sqrt reproduces exactly for values
+# < 2^52).  Both legs are Arrow-batched mapInPandas; payload bytes
+# never cross Python row-at-a-time.
+#
+# Scale: synth and decode are payload-linear map-side passes; at
+# 100 TB the WAV column stays columnar in Parquet and the stats fold
+# is one narrow output row per clip.  The same ASCII-text assumption
+# as MM_BYTE_FEATURES_SQL lets DuckDB oracle the sample values.
+# --------------------------------------------------------------------------
+
+AUDIO_BASE_RATE = 8000
+AUDIO_RATE_STEP = 4000
+AUDIO_RATE_MOD = 4
+
+
+def _wav_rate(doc_id: int) -> int:
+    return AUDIO_BASE_RATE + (doc_id % AUDIO_RATE_MOD) * AUDIO_RATE_STEP
+
+
+def _wav_bytes(pcm: bytes, rate: int) -> bytes:
+    """16-bit mono PCM frames → a complete RIFF/WAVE container
+    (stdlib ``wave`` writer — the same parser family the decode leg
+    uses, but synthesis and parse exercise opposite directions)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def audio_table(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, mime, payload) with payload a real WAV container."""
+    d = fan_out(spark, load(spark, sf, "documents").select("doc_id", "text"))
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for b in it:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                pcm = ((raw.astype(np.int64) - 128) * 256) \
+                    .astype("<i2").tobytes()
+                blobs.append(_wav_bytes(pcm, _wav_rate(int(doc_id))))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "mime": pd.Series(["audio/wav"] * len(blobs),
+                                  dtype="object"),
+                "payload": pd.Series(blobs, dtype="object"),
+            })
+
+    return d.mapInPandas(
+        synth, schema="doc_id bigint, mime string, payload binary")
+
+
+def mm_decode_audio(spark: SparkSession, sf: str) -> DataFrame:
+    a = audio_table(spark, sf)
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+        for b in it:
+            rows = []
+            for doc_id, mime, p in zip(b["doc_id"], b["mime"],
+                                       b["payload"]):
+                rate, ch, sw, nf, pcm = decode_audio(bytes(p))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                rms = (math.isqrt(int((s * s).sum()) // nf)
+                       if nf else None)
+                rows.append((doc_id, rate, ch, nf,
+                             nf * 1000 // rate, rms))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "rms"]).astype({
+                    "doc_id": "int64", "sample_rate": "int32",
+                    "n_channels": "int32", "n_frames": "int64",
+                    "duration_ms": "int64", "rms": "Int64"})
+
+    return a.mapInPandas(
+        dec, schema="doc_id bigint, sample_rate int, n_channels int, "
+                    "n_frames bigint, duration_ms bigint, rms bigint")
+
+
+# n_frames = octet_length(encode(text)) and per-byte samples via
+# ascii(substr(...)) — the ASCII-corpus assumption shared with
+# MM_BYTE_FEATURES_SQL.  floor(sqrt(x)) == isqrt(x) for x < 2^52 with
+# a correctly-rounded IEEE sqrt: x here is <= 32768^2 < 2^31, where a
+# non-square x has sqrt at distance >= ~2^-16 from any integer, far
+# beyond the 0.5-ulp rounding error, and exact squares sqrt exactly.
+MM_DECODE_AUDIO_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {AUDIO_BASE_RATE} + (doc_id % {AUDIO_RATE_MOD}) * {AUDIO_RATE_STEP}
+           AS rate,
+         octet_length(encode(text)) AS nf,
+         (SELECT coalesce(sum(
+             CAST((ascii(substr(text, CAST(i AS INT), 1)) - 128) AS BIGINT)
+             * (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 65536), 0)
+          FROM UNNEST(range(1, length(text) + 1)) u(i)) AS sum_sq
+  FROM documents)
+SELECT doc_id, CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+       CASE WHEN nf > 0
+            THEN CAST(floor(sqrt(CAST(sum_sq // nf AS DOUBLE))) AS BIGINT)
+       END AS rms
+FROM s
+"""
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +572,7 @@ QUERIES = {
     "mm_resize_thumb": mm_resize_thumb,
     "mm_frame_sample": mm_frame_sample,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_decode_audio": mm_decode_audio,
 }
 
 ORACLES = {
@@ -428,4 +582,5 @@ ORACLES = {
     "mm_resize_thumb": MM_RESIZE_THUMB_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_phash_neardup": MM_PHASH_NEARDUP_SQL,
+    "mm_decode_audio": MM_DECODE_AUDIO_SQL,
 }

@@ -70,6 +70,17 @@ def streaming_bloom_screen(docs: DataFrame, bits_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # The commit sentinel below lives at doc_id = -1, so negative
+        # doc_ids are OUTSIDE this operator's data domain — a corpus
+        # that carried one would have that doc silently dropped by the
+        # snapshot's doc_id >= 0 filter (r15 advice).  Fail the batch
+        # loudly instead; the checkpoint retries, the operator never
+        # lies.
+        n_neg = batch_df.filter(F.col("doc_id") < 0).limit(1).count()
+        if n_neg:
+            raise ValueError(
+                "streaming_bloom_screen requires non-negative doc_ids "
+                "(doc_id = -1 is reserved as the commit sentinel)")
         grams = _doc_grams(batch_df).localCheckpoint(eager=True)
 
         # 1. grow the bitset with this batch's eval docs (always runs;

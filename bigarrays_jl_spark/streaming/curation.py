@@ -288,14 +288,37 @@ def session_bounce_snapshot(spark: SparkSession, out_path: str,
     if parts is not None:
         pieces.append(parts.distinct()
                       .select("entry_type", "n_sessions", "n_bounces"))
-    latest = _latest_state_before(spark, state_path, 1 << 62)
+    # materialize NOW: the snapshot may be consumed lazily while the
+    # stream keeps committing batches, and the in-batch GC
+    # (_prune_state_versions) deletes superseded versions — a lazy
+    # reference to v<K> could dangle by action time (r15 review); the
+    # state is users-sized, so the eager copy is cheap.  Between the
+    # version listing and the eager checkpoint there is still a small
+    # TOCTOU window (two further batches committing, each pruning with
+    # keep_last=2, can delete v<K> mid-materialization — r15 advice):
+    # on a vanished-file failure, re-resolve the latest version and
+    # retry; each retry lands on a strictly newer committed version, so
+    # the loop terminates unless versions vanish faster than a
+    # users-sized read, which no real batch cadence approaches.
+    latest = None
+    for attempt in range(5):
+        cand = _latest_state_before(spark, state_path, 1 << 62)
+        if cand is None:
+            break
+        try:
+            latest = cand.localCheckpoint(eager=True)
+            break
+        except Exception as e:                      # noqa: BLE001
+            if "FileNotFound" not in str(e) and \
+                    "does not exist" not in str(e):
+                raise
+            if attempt == 4:
+                raise RuntimeError(
+                    "session state versions vanished under the snapshot "
+                    "5 times in a row — silently dropping open sessions "
+                    "would under-count; raise keep_last or quiesce the "
+                    "stream") from e
     if latest is not None:
-        # materialize NOW: the snapshot may be consumed lazily while
-        # the stream keeps committing batches, and the in-batch GC
-        # (_prune_state_versions) deletes superseded versions — a lazy
-        # reference to v<K> could dangle by action time (r15 review);
-        # the state is users-sized, so the eager copy is cheap
-        latest = latest.localCheckpoint(eager=True)
         pieces.append(latest.groupBy(F.col("entry").alias("entry_type"))
                       .agg(F.count("*").cast("bigint").alias("n_sessions"),
                            F.sum((F.col("n_ev") == 1).cast("int"))

@@ -136,6 +136,8 @@ def merged_partials(spark: SparkSession, paths: list[str]) -> DataFrame:
     mergeable-sketch snapshot (CM, HDR, Bloom) — one home so the
     per-stream-distinct-then-merge semantics cannot drift between
     copies (r15 review)."""
+    if not paths:
+        raise ValueError("merged_partials requires at least one path")
     pieces = [spark.read.parquet(p).distinct() for p in paths]
     allp = pieces[0]
     for p in pieces[1:]:

@@ -17,10 +17,34 @@ HAS_PILLOW = importlib.util.find_spec("PIL") is not None
 
 
 def test_decode_media_no_codec_format_is_stub():
-    with pytest.raises(NotImplementedError, match="no in-repo codec"):
-        decode_media("audio/wav", b"RIFF....WAVE")
+    # video has no in-repo codec and stays an honest stub
     with pytest.raises(NotImplementedError, match="no in-repo codec"):
         decode_media("video/mp4", b"\x00\x00\x00 ftypisom")
+
+
+def test_decode_media_wav_roundtrip():
+    # audio/wav is REAL (r15 verdict task 3): synth a container with
+    # the stdlib writer, decode_media must return the exact PCM bytes,
+    # and decode_audio must recover every header field
+    import numpy as np
+
+    from bigarrays_jl_spark.operators.multimodal import (_wav_bytes,
+                                                         decode_audio)
+    pcm = (np.arange(-100, 100, dtype=np.int64) * 163) \
+        .astype("<i2").tobytes()
+    blob = _wav_bytes(pcm, 12000)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, ch, sw, nf, got_pcm = decode_audio(blob)
+    assert (rate, ch, sw, nf) == (12000, 1, 2, 200)
+    assert got_pcm == pcm
+    assert decode_media("audio/wav", blob) == pcm
+    assert decode_media("WAV", blob) == pcm
+
+
+def test_decode_media_wav_malformed_raises():
+    import wave
+    with pytest.raises(wave.Error):
+        decode_media("audio/wav", b"RIFF....WAVE")      # truncated junk
 
 
 @pytest.mark.skipif(HAS_PILLOW, reason="Pillow present: gate is open")

