@@ -83,6 +83,11 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     twin streaming/cm.py), bloom_decontaminate
                     (Bloom pre-screen for train/eval decontamination,
                     FP-audited against the exact join)
+  round16           pipeline_e2e_curate (Gopher gate -> exact dedup ->
+                    Bloom-screened decontamination -> packed-sequence
+                    census, the composed curation pipeline),
+                    ann_ivfpq_recall_audit (recall@k of IVF-PQ at
+                    nprobe 1/2/4 vs brute truth, one shared PQ fit)
 """
 
 from __future__ import annotations
@@ -104,6 +109,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round12c, round12d, round13,
                                           round13b, round14, round14b,
                                           round14c, round14d, round15,
+                                          round16,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -114,9 +120,16 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           volume_pyramid, volume_rag,
                                           volume_seg, volume_stencil)
 
-# ordering is the driver-grading contract: new modules (graph/temporal/
-# retrieval round 8, tpch_deep round 9) append AFTER extensions so
-# names land after the graded 50-query prefix
+# ordering is the driver-grading contract (r15 verdict task 7, stated
+# explicitly): the driver's CORRECTNESS_r{N}.json gates the FIRST 50
+# names this tuple yields; every query after that prefix is graded
+# only by the commit-stamped full-registry sweeps (ORACLE_FULL.json /
+# ORACLE_FULL_SF01.json, regenerated at round close) plus the seeded
+# random re-verification transcript (ORACLE_SAMPLE.json — any third
+# party reruns it with `python tools/check_oracle.py --sample N
+# --seed R`).  New modules therefore APPEND (after extensions) so
+# names land after the graded prefix and the prefix stays stable
+# round-over-round.
 _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             pipeline, extensions, graph, temporal, retrieval, multijoin,
             volume_analytics, mutation, debounce, journeys, estimation,
@@ -128,7 +141,8 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round10j, round10k, round10l, volume_qc, round10m, tpch_canon,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
-            round13b, round14, round14b, round14c, round14d, round15)
+            round13b, round14, round14b, round14c, round14d, round15,
+            round16)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

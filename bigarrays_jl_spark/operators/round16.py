@@ -1,0 +1,313 @@
+"""Round-16 batch (builder extension, SURVEY §2C; r15 verdict tasks
+4 and 5):
+
+``pipeline_e2e_curate`` — the END-TO-END curation pipeline composed
+from the registry's own stage canons, in the order a training-data
+team actually ships (each stage is individually oracle-green; this
+row proves the COMPOSITION):
+
+  1. quality gate: Gopher rule cascade over the training split
+     (``_gopher_metrics``, extensions.py — the exact gate
+     quality_filter_funnel reports on),
+  2. exact dedup: keep the min-doc_id copy per md5(text) family
+     (dedup.py's dedup_exact canon),
+  3. decontamination: drop every surviving doc sharing ANY 8-token
+     shingle with the held-out eval split (doc_id % 10 == 0 — the
+     pipeline_decontaminate split).  The Spark plan screens train
+     grams MAP-SIDE against the eval set's broadcast Bloom bitset
+     (round15's bloom canon) and runs the exact semi-join only on
+     bloom-POSITIVE grams; Bloom filters have no false negatives, so
+     the result is PROVABLY identical to the plain exact semi-join the
+     DuckDB twin runs — the oracle grades the production plan against
+     the textbook definition,
+  4. sequence packing: the survivors' doc_id-ordered token stream
+     chopped into PACK_BUDGET bins via the distributed prefix sum
+     (ordering.py — no single-partition window anywhere).
+
+Output = the packed-sequence census (bin_id, n_docs, bin_tokens,
+first_doc, last_doc) of the fully-curated corpus — the artifact that
+actually lands on a trainer's disk.
+
+Scale shape: stage 1 is a map-side filter; stage 2 is one digest
+shuffle; stage 3 is a broadcast-bitset map-side screen plus an exact
+join over only the bloom-positive grams (at 100 TB that is the whole
+point — the corpus-sized join runs on a sliver); stage 4 is the
+prefix-sum primitive (bucketed, driver holds only bucket offsets).
+No stage rescans a prior stage's input: the kept-docs table
+materializes once (lazy checkpoint) and feeds both the gram screen
+and the packer.
+
+``ann_ivfpq_recall_audit`` — recall@k of the PRODUCTION ANN
+composition (IVF cell routing × PQ ADC codes, similarity.py's
+ann_ivf_pq_topk) against the brute-force truth, swept over nprobe ∈
+{1, 2, 4} so the recall/probe-cost tradeoff is committed evidence
+(r15 verdict task 5 — the existing ann_recall_audit covers only the
+full-precision IVF at nprobe 1/2).  All three legs share ONE PQ fit
+(the dedup_audit_pr shared-table idiom) and the recall math is
+exact-integer: per-query hits are counts, mean recall divides integer
+sums once, min recall divides the integer minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.checkpointing import materialize
+from bigarrays_jl_spark.functions.expressions import shingle_array, tokens
+from bigarrays_jl_spark.operators.dedup import DEDUP_EXACT_SQL  # noqa: F401 (canon ref)
+from bigarrays_jl_spark.operators.extensions import (TEXT_GOPHER_RULES_SQL,
+                                                     _gopher_metrics)
+from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
+from bigarrays_jl_spark.operators.pipeline import DECON_NGRAM, PACK_BUDGET
+from bigarrays_jl_spark.operators.round15 import (BLOOM_K, bloom_bit_col)
+from bigarrays_jl_spark.sources.tables import load
+
+
+def _bloom_positive_grams(tr_grams: DataFrame,
+                          bits: DataFrame) -> DataFrame:
+    """(doc_id, s) train grams whose K-of-K Bloom bits all hit — the
+    round15 screen rule (bloom_screen_counts) emitting the surviving
+    GRAMS instead of per-doc counts, so the exact verify join can run
+    on bloom-positives only."""
+    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    probe = (tr_grams.select("doc_id", "s", F.explode(jarr).alias("j"))
+             .select("doc_id", "s", "j", bloom_bit_col().alias("bit")))
+    return (probe.join(F.broadcast(bits.select("j", "bit").distinct()),
+                       ["j", "bit"])
+            .groupBy("doc_id", "s")
+            .agg(F.count("*").alias("k_hit"))
+            .filter(F.col("k_hit") == BLOOM_K)
+            .select("doc_id", "s"))
+
+
+def _curated_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Stages 1-3 (gate -> dedup -> decontaminate) as one lazy plan —
+    split out so the plan-pin test can inspect the join shapes that
+    the packer's eager prefix-sum checkpoint would otherwise hide."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    # stage 1: Gopher quality gate over the TRAINING split (the eval
+    # split is the external benchmark set, never curated)
+    g = _gopher_metrics(F.col("text"))
+    q = docs.filter((F.col("doc_id") % 10 != 0) & g["gopher_pass"])
+    # stage 2: exact dedup — min-doc_id representative per text digest
+    keep = (q.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    kept = materialize(q.join(keep.select("doc_id"), "doc_id",
+                              "left_semi"),
+                       eager=False)        # gram screen + packer reuse
+    # stage 3: decontamination — eval 8-gram set -> Bloom bitset ->
+    # map-side screen -> exact semi-join on bloom-positives only
+    ev = (docs.filter(F.col("doc_id") % 10 == 0)
+          .select(tokens().alias("t"))
+          .select(F.explode(F.array_distinct(
+              shingle_array("t", DECON_NGRAM))).alias("s"))
+          .distinct().localCheckpoint(eager=False))  # bitset + verify
+    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    bits = (ev.select(F.explode(jarr).alias("j"), "s")
+            .select("j", bloom_bit_col().alias("bit")).distinct())
+    kg = (kept.select("doc_id", tokens().alias("t"))
+          .select("doc_id", F.explode(F.array_distinct(
+              shingle_array("t", DECON_NGRAM))).alias("s")))
+    contaminated = (_bloom_positive_grams(kg, bits)
+                    .join(ev, "s", "left_semi")
+                    .select("doc_id").distinct())
+    return kept.join(contaminated, "doc_id", "left_anti")
+
+
+def pipeline_e2e_curate(spark: SparkSession, sf: str) -> DataFrame:
+    surv = _curated_survivors(spark, sf)
+    # stage 4: pack the survivors' token stream into PACK_BUDGET bins
+    d = surv.select("doc_id",
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+    cum, _ = distributed_prefix_sum(
+        spark, d, F.col("n_tok"), "doc_id", "doc_id", out="cum_tok")
+    start = F.col("cum_tok") - F.col("n_tok")
+    return (cum.withColumn(
+        "bin_id", F.floor(start / F.lit(PACK_BUDGET)).cast("bigint"))
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc")))
+
+
+# The oracle composes the SAME stage canons as plain CTEs; the Bloom
+# pre-screen is deliberately absent (bloom-then-exact == exact — no
+# false negatives), so the production plan is graded against the
+# textbook semi-join definition.
+PIPELINE_E2E_CURATE_SQL = rf"""
+WITH g AS ({TEXT_GOPHER_RULES_SQL}),
+q AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN g ON g.doc_id = d.doc_id
+  WHERE d.doc_id % 10 <> 0 AND g.gopher_pass),
+keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.doc_id, q.text FROM q SEMI JOIN keep USING (doc_id)),
+etoks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 10 = 0),
+ev AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, len(t) - {DECON_NGRAM - 1}),
+                i -> array_to_string(t[i:i+{DECON_NGRAM - 1}], ' '))) AS s
+  FROM etoks),
+ktoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM kept),
+kg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_NGRAM - 1}),
+                i -> array_to_string(t[i:i+{DECON_NGRAM - 1}], ' '))) AS s
+  FROM ktoks),
+contaminated AS (SELECT DISTINCT doc_id FROM kg SEMI JOIN ev USING (s)),
+surv AS (SELECT k.doc_id, k.text FROM kept k
+         ANTI JOIN contaminated c ON c.doc_id = k.doc_id),
+t2 AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM surv),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t2)
+SELECT CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_ivfpq_recall_audit — see module docstring.
+# --------------------------------------------------------------------------
+
+IVFPQ_NPROBES = (1, 2, 4)
+
+
+def ann_ivfpq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.operators.similarity import (TOP_K, _pq_fit,
+                                                         ann_cosine_topk,
+                                                         ann_ivf_pq_topk)
+    brute = materialize(
+        ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
+    qids = brute.select("qid").distinct()
+    fit = _pq_fit(spark, sf)             # ONE fit shared by all legs
+
+    def leg(nprobe: int) -> DataFrame:
+        approx = ann_ivf_pq_topk(spark, sf, nprobe=nprobe, fit=fit)
+        hits = (approx.select("qid", "vec_id")
+                .join(brute, ["qid", "vec_id"], "left_semi")
+                .groupBy("qid").agg(F.count("*").alias("h")))
+        per = (qids.join(hits, "qid", "left")
+               .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
+        return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                        F.sum("h").cast("bigint").alias("sum_hits"),
+                        F.min("h").cast("bigint").alias("min_hits"))
+                .select(F.lit(f"ivfpq_nprobe{nprobe}").alias("variant"),
+                        "n_queries", "sum_hits",
+                        (F.col("sum_hits").cast("double")
+                         / (F.col("n_queries") * TOP_K))
+                        .alias("mean_recall"),
+                        (F.col("min_hits").cast("double") / TOP_K)
+                        .alias("min_recall")))
+
+    out = leg(IVFPQ_NPROBES[0])
+    for np_ in IVFPQ_NPROBES[1:]:
+        out = out.unionByName(leg(np_))
+    return out
+
+
+def _ivfpq_sql(nprobe: int) -> str:
+    """The ann_ivf_pq_topk oracle at an arbitrary nprobe — identical
+    to similarity.ANN_IVF_PQ_SQL except the routing keeps r <= nprobe
+    (and the shared PQ-fit/coarse-centroid CTEs are hoisted by the
+    caller)."""
+    from bigarrays_jl_spark.operators.similarity import (N_QUERIES, TOP_K,
+                                                         _DOT_SQL,
+                                                         _NORM2_SQL)
+    return f"""
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+               ORDER BY s.approx_dot DESC, s.vec_id) AS rank
+    FROM (
+      SELECT routed.qid, codes.vec_id,
+             round(CAST(sum(pd) AS DOUBLE), 6) AS approx_dot
+      FROM codes
+      JOIN embeddings lbl ON lbl.vec_id = codes.vec_id
+      JOIN (SELECT qid, probe FROM (
+              SELECT qid, label AS probe,
+                     row_number() OVER (PARTITION BY qid ORDER BY
+                       round({_DOT_SQL.format(a='qe', b='centroid')}
+                             / (sqrt({_NORM2_SQL.format(a='qe')})
+                                * sqrt({_NORM2_SQL.format(a='centroid')})),
+                             6) DESC,
+                       label) AS r
+              FROM iq, icent) WHERE r <= {nprobe}) routed
+        ON lbl.label = routed.probe
+      JOIN lut ON lut.qid = routed.qid AND lut.s = codes.s
+              AND lut.cell = codes.cell
+      WHERE codes.vec_id <> routed.qid
+      GROUP BY 1, 2) s)
+  WHERE rank <= {TOP_K}"""
+
+
+def _audit_sql() -> str:
+    from bigarrays_jl_spark.operators.similarity import (ANN_COSINE_TOPK_SQL,
+                                                         N_QUERIES,
+                                                         PQ_SUBDIM, TOP_K,
+                                                         _pq_ctes)
+    legs = []
+    for np_ in IVFPQ_NPROBES:
+        legs.append(f"""
+SELECT 'ivfpq_nprobe{np_}' AS variant,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(h) AS BIGINT) AS sum_hits,
+       CAST(sum(h) AS DOUBLE) / (count(*) * {TOP_K}) AS mean_recall,
+       CAST(min(h) AS DOUBLE) / {TOP_K} AS min_recall
+FROM (
+  SELECT q.qid,
+         coalesce((SELECT count(*) FROM ({_ivfpq_sql(np_)}) a
+                   WHERE a.qid = q.qid
+                     AND EXISTS (SELECT 1 FROM brute b
+                                 WHERE b.qid = a.qid
+                                   AND b.vec_id = a.vec_id)), 0) AS h
+  FROM (SELECT DISTINCT qid FROM brute) q)""")
+    # PQ iterations come from _pq_ctes (the ann_pq_topk canon); the
+    # last centroid table name tracks PQ_ITERS through it
+    from bigarrays_jl_spark.operators.similarity import PQ_ITERS
+    return f"""
+WITH {_pq_ctes()},
+lut AS (
+  SELECT vec_id AS qid, sub.s, c.cell,
+         CAST(round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                i -> sv[i] * centroid[i])), 9) AS DECIMAL(28,9)) AS pd
+  FROM sub JOIN cent{PQ_ITERS} c ON c.s = sub.s
+  WHERE vec_id < {N_QUERIES}),
+iexpl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+idims AS (SELECT label, pos, avg(v) AS m FROM iexpl GROUP BY label, pos),
+icent AS (SELECT label, list(m ORDER BY pos) AS centroid
+          FROM idims GROUP BY label),
+iq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       WHERE vec_id < {N_QUERIES}),
+brute AS (SELECT qid, vec_id FROM ({ANN_COSINE_TOPK_SQL}) bb)
+{" UNION ALL ".join(legs)}
+"""
+
+
+ANN_IVFPQ_RECALL_AUDIT_SQL = _audit_sql()
+
+
+QUERIES = {
+    "pipeline_e2e_curate": pipeline_e2e_curate,
+    "ann_ivfpq_recall_audit": ann_ivfpq_recall_audit,
+}
+
+ORACLES = {
+    "pipeline_e2e_curate": PIPELINE_E2E_CURATE_SQL,
+    "ann_ivfpq_recall_audit": ANN_IVFPQ_RECALL_AUDIT_SQL,
+}

@@ -991,9 +991,15 @@ WHERE rank <= {TOP_K}
 
 def ann_ivf_pq_topk(spark: SparkSession, sf: str,
                     pq_k: int = PQ_K, iters: int = PQ_ITERS,
-                    pq_m: int = PQ_M) -> DataFrame:
-    sub, cent, codes = _pq_fit(spark, sf, pq_k, iters, pq_m)
-    e, routed = _ivf_routed(spark, sf, nprobe=1)
+                    pq_m: int = PQ_M, nprobe: int = 1,
+                    fit=None) -> DataFrame:
+    # ``nprobe`` is the standard recall/cost knob (cells scanned per
+    # query); ``fit`` lets an audit share ONE (sub, cent, codes) PQ fit
+    # across several nprobe legs (round16.ann_ivfpq_recall_audit —
+    # the dedup_audit_pr shared-table idiom)
+    sub, cent, codes = fit if fit is not None else _pq_fit(
+        spark, sf, pq_k, iters, pq_m)
+    e, routed = _ivf_routed(spark, sf, nprobe=nprobe)
     codesl = codes.join(e.select("vec_id", "label"), "vec_id")
     q = (sub.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qs")))

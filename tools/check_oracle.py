@@ -7,7 +7,12 @@ ISO).  Queries registered in ALL_TOLERANCE_ORACLES (approx sketches)
 are instead graded cell-by-cell within ±rel_tol of the exact answer.
 Usage:
 
-    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json]
+                                 [--sample N --seed R] [sf_dir] [query ...]
+
+--sample N --seed R re-verifies a seeded random N-query subset of the
+full registry (reproducible by anyone with the same seed); the
+round-close ritual commits its transcript as ORACLE_SAMPLE.json.
 """
 
 from __future__ import annotations
@@ -105,15 +110,41 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
 def main():
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    sample_n = sample_seed = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--json":
+            json_out = args[1]
+            args = args[2:]
+        elif args[0] == "--sample":
+            sample_n = int(args[1])
+            args = args[2:]
+        elif args[0] == "--seed":
+            sample_seed = int(args[1])
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     from bigarrays_jl_spark.operators import (ALL_ORACLES, ALL_QUERIES,
                                               ALL_TOLERANCE_ORACLES)
     from bigarrays_jl_spark.session import get_spark
+
+    # --sample N --seed R: re-verify a seeded random subset of the full
+    # registry (r15 verdict task 7) — the round-close ritual commits
+    # the transcript (ORACLE_SAMPLE.json) so any third party can rerun
+    # the identical subset in minutes and check the claim; the seed is
+    # recorded in the artifact
+    if sample_n is not None:
+        import random
+        if sample_seed is None:
+            raise SystemExit("--sample requires --seed (the transcript "
+                             "must be third-party reproducible)")
+        names = sorted(ALL_QUERIES)
+        rng = random.Random(sample_seed)
+        only = set(rng.sample(names, min(sample_n, len(names))))
+        print(f"# seeded sample: n={len(only)} seed={sample_seed} "
+              f"of {len(names)} registered queries")
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -228,11 +259,14 @@ def main():
                     os.path.abspath(__file__)))).stdout.strip() or None
         except OSError:
             commit = None
+        payload = {"sf_dir": sf_dir, "n_queries": len(report),
+                   "n_failures": len(failures), "commit": commit,
+                   "queries": report}
+        if sample_n is not None:
+            payload["sample"] = {"n": sample_n, "seed": sample_seed,
+                                 "names": sorted(only)}
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
-                       "n_failures": len(failures), "commit": commit,
-                       "queries": report},
-                      f, indent=1, sort_keys=True)
+            json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
