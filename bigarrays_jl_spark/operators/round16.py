@@ -55,7 +55,10 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.functions.expressions import shingle_array, tokens
-from bigarrays_jl_spark.operators.dedup import DEDUP_EXACT_SQL  # noqa: F401 (canon ref)
+# stage canons composed below: the dedup rule is dedup.dedup_exact's
+# (min doc_id per md5(text)), inlined on the gated subset; the gate is
+# extensions._gopher_metrics; the decon split/shingle are pipeline's;
+# the bloom screen is round15's; the packer is ordering's.
 from bigarrays_jl_spark.operators.extensions import (TEXT_GOPHER_RULES_SQL,
                                                      _gopher_metrics)
 from bigarrays_jl_spark.operators.ordering import distributed_prefix_sum
@@ -224,8 +227,7 @@ def _ivfpq_sql(nprobe: int) -> str:
     to similarity.ANN_IVF_PQ_SQL except the routing keeps r <= nprobe
     (and the shared PQ-fit/coarse-centroid CTEs are hoisted by the
     caller)."""
-    from bigarrays_jl_spark.operators.similarity import (N_QUERIES, TOP_K,
-                                                         _DOT_SQL,
+    from bigarrays_jl_spark.operators.similarity import (TOP_K, _DOT_SQL,
                                                          _NORM2_SQL)
     return f"""
   SELECT qid, vec_id FROM (

@@ -24,7 +24,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACTS = ("ORACLE_FULL.json", "ORACLE_FULL_SF01.json")
+ARTIFACTS = ("ORACLE_FULL.json", "ORACLE_FULL_SF01.json",
+             "ORACLE_SAMPLE.json")
 # paths whose changes can alter any registry query's plan or result
 REGISTRY_PATHS = ("bigarrays_jl_spark/", "__spark_entry__.py",
                   "tools/check_oracle.py")
