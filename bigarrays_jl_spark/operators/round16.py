@@ -118,11 +118,16 @@ def _curated_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return kept.join(contaminated, "doc_id", "left_anti")
 
 
-def pipeline_e2e_curate(spark: SparkSession, sf: str) -> DataFrame:
-    surv = _curated_survivors(spark, sf)
-    # stage 4: pack the survivors' token stream into PACK_BUDGET bins
-    d = surv.select("doc_id",
-                    F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+def n_tok_col():
+    """The packer's token-count canon (pipeline_pack_sequences')."""
+    return F.size(F.split(F.trim("text"), r"\s+"))
+
+
+def pack_census(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(doc_id, n_tok) → the packed-sequence census: each doc lands in
+    the PACK_BUDGET bin its START offset (exact doc_id-ordered prefix
+    sum) falls into — shared by the batch operator AND the streaming
+    snapshot (streaming/curate.py) so the census rule cannot drift."""
     cum, _ = distributed_prefix_sum(
         spark, d, F.col("n_tok"), "doc_id", "doc_id", out="cum_tok")
     start = F.col("cum_tok") - F.col("n_tok")
@@ -133,6 +138,13 @@ def pipeline_e2e_curate(spark: SparkSession, sf: str) -> DataFrame:
              F.sum("n_tok").cast("bigint").alias("bin_tokens"),
              F.min("doc_id").alias("first_doc"),
              F.max("doc_id").alias("last_doc")))
+
+
+def pipeline_e2e_curate(spark: SparkSession, sf: str) -> DataFrame:
+    surv = _curated_survivors(spark, sf)
+    # stage 4: pack the survivors' token stream into PACK_BUDGET bins
+    return pack_census(spark,
+                       surv.select("doc_id", n_tok_col().alias("n_tok")))
 
 
 # The oracle composes the SAME stage canons as plain CTEs; the Bloom
