@@ -81,6 +81,8 @@ SECONDARY = [
     "quality_calibration", "dedup_storage_savings",
     # r15 additions
     "events_hdr_merge", "cm_heavyhitters", "bloom_decontaminate",
+    # r16 additions
+    "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
 ]
 
 
