@@ -83,6 +83,7 @@ SECONDARY = [
     "events_hdr_merge", "cm_heavyhitters", "bloom_decontaminate",
     # r16 additions
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
+    "mm_decode_video",
 ]
 
 

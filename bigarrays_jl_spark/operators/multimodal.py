@@ -10,8 +10,10 @@ chunks AND document payloads; opt-in, raises without Pillow just like
 the chunk path), and ``mm_decode_image`` is the Arrow-batched
 mapInPandas pipeline over it.  ``audio/wav`` decodes for real with
 the stdlib ``wave`` parser (``decode_audio`` / ``mm_decode_audio`` —
-r15 verdict task 3; ungated, no dependency).  Only formats with no
-in-repo codec AND no stdlib parser (video/containers) remain explicit
+r15 verdict task 3; ungated, no dependency), and ``video/y4m``
+(YUV4MPEG2, the standard uncompressed interchange container) with the
+in-repo ``decode_y4m`` parser (``mm_decode_video``, r16).  Only
+COMPRESSED formats with no in-repo codec (mp4/h264/…) remain explicit
 NotImplementedError stubs.  The always-runnable
 pipeline twin is the deterministic byte-level feature extractor
 ``mm_byte_features`` (mapInPandas, Arrow-batched) whose features are
@@ -61,6 +63,69 @@ _MEDIA_CODECS = {
 # jpeg it is NOT import-gated)
 _AUDIO_FORMATS = {"audio/wav", "audio/x-wav", "wav", "wave"}
 
+# video container with an in-repo parser: YUV4MPEG2 (y4m) is the
+# standard UNCOMPRESSED video interchange format (plain-text stream
+# header + FRAME-delimited raw planes) — parseable with zero
+# dependencies, so like WAV it is a REAL decode path, not a stub.
+# Compressed video (mp4/h264/vp9) stays an honest NotImplementedError:
+# no codec library exists in this container.
+_VIDEO_FORMATS = {"video/y4m", "video/yuv4mpeg2", "y4m"}
+
+
+def encode_y4m(frames: list[bytes], width: int, height: int,
+               fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Raw mono (Cmono = luma-plane-only) frames → a complete
+    YUV4MPEG2 container."""
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"frame size {len(f)} != {width}x{height}")
+    head = (f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} "
+            "Ip A1:1 Cmono\n").encode("ascii")
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 container (mono/C420 luma plane read).
+    Returns ``(width, height, fps_num, fps_den, frames)`` where
+    ``frames`` is the list of raw luma planes.  Raises ValueError on a
+    malformed container — honest failure, never a silent fake."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (missing magic)")
+    width = height = fps_num = fps_den = None
+    chroma = "420"                       # the y4m default
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            chroma = tok[1:]
+    if not width or not height or not fps_num:
+        raise ValueError("y4m header missing W/H/F parameters")
+    luma = width * height
+    frame_bytes = (luma if chroma == "mono"
+                   else luma * 3 // 2 if chroma.startswith("420")
+                   else luma * 2 if chroma.startswith("422")
+                   else luma * 3 if chroma.startswith("444")
+                   else None)
+    if frame_bytes is None:
+        raise ValueError(f"unsupported y4m chroma mode C{chroma}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        start = fnl + 1
+        if start + frame_bytes > len(payload):
+            raise ValueError("truncated y4m frame")
+        frames.append(payload[start:start + luma])   # luma plane only
+        pos = start + frame_bytes
+    return width, height, fps_num, fps_den, frames
+
 
 def decode_audio(payload: bytes):
     """Parse a RIFF/WAVE container with the stdlib ``wave`` module —
@@ -92,23 +157,29 @@ def decode_media(payload_format: str, payload: bytes, *,
     - ``audio/wav`` (also ``wav``/``wave``) decodes with the stdlib
       ``wave`` parser (``decode_audio``) and returns the raw PCM
       bytes — always available, no gate (r15 verdict task 3).
-    - every other format (video/container formats) remains an explicit
-      NotImplementedError stub: there is no in-repo codec for them and
-      no decode library in this container; the Spark-side plumbing
-      (schema, batching, partitioning) is exercised by
-      ``mm_decode_image``/``mm_decode_audio`` and ``mm_byte_features``.
+    - ``video/y4m`` (YUV4MPEG2, the standard uncompressed video
+      interchange container) decodes with the in-repo ``decode_y4m``
+      parser and returns the concatenated raw luma planes (r16).
+    - COMPRESSED video (mp4/h264/vp9/…) remains an explicit
+      NotImplementedError stub: no codec library exists in this
+      container; the Spark-side plumbing (schema, batching,
+      partitioning) is exercised by ``mm_decode_image`` /
+      ``mm_decode_audio`` / ``mm_decode_video`` / ``mm_byte_features``.
     """
     fmt = payload_format.lower()
     if fmt in _AUDIO_FORMATS:
         return decode_audio(payload)[4]
+    if fmt in _VIDEO_FORMATS:
+        return b"".join(decode_y4m(payload)[4])
     enc = _MEDIA_CODECS.get(fmt)
     if enc is None:
         raise NotImplementedError(
-            f"decode for {payload_format!r}: no in-repo codec (video "
-            "decode libraries are not present in this environment); "
-            "image/jpeg routes through the gated volume codec and "
-            "audio/wav through the stdlib wave parser — see "
-            "mm_decode_image / mm_decode_audio for the UDF pipelines")
+            f"decode for {payload_format!r}: no in-repo codec "
+            "(compressed-video decode libraries are not present in "
+            "this environment); image/jpeg routes through the gated "
+            "volume codec, audio/wav through the stdlib wave parser, "
+            "video/y4m through the in-repo YUV4MPEG2 parser — see "
+            "mm_decode_image / mm_decode_audio / mm_decode_video")
     from bigarrays_jl_spark import codecs
     return codecs.decode_payload(enc, payload,
                                  expected_width=expected_width)
@@ -273,6 +344,103 @@ SELECT doc_id, CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
             THEN CAST(floor(sqrt(CAST(sum_sq // nf AS DOUBLE))) AS BIGINT)
        END AS rms
 FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# mm_decode_video — REAL video decode over binary YUV4MPEG2 payloads
+# (r16, closing the decode family: jpeg gated / wav stdlib / y4m
+# in-repo; only compressed video remains a stub).  The video table
+# synthesizes a genuine y4m container per document with ≥ 1 frame's
+# worth of text bytes: 8×4 mono frames whose luma planes are the text
+# bytes in order (frame f = bytes[32f : 32f+32]), fps 25:1.  The
+# decode leg parses the container back (header fields + FRAME
+# markers + planes) and folds per-clip stats: dimensions, fps,
+# n_frames, duration in ms (exact integer: frames·1000·den // num),
+# and the integer mean luma ×10⁴ across all frames.  Arrow-batched
+# both ways; same ASCII-corpus oracle assumption as the audio/byte
+# queries.
+# --------------------------------------------------------------------------
+
+VID_W, VID_H = 8, 4
+VID_FPS_NUM, VID_FPS_DEN = 25, 1
+_VID_FRAME = VID_W * VID_H
+
+
+def video_table(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, mime, payload) with payload a real y4m container;
+    docs shorter than one frame (< 32 bytes) drop out."""
+    d = fan_out(spark, load(spark, sf, "documents").select("doc_id", "text"))
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                raw = text.encode("utf-8")
+                n_frames = len(raw) // _VID_FRAME
+                if n_frames == 0:
+                    continue
+                frames = [raw[f * _VID_FRAME:(f + 1) * _VID_FRAME]
+                          for f in range(n_frames)]
+                ids.append(doc_id)
+                blobs.append(encode_y4m(frames, VID_W, VID_H,
+                                        VID_FPS_NUM, VID_FPS_DEN))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "mime": pd.Series(["video/y4m"] * len(ids),
+                                  dtype="object"),
+                "payload": pd.Series(blobs, dtype="object"),
+            })
+
+    return d.mapInPandas(
+        synth, schema="doc_id bigint, mime string, payload binary")
+
+
+def mm_decode_video(spark: SparkSession, sf: str) -> DataFrame:
+    v = video_table(spark, sf)
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for b in it:
+            rows = []
+            for doc_id, mime, p in zip(b["doc_id"], b["mime"],
+                                       b["payload"]):
+                w, h, fn, fd, frames = decode_y4m(bytes(p))
+                luma = np.frombuffer(b"".join(frames),
+                                     dtype=np.uint8).astype(np.int64)
+                rows.append((
+                    doc_id, w, h, len(frames),
+                    len(frames) * 1000 * fd // fn,
+                    int(luma.sum()) * 10000 // luma.size))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_frames",
+                "duration_ms", "mean_luma_e4"]).astype({
+                    "doc_id": "int64", "width": "int32",
+                    "height": "int32", "n_frames": "int64",
+                    "duration_ms": "int64", "mean_luma_e4": "int64"})
+
+    return v.mapInPandas(
+        dec, schema="doc_id bigint, width int, height int, "
+                    "n_frames bigint, duration_ms bigint, "
+                    "mean_luma_e4 bigint")
+
+
+MM_DECODE_VIDEO_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         octet_length(encode(text)) // {_VID_FRAME} AS nf,
+         (SELECT coalesce(sum(ascii(substr(text, CAST(i AS INT), 1))), 0)
+          FROM UNNEST(range(1,
+                 (octet_length(encode(text)) // {_VID_FRAME})
+                 * {_VID_FRAME} + 1)) u(i)) AS luma_sum
+  FROM documents)
+SELECT doc_id, CAST({VID_W} AS INT) AS width, CAST({VID_H} AS INT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1000 * {VID_FPS_DEN} // {VID_FPS_NUM} AS BIGINT)
+         AS duration_ms,
+       CAST(luma_sum * 10000 // (nf * {_VID_FRAME}) AS BIGINT)
+         AS mean_luma_e4
+FROM s WHERE nf >= 1
 """
 
 
@@ -573,6 +741,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_decode_audio": mm_decode_audio,
+    "mm_decode_video": mm_decode_video,
 }
 
 ORACLES = {
@@ -583,4 +752,5 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_phash_neardup": MM_PHASH_NEARDUP_SQL,
     "mm_decode_audio": MM_DECODE_AUDIO_SQL,
+    "mm_decode_video": MM_DECODE_VIDEO_SQL,
 }

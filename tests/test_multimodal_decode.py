@@ -17,9 +17,50 @@ HAS_PILLOW = importlib.util.find_spec("PIL") is not None
 
 
 def test_decode_media_no_codec_format_is_stub():
-    # video has no in-repo codec and stays an honest stub
+    # COMPRESSED video has no in-repo codec and stays an honest stub
     with pytest.raises(NotImplementedError, match="no in-repo codec"):
         decode_media("video/mp4", b"\x00\x00\x00 ftypisom")
+
+
+def test_decode_media_y4m_roundtrip():
+    # video/y4m is REAL (r16): synth a container, decode_y4m must
+    # recover header fields and every luma plane exactly, and
+    # decode_media must return the concatenated planes
+    from bigarrays_jl_spark.operators.multimodal import (decode_y4m,
+                                                         encode_y4m)
+    frames = [bytes(range(f, f + 32)) for f in range(0, 96, 32)]
+    blob = encode_y4m(frames, 8, 4, 30, 1)
+    assert blob.startswith(b"YUV4MPEG2 W8 H4 F30:1")
+    w, h, fn, fd, got = decode_y4m(blob)
+    assert (w, h, fn, fd) == (8, 4, 30, 1)
+    assert got == frames
+    assert decode_media("video/y4m", blob) == b"".join(frames)
+    assert decode_media("Y4M", blob) == b"".join(frames)
+
+
+def test_decode_y4m_c420_luma_plane():
+    # the y4m default chroma mode: frame = luma + 2 quarter planes;
+    # the parser must step over chroma and return luma only
+    from bigarrays_jl_spark.operators.multimodal import decode_y4m
+    luma = bytes(range(32))
+    chroma = bytes(8) + bytes(8)                  # 2 x (8x4)/4
+    blob = (b"YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C420\n"
+            + b"FRAME\n" + luma + chroma
+            + b"FRAME\n" + luma + chroma)
+    w, h, fn, fd, got = decode_y4m(blob)
+    assert (w, h) == (8, 4) and got == [luma, luma]
+
+
+def test_decode_y4m_malformed_raises():
+    import pytest as _pt
+
+    from bigarrays_jl_spark.operators.multimodal import decode_y4m
+    with _pt.raises(ValueError, match="magic"):
+        decode_y4m(b"RIFF....WAVE")
+    with _pt.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W8 H4 F25:1 Cmono\nJUNK\n" + bytes(32))
+    with _pt.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W8 H4 F25:1 Cmono\nFRAME\n" + bytes(10))
 
 
 def test_decode_media_wav_roundtrip():

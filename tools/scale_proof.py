@@ -79,6 +79,7 @@ SLOW_SECONDARY = [
     "set_sim_join",
     # r16 registry additions
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
+    "mm_decode_video",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -245,6 +246,9 @@ RATIO_NOTES = {
     "mm_decode_audio": "Arrow-batched WAV synth + decode, both "
         "payload-linear map-side passes; no shuffle wider than the "
         "per-doc stats fold",
+    "mm_decode_video": "Arrow-batched y4m synth + parse, both "
+        "payload-linear map-side passes (same family as "
+        "mm_decode_audio); sub-second base, fixed overhead dominates",
     "ann_ivfpq_recall_audit": "three IVF-PQ legs share one PQ fit "
         "(corpus-linear) and per-leg cost is the probed cells' code "
         "rows x nprobe; the brute-truth leg is the corpus scan the "
