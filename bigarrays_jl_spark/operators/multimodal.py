@@ -322,7 +322,11 @@ def mm_decode_audio(spark: SparkSession, sf: str) -> DataFrame:
 
 # n_frames = octet_length(encode(text)) and per-byte samples via
 # ascii(substr(...)) — the ASCII-corpus assumption shared with
-# MM_BYTE_FEATURES_SQL.  floor(sqrt(x)) == isqrt(x) for x < 2^52 with
+# MM_BYTE_FEATURES_SQL, now GUARDED (r16 advice): the two length
+# measures (bytes for nf, characters for the sample loop) agree only
+# on ASCII, so a non-ASCII doc raises error() in the oracle instead
+# of silently dividing rms by the wrong frame count.
+# floor(sqrt(x)) == isqrt(x) for x < 2^52 with
 # a correctly-rounded IEEE sqrt: x here is <= 32768^2 < 2^31, where a
 # non-square x has sqrt at distance >= ~2^-16 from any integer, far
 # beyond the 0.5-ulp rounding error, and exact squares sqrt exactly.
@@ -331,7 +335,12 @@ WITH s AS (
   SELECT doc_id,
          {AUDIO_BASE_RATE} + (doc_id % {AUDIO_RATE_MOD}) * {AUDIO_RATE_STEP}
            AS rate,
-         octet_length(encode(text)) AS nf,
+         CASE WHEN octet_length(encode(text)) = length(text)
+              THEN octet_length(encode(text))
+              ELSE CAST(error('mm_decode_audio oracle assumes ASCII '
+                              'text: byte and character lengths diverge '
+                              'for doc_id ' || doc_id) AS BIGINT)
+         END AS nf,
          (SELECT coalesce(sum(
              CAST((ascii(substr(text, CAST(i AS INT), 1)) - 128) AS BIGINT)
              * (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 65536), 0)

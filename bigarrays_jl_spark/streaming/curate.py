@@ -91,18 +91,27 @@ def streaming_curate(docs: DataFrame, fp_index_path: str, grams_path: str,
         new_g = (ev_grams if standing_g is None
                  else ev_grams.join(standing_g.select("s"), "s",
                                     "left_anti"))
-        new_g = new_g.localCheckpoint(eager=True)   # write + bits + union
+        new_g = new_g.localCheckpoint(eager=True)   # write + union
         new_g.write.mode("append").parquet(grams_path)
-        new_bits = _bits_of(new_g)
+        # Bit delta is derived from the BATCH's grams (ev_grams), not
+        # from the gram-index delta (new_g): a crash between the two
+        # appends makes new_g empty on replay (the grams are standing
+        # by then), and bits derived from it would never be written —
+        # permanent Bloom false negatives vs the gram index (r16
+        # advice).  ev_grams is replay-stable, and the anti-join
+        # against the standing bitset keeps the append idempotent —
+        # the streaming_bloom_screen idiom.
+        new_bits = _bits_of(ev_grams)
         standing_b = read_index_or_none(spark, bits_path)
         nb = (new_bits if standing_b is None
               else new_bits.join(standing_b.select("j", "bit"),
                                  ["j", "bit"], "left_anti"))
+        nb = nb.localCheckpoint(eager=True)         # write + union
         nb.write.mode("append").parquet(bits_path)
         # bits/grams-so-far, combined IN MEMORY (the bloom.py idiom —
         # no re-list of a growing dir in the ingest hot path)
-        bits = (new_bits if standing_b is None
-                else standing_b.select("j", "bit").unionByName(new_bits))
+        bits = (nb if standing_b is None
+                else standing_b.select("j", "bit").unionByName(nb))
         grams_all = (new_g.select("s") if standing_g is None
                      else standing_g.select("s")
                      .unionByName(new_g.select("s")))
@@ -147,9 +156,16 @@ def streaming_curate(docs: DataFrame, fp_index_path: str, grams_path: str,
             sentinel = spark.createDataFrame(
                 [(-1, "", 0, False)],
                 "doc_id long, fp string, n_tok long, contaminated boolean")
+            # partitionBy(batch_id): the crash-replay repair and the
+            # exactly-once guard both filter on batch_id — at scale
+            # the committed output is corpus-sized, and without the
+            # partition layout each replay reread everything (r16
+            # verdict task 2).  With it, both reads prune to one
+            # batch's directory.
             (out.unionByName(sentinel)
              .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+             .write.mode("append").partitionBy("batch_id")
+             .parquet(out_path))
             fresh.select("fp").write.mode("append").parquet(fp_index_path)
 
         guarded_append(spark, out_path, batch_id, write, repair)

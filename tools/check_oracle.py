@@ -108,23 +108,23 @@ def tolerance_match(scols, srows, ocols, orows, rel_tol):
 
 
 def main():
-    args = sys.argv[1:]
-    json_out = None
-    sample_n = sample_seed = None
-    while args and args[0].startswith("--"):
-        if args[0] == "--json":
-            json_out = args[1]
-            args = args[2:]
-        elif args[0] == "--sample":
-            sample_n = int(args[1])
-            args = args[2:]
-        elif args[0] == "--seed":
-            sample_seed = int(args[1])
-            args = args[2:]
-        else:
-            raise SystemExit(f"unknown flag {args[0]}")
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # argparse (r16 advice): the old hand-rolled loop only consumed
+    # flags BEFORE positionals, so `check_oracle.py sf_dir --sample 20`
+    # silently treated the flags as query-name filters and verified
+    # nothing sampled.  argparse accepts flags anywhere and rejects
+    # unknown ones loudly.
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", dest="json_out", metavar="OUT.json")
+    ap.add_argument("--sample", type=int, default=None, metavar="N")
+    ap.add_argument("--seed", type=int, default=None, metavar="R")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*", metavar="query")
+    ns = ap.parse_args()
+    json_out = ns.json_out
+    sample_n, sample_seed = ns.sample, ns.seed
+    sf_dir = ns.sf_dir
+    only = set(ns.queries)
 
     from bigarrays_jl_spark.operators import (ALL_ORACLES, ALL_QUERIES,
                                               ALL_TOLERANCE_ORACLES)
