@@ -88,6 +88,9 @@ this is the index so nobody has to grep (r11 verdict task 7):
                     census, the composed curation pipeline),
                     ann_ivfpq_recall_audit (recall@k of IVF-PQ at
                     nprobe 1/2/4 vs brute truth, one shared PQ fit)
+  round17           ann_pq_recall_knee (codebook-size sweep 4/8/32 vs
+                    brute truth — the committed recall knee toward the
+                    production config)
 """
 
 from __future__ import annotations
@@ -109,7 +112,7 @@ from bigarrays_jl_spark.operators import (advanced, asof_directions,
                                           round12c, round12d, round13,
                                           round13b, round14, round14b,
                                           round14c, round14d, round15,
-                                          round16,
+                                          round16, round17,
                                           similarity, temporal,
                                           text, tpch_canon, tpch_deep,
                                           tpch_final,
@@ -142,7 +145,7 @@ _MODULES = (relational, advanced, dedup, text, similarity, events, multimodal,
             round11, volume_stencil, round11b, round11c, round11d,
             round11e, round12, round12b, round12c, round12d, round13,
             round13b, round14, round14b, round14c, round14d, round15,
-            round16)
+            round16, round17)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}

@@ -131,6 +131,12 @@ def sample_weighted_exact(spark: SparkSession, sf: str) -> DataFrame:
                        key.alias("k"))
                .orderBy(F.col("k").desc(), F.col("doc_id"))
                .limit(SAMPLE_K))
+    # This unpartitioned window DOES emit Spark's SinglePartition WARN,
+    # and that is fine BY CONSTRUCTION: its input is the TakeOrdered
+    # top-SAMPLE_K rows above (a 50-row bounded set, never the corpus),
+    # which is exactly why the repo-wide no-funnel gate recognizes the
+    # post-limit() pattern as bounded and does not flag it (r16 verdict
+    # task 6 — don't re-investigate the warning).
     win = W.orderBy(F.col("k").desc(), F.col("doc_id"))
     return ranked.select(
         F.row_number().over(win).cast("int").alias("rank"),

@@ -1,0 +1,127 @@
+"""Round-17 additions.
+
+``ann_pq_recall_knee`` — the codebook-size recall KNEE for product
+quantization (r16 verdict task 5): the committed nprobe audit
+(``ann_ivfpq_recall_audit``) honestly shows the demo-config recall
+FLOOR, while the production-config figure (≥0.9, 64-entry codebooks on
+structured data) lived only in pytest.  This row makes the rise toward
+it an oracle-checked artifact: ONE query sweeps the codebook size
+PQ_K ∈ {4, 8, 32} with everything else fixed (same subspaces, same
+Lloyd's iterations, same brute-force truth) and reports exact-integer
+recall@k per config.  The config column is monotone; recall rising
+along it is the measured knee, endpoint-pinned in pytest
+(recall@32 > recall@4 — per-step monotonicity is NOT a theorem for
+codebook size the way it is for nprobe, so only the endpoints are
+asserted).
+
+Scale shape: each leg is the ``ann_pq_topk`` plan (broadcast codebooks
+and ADC lookup tables, grouped-Lloyd's fit — one chain per leg, code
+scan only at query time); the brute-force truth is computed ONCE and
+reused by every leg via left-semi joins.  No cartesian anywhere; the
+per-leg cost is the PQ fit, which is why the sweep stops at 32 for the
+registry config (production pins 64+ in tests/test_ann_recall.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigarrays_jl_spark.checkpointing import materialize
+
+KNEE_KS = (4, 8, 32)
+
+
+def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.operators.similarity import (TOP_K,
+                                                         ann_cosine_topk,
+                                                         ann_pq_topk)
+    brute = materialize(
+        ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
+    qids = brute.select("qid").distinct()
+
+    def leg(pq_k: int) -> DataFrame:
+        approx = ann_pq_topk(spark, sf, pq_k=pq_k)
+        hits = (approx.select("qid", "vec_id")
+                .join(brute, ["qid", "vec_id"], "left_semi")
+                .groupBy("qid").agg(F.count("*").alias("h")))
+        per = (qids.join(hits, "qid", "left")
+               .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
+        return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                        F.sum("h").cast("bigint").alias("sum_hits"))
+                .select(F.lit(pq_k).cast("int").alias("pq_k"),
+                        "n_queries", "sum_hits",
+                        (F.col("sum_hits").cast("double")
+                         / (F.col("n_queries") * TOP_K))
+                        .alias("mean_recall")))
+
+    out = leg(KNEE_KS[0])
+    for k in KNEE_KS[1:]:
+        out = out.unionByName(leg(k))
+    return out
+
+
+def _pq_leg_sql(pq_k: int) -> str:
+    """One codebook-size leg: the ANN_PQ_TOPK_SQL pipeline with
+    suffix-isolated CTE names (so the legs coexist in one WITH), then
+    the exact-integer recall fold against the shared ``brute`` truth."""
+    from bigarrays_jl_spark.operators.similarity import (N_QUERIES,
+                                                         PQ_ITERS,
+                                                         PQ_SUBDIM, TOP_K)
+    sfx = f"k{pq_k}"
+    return f"""
+SELECT CAST({pq_k} AS INT) AS pq_k,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(h) AS BIGINT) AS sum_hits,
+       CAST(sum(h) AS DOUBLE) / (count(*) * {TOP_K}) AS mean_recall
+FROM (
+  SELECT q.qid, coalesce((
+    SELECT count(*) FROM (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY approx_dot DESC, vec_id) AS rank
+        FROM (
+          SELECT lut.qid, codes{sfx}.vec_id,
+                 round(CAST(sum(pd) AS DOUBLE), 6) AS approx_dot
+          FROM codes{sfx}
+          JOIN (SELECT vec_id AS qid, s2.s, c.cell,
+                       CAST(round(list_sum(list_transform(
+                           range(1, {PQ_SUBDIM + 1}),
+                           i -> sv[i] * centroid[i])), 9)
+                         AS DECIMAL(28,9)) AS pd
+                FROM sub{sfx} s2
+                JOIN cent{sfx}{PQ_ITERS} c ON c.s = s2.s
+                WHERE vec_id < {N_QUERIES}) lut
+            ON lut.s = codes{sfx}.s AND lut.cell = codes{sfx}.cell
+          WHERE codes{sfx}.vec_id <> lut.qid
+          GROUP BY 1, 2))
+      WHERE rank <= {TOP_K}) a
+    WHERE a.qid = q.qid
+      AND EXISTS (SELECT 1 FROM brute b
+                  WHERE b.qid = a.qid AND b.vec_id = a.vec_id)), 0) AS h
+  FROM (SELECT DISTINCT qid FROM brute) q)"""
+
+
+def _knee_sql() -> str:
+    from bigarrays_jl_spark.operators.similarity import (
+        ANN_COSINE_TOPK_SQL, _pq_ctes)
+    ctes = ",\n".join(_pq_ctes(pq_k=k, suffix=f"k{k}") for k in KNEE_KS)
+    legs = " UNION ALL ".join(_pq_leg_sql(k) for k in KNEE_KS)
+    return f"""
+WITH {ctes},
+brute AS (SELECT qid, vec_id FROM ({ANN_COSINE_TOPK_SQL}) bb)
+{legs}
+"""
+
+
+ANN_PQ_RECALL_KNEE_SQL = _knee_sql()
+
+
+QUERIES = {
+    "ann_pq_recall_knee": ann_pq_recall_knee,
+}
+
+ORACLES = {
+    "ann_pq_recall_knee": ANN_PQ_RECALL_KNEE_SQL,
+}

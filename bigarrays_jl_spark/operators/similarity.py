@@ -831,40 +831,49 @@ def ann_pq_topk(spark: SparkSession, sf: str,
                   .select("qid", "vec_id", "approx_dot", "rank"))
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(pq_k: int = PQ_K, suffix: str = "") -> str:
+    """The PQ fit/encode pipeline as DuckDB CTEs — parameterized by
+    codebook size (``pq_k``) and a CTE-name ``suffix`` so several
+    configs can coexist in ONE oracle query (the round-17 recall-knee
+    sweep unions one leg per codebook size)."""
+    sub, codes = f"sub{suffix}", f"codes{suffix}"
     l2 = (f"round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),"
           f" i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))), 6)")
 
     def assign(name: str, cent: str) -> str:
         return (f"{name} AS (\n"
                 f"  SELECT vec_id, s, sv, cell FROM (\n"
-                f"    SELECT sub.vec_id, sub.s, sub.sv, c.cell,\n"
-                f"           row_number() OVER (PARTITION BY sub.vec_id, sub.s\n"
+                f"    SELECT {sub}.vec_id, {sub}.s, {sub}.sv, c.cell,\n"
+                f"           row_number() OVER (PARTITION BY {sub}.vec_id,"
+                f" {sub}.s\n"
                 f"               ORDER BY {l2} ASC, c.cell) AS r\n"
-                f"    FROM sub JOIN {cent} c ON c.s = sub.s) WHERE r = 1)")
+                f"    FROM {sub} JOIN {cent} c ON c.s = {sub}.s)"
+                f" WHERE r = 1)")
 
     parts = [
-        f"normed AS (SELECT vec_id, embedding,"
+        f"normed{suffix} AS (SELECT vec_id, embedding,"
         f" sqrt({_NORM2_SQL.format(a='embedding')}) AS nrm FROM embeddings)",
-        f"sub AS (SELECT vec_id, s,\n"
+        f"{sub} AS (SELECT vec_id, s,\n"
         f"  list_transform(list_slice(embedding, s * {PQ_SUBDIM} + 1,"
         f" s * {PQ_SUBDIM} + {PQ_SUBDIM}),"
         f" x -> CAST(x AS DOUBLE) / nrm) AS sv\n"
-        f"  FROM normed, range(0, {PQ_M}) t(s))",
-        f"cent0 AS (SELECT s, vec_id AS cell, sv AS centroid FROM sub"
-        f" WHERE vec_id < {PQ_K})"]
+        f"  FROM normed{suffix}, range(0, {PQ_M}) t(s))",
+        f"cent{suffix}0 AS (SELECT s, vec_id AS cell, sv AS centroid"
+        f" FROM {sub} WHERE vec_id < {pq_k})"]
     for t in range(1, PQ_ITERS + 1):
-        parts.append(assign(f"a{t}", f"cent{t - 1}"))
+        parts.append(assign(f"a{suffix}{t}", f"cent{suffix}{t - 1}"))
         parts.append(
-            f"d{t} AS (SELECT s, cell, i - 1 AS pos,\n"
+            f"d{suffix}{t} AS (SELECT s, cell, i - 1 AS pos,\n"
             f"  CAST(sum(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*)"
             f" AS m\n"
-            f"  FROM a{t}, UNNEST(range(1, {PQ_SUBDIM + 1})) u(i)\n"
+            f"  FROM a{suffix}{t}, UNNEST(range(1, {PQ_SUBDIM + 1})) u(i)\n"
             f"  GROUP BY s, cell, pos)")
-        parts.append(f"cent{t} AS (SELECT s, cell, list(m ORDER BY pos)"
-                     f" AS centroid FROM d{t} GROUP BY s, cell)")
-    parts.append(assign("codesfull", f"cent{PQ_ITERS}"))
-    parts.append("codes AS (SELECT vec_id, s, cell FROM codesfull)")
+        parts.append(f"cent{suffix}{t} AS (SELECT s, cell,"
+                     f" list(m ORDER BY pos)"
+                     f" AS centroid FROM d{suffix}{t} GROUP BY s, cell)")
+    parts.append(assign(f"codesfull{suffix}", f"cent{suffix}{PQ_ITERS}"))
+    parts.append(f"{codes} AS (SELECT vec_id, s, cell"
+                 f" FROM codesfull{suffix})")
     return ",\n".join(parts)
 
 

@@ -119,6 +119,12 @@ def single_partition_windows(df: DataFrame) -> list[str]:
     Deeper SinglePartition exchanges (e.g. a global agg below a join
     under the window) are NOT attributed to the window — only the
     exchange that actually feeds it.
+
+    Recognized-bounded by construction: a window fed directly by a
+    ``TakeOrderedAndProject``/limit (the post-``limit(k)`` re-rank
+    pattern, e.g. ``sample_weighted_exact``) ends the chain at that
+    node — its single task sees at most k rows regardless of corpus
+    size, so it is not a funnel and needs no allowlist entry.
     """
     lines = simple_plan(df).splitlines()
 

@@ -131,3 +131,15 @@ def test_ivf_pq_production_recall_on_clustered_embeddings(spark, clustered_dir):
              for r in ann_cosine_topk(spark, clustered_dir).collect()}
     got = ann_ivf_pq_topk(spark, clustered_dir, pq_k=64, iters=2)
     assert _recall(got, truth) >= 0.9     # measured 1.0
+
+
+def test_pq_recall_knee_endpoints_rise(spark, sf_dir):
+    # the committed codebook-size sweep (round17.ann_pq_recall_knee):
+    # recall must RISE from the smallest codebook to the largest —
+    # endpoints only (per-step monotonicity is not a theorem for
+    # codebook size the way it is for nprobe)
+    from bigarrays_jl_spark.operators.round17 import ann_pq_recall_knee
+    rows = {r.pq_k: r.mean_recall
+            for r in ann_pq_recall_knee(spark, sf_dir).collect()}
+    ks = sorted(rows)
+    assert rows[ks[-1]] > rows[ks[0]], rows

@@ -74,10 +74,60 @@ def working_tree_dirty() -> list[str]:
            [f"  {ln}" for ln in lines]
 
 
+# --- doc-quoted numbers vs the artifacts they cite (r16 verdict task 4:
+# SURVEY §2C quoted set_sim_join at 3.2× while SCALE_SF1.json said 5.87×
+# — factual drift that survived a round close).  Each claim is (doc,
+# regex-with-one-capture, artifact, getter, label); every regex MATCH in
+# the doc must equal the artifact value at the doc's printed precision.
+# A claim whose regex matches nothing is skipped (the sentence was
+# removed/reworded — nothing to drift).
+DOC_CLAIMS = (
+    ("SURVEY.md", r"sf1 proof at ([0-9.]+)×", "SCALE_SF1.json",
+     lambda a: a["queries"]["set_sim_join"]["ratio"],
+     "set_sim_join sf1 ratio"),
+    ("SCALE.md", r"sf0\.1→sf1 \(([0-9.]+)×, was 453", "SCALE_SF1.json",
+     lambda a: a["queries"]["set_sim_join"]["ratio"],
+     "set_sim_join sf1 ratio"),
+    ("SCALE.md", r"\*\*([0-9]+) queries, 0 super-linear", "SCALE_SF1.json",
+     lambda a: a["n_queries"], "scale-proof query count"),
+    ("README.md", r"all ([0-9]+) registered queries", "ORACLE_FULL.json",
+     lambda a: a["n_queries"], "registry query count"),
+)
+
+
+def doc_number_drift() -> list[str]:
+    import re
+    problems = []
+    for doc, pattern, artifact, getter, label in DOC_CLAIMS:
+        doc_path = os.path.join(REPO, doc)
+        art_path = os.path.join(REPO, artifact)
+        if not (os.path.exists(doc_path) and os.path.exists(art_path)):
+            continue
+        with open(art_path) as f:
+            try:
+                want = getter(json.load(f))
+            except (KeyError, TypeError):
+                problems.append(f"{doc}: claim '{label}' cites {artifact} "
+                                "but the cited key is gone")
+                continue
+        with open(doc_path) as f:
+            text = f.read()
+        for m in re.finditer(pattern, text):
+            got = m.group(1)
+            # compare at the doc's own printed precision
+            dec = len(got.split(".")[1]) if "." in got else 0
+            if float(got) != round(float(want), dec):
+                problems.append(
+                    f"{doc}: quotes {label} = {got} but {artifact} says "
+                    f"{want} — update the doc or restamp the artifact")
+    return problems
+
+
 def main() -> int:
     problems = working_tree_dirty()
     for a in ARTIFACTS:
         problems += check(a)
+    problems += doc_number_drift()
     if problems:
         print("STALE oracle artifacts:")
         print("\n".join(problems))
