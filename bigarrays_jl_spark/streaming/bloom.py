@@ -41,6 +41,7 @@ from bigarrays_jl_spark.functions.expressions import shingle_array, tokens
 from bigarrays_jl_spark.operators.round15 import (BLOOM_K, bloom_bit_col,
                                                   bloom_screen_counts)
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 guarded_rows_append,
                                                  read_index_or_none)
 
 
@@ -114,9 +115,8 @@ def streaming_bloom_screen(docs: DataFrame, bits_path: str,
             # ingest-time operator.  The snapshot filters it out.
             sentinel = spark.createDataFrame(
                 [(-1, 0)], "doc_id long, n_bloom_pos long")
-            (screened.unionByName(sentinel)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+            guarded_rows_append(screened.unionByName(sentinel),
+                                out_path, batch_id)
 
         guarded_append(spark, out_path, batch_id, write)
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from bigarrays_jl_spark.operators.round15 import (cm_sketch_of,
                                                   gram_counts_of)
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 guarded_rows_append,
                                                  merged_partials)
 
 
@@ -35,9 +36,8 @@ def streaming_cm_sketch(docs: DataFrame, out_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         def write() -> None:
-            (cm_sketch_of(gram_counts_of(batch_df))
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+            guarded_rows_append(cm_sketch_of(gram_counts_of(batch_df)),
+                                out_path, batch_id)
 
         guarded_append(batch_df.sparkSession, out_path, batch_id, write)
 

@@ -65,6 +65,7 @@ from bigarrays_jl_spark.operators.round16 import (_bloom_positive_grams,
                                                   n_tok_col, pack_census)
 from bigarrays_jl_spark.streaming.bloom import _bits_of, _doc_grams
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 guarded_rows_append,
                                                  read_index_or_none)
 
 
@@ -156,16 +157,13 @@ def streaming_curate(docs: DataFrame, fp_index_path: str, grams_path: str,
             sentinel = spark.createDataFrame(
                 [(-1, "", 0, False)],
                 "doc_id long, fp string, n_tok long, contaminated boolean")
-            # partitionBy(batch_id): the crash-replay repair and the
-            # exactly-once guard both filter on batch_id — at scale
-            # the committed output is corpus-sized, and without the
-            # partition layout each replay reread everything (r16
-            # verdict task 2).  With it, both reads prune to one
-            # batch's directory.
-            (out.unionByName(sentinel)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").partitionBy("batch_id")
-             .parquet(out_path))
+            # batch_id-partitioned append (the shared canon): the
+            # crash-replay repair and the exactly-once guard both
+            # filter on batch_id — at scale the committed output is
+            # corpus-sized, and without the partition layout each
+            # replay reread everything (r16 verdict task 2).
+            guarded_rows_append(out.unionByName(sentinel),
+                                out_path, batch_id)
             fresh.select("fp").write.mode("append").parquet(fp_index_path)
 
         guarded_append(spark, out_path, batch_id, write, repair)

@@ -53,6 +53,7 @@ from bigarrays_jl_spark.streaming.replay import (
     batch_already_in as _batch_already_in,
     commit_marked,
     guarded_append as _guarded_append,
+    guarded_rows_append as _guarded_rows_append,
     read_index_or_none as _read_index_or_none)
 
 _GAP_S = SESSION_GAP_MIN * 60
@@ -368,9 +369,8 @@ def streaming_boilerplate(docs: DataFrame, index_path: str, out_path: str,
              .groupBy("ph", "source").agg(F.count("*").alias("n"))
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(index_path))
-            (boilerplate_snapshot(spark, index_path)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+            _guarded_rows_append(boilerplate_snapshot(spark, index_path),
+                                 out_path, batch_id)
 
         _guarded_append(spark, out_path, batch_id, write)
 
@@ -418,13 +418,12 @@ def streaming_quality_funnel(docs: DataFrame, out_path: str,
             c2 = c1 & g["ok_word_len"]
             c3 = c2 & g["ok_alpha"]
             c4 = g["gopher_pass"]
-            (batch_df.agg(
+            counts = (batch_df.agg(
                 F.count("*").cast("bigint").alias("n"),
                 *[F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(k)
                   for k, c in (("s1", c1), ("s2", c2), ("s3", c3),
-                               ("s4", c4))])
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+                               ("s4", c4))]))
+            _guarded_rows_append(counts, out_path, batch_id)
 
         _guarded_append(spark, out_path, batch_id, write)
 

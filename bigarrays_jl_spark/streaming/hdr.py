@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
+                                                 guarded_rows_append,
                                                  merged_partials)
 
 
@@ -32,13 +33,13 @@ def streaming_hdr_quantiles(events: DataFrame, out_path: str,
 
     def process_batch(batch_df, batch_id: int) -> None:
         def write() -> None:
-            (batch_df
-             .select("event_type",
-                     hdr_bucket_cents(F.round(F.col("value") * 100)
-                                      .cast("bigint")).alias("lb"))
-             .groupBy("event_type", "lb").agg(F.count("*").alias("n"))
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+            guarded_rows_append(
+                batch_df
+                .select("event_type",
+                        hdr_bucket_cents(F.round(F.col("value") * 100)
+                                         .cast("bigint")).alias("lb"))
+                .groupBy("event_type", "lb").agg(F.count("*").alias("n")),
+                out_path, batch_id)
 
         guarded_append(batch_df.sparkSession, out_path, batch_id, write)
 

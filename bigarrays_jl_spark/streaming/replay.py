@@ -126,6 +126,22 @@ def guarded_append(spark: SparkSession, out_path: str, batch_id: int,
     return True
 
 
+def guarded_rows_append(df: DataFrame, out_path: str,
+                        batch_id: int) -> None:
+    """The guarded write's ONE physical layout: tag ``df`` with this
+    ``batch_id`` and append it PARTITIONED BY batch_id.  The partition
+    layout is what keeps the guard and every crash-replay repair
+    O(one batch): both filter on batch_id, and without it each
+    micro-batch's ``batch_already_in`` footer-scans (and each repair
+    rereads) the whole corpus-sized output (r16 verdict task 2 — first
+    applied to streaming_curate, then adopted by every guarded
+    bridge).  Layout note: partitioned and unpartitioned appends must
+    not mix in one directory — a stream output created before this
+    layout must be drained or migrated, not appended to."""
+    (df.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("append").partitionBy("batch_id").parquet(out_path))
+
+
 def merged_partials(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Union the partial tables of several independent streams for a
     cross-sketch merge fold: each table dedups on its own FULL rows

@@ -155,6 +155,7 @@ def streaming_corpus_dedup(docs: DataFrame,
 from bigarrays_jl_spark.streaming.replay import (  # noqa: E402
     batch_already_in as _batch_already_in,
     guarded_append as _guarded_append,
+    guarded_rows_append as _guarded_rows_append,
     read_index_or_none as _read_index_or_none)
 
 
@@ -224,9 +225,8 @@ def streaming_incremental_dedup(docs: DataFrame, index_path: str,
                      else best.join(idx, "fp", "left_anti"))
             # one evaluation, two consumers: avoid recomputing the join
             fresh = fresh.localCheckpoint(eager=True)
-            (fresh.withColumn("batch_id", F.lit(batch_id))
-                  .select("doc_id", "source", "fp", "batch_id")
-                  .write.mode("append").parquet(out_path))
+            _guarded_rows_append(fresh.select("doc_id", "source", "fp"),
+                                 out_path, batch_id)
             fresh.select("fp").write.mode("append").parquet(index_path)
 
         _guarded_append(spark, out_path, batch_id, write, repair)
@@ -305,7 +305,7 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
             shared = F.size(F.filter(
                 F.zip_with(F.col("a.sig"), F.col("i.sig"),
                            lambda x, y: x == y), lambda m: m))
-            (bands.alias("a")
+            matches = (bands.alias("a")
              .join(probe.alias("i"), (F.col("a.b") == F.col("i.b"))
                    & (F.col("a.band") == F.col("i.band")))
              .select(F.col("a.doc_id").alias("batch_doc"),
@@ -314,9 +314,8 @@ def streaming_minhash_neardup(docs: DataFrame, index_path: str,
              .groupBy("batch_doc", "corpus_doc")
              .agg(F.round(F.max("shared") / F.lit(float(N_HASHES)), 4)
                    .alias("est_jaccard"))
-             .filter(F.col("est_jaccard") >= threshold)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+             .filter(F.col("est_jaccard") >= threshold))
+            _guarded_rows_append(matches, out_path, batch_id)
 
         if idx is not None:     # nothing to probe on the first batch
             _guarded_append(spark, out_path, batch_id, write_matches)
@@ -399,11 +398,11 @@ def streaming_paragraph_dedup(docs: DataFrame, index_path: str,
             if idx is not None:
                 best = best.join(idx.select("ph"), "ph", "left_anti")
             fresh = best.localCheckpoint(eager=True)  # two consumers
-            (fresh.select(F.col("k.doc_id").alias("doc_id"),
-                          F.col("k.pidx").alias("pidx"),
-                          F.col("k.source").alias("source"),
-                          "ph", F.lit(batch_id).alias("batch_id"))
-                  .write.mode("append").parquet(out_path))
+            _guarded_rows_append(
+                fresh.select(F.col("k.doc_id").alias("doc_id"),
+                             F.col("k.pidx").alias("pidx"),
+                             F.col("k.source").alias("source"), "ph"),
+                out_path, batch_id)
             fresh.select("ph").write.mode("append").parquet(index_path)
 
         _guarded_append(spark, out_path, batch_id, write, repair)
@@ -464,9 +463,8 @@ def streaming_source_leakage(docs: DataFrame, index_path: str,
                              ["source", "ph"], "left_anti")
             sp.write.mode("append").parquet(index_path)
             full = spark.read.parquet(index_path).distinct()  # replay-safe
-            (leakage_matrix(full)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+            _guarded_rows_append(leakage_matrix(full), out_path,
+                                 batch_id)
 
         _guarded_append(spark, out_path, batch_id, write)
 
