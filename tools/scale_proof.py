@@ -80,6 +80,8 @@ SLOW_SECONDARY = [
     # r16 registry additions
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
     "mm_decode_video",
+    # r17 registry addition
+    "ann_pq_recall_knee",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
@@ -254,6 +256,9 @@ RATIO_NOTES = {
         "rows x nprobe; the brute-truth leg is the corpus scan the "
         "index exists to replace — audit-only, per-query constants "
         "dominate",
+    "ann_pq_recall_knee": "one PQ fit per codebook-size leg (3 fits, "
+        "each corpus-linear grouped Lloyd's) + the shared brute-truth "
+        "leg; audit-only — the production path fits ONCE",
 }
 # nothing is excluded from the sf1 run any more: set_sim_join (the
 # one historical exclusion — r13 measured its unsharded exact form at
