@@ -416,3 +416,52 @@ def test_bucketed_running_equals_naive_window(spark, rows, n_buckets):
                 F.max("m").over(cum_in).alias("m_in"),
                 F.max("m").over(cum_ex).alias("m_ex")).collect()}
     assert got == want
+
+
+# -- local-IO fast path parity (r17): writer x reader x geometry -----------
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_local_and_spark_paths_agree_random_geometry(spark,
+                                                     tmp_path_factory,
+                                                     data):
+    # the driver-local pyarrow path and the Spark path must return the
+    # SAME voxels for any geometry, whichever side wrote the chunks —
+    # the property form of tests/test_local_io.py's fixed cases
+    from bigarrays_jl_spark.infos import Info
+    from bigarrays_jl_spark.volume import Volume
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    c = data.draw(st.sampled_from([4, 8, 16]))
+    vol_shape = [data.draw(st.integers(1, 3)) * c for _ in range(3)]
+    offset = [data.draw(st.integers(-3, 3)) * c +
+              data.draw(st.integers(-2, 2)) for _ in range(3)]
+    enc = data.draw(st.sampled_from(["raw", "gzip"]))
+    info = Info.from_dict({
+        "num_channels": 1, "type": "image", "data_type": "uint16",
+        "scales": [{"encoding": enc, "chunk_sizes": [[c, c, c]],
+                    "key": "1_1_1", "resolution": [1, 1, 1],
+                    "voxel_offset": offset, "size": vol_shape}]})
+    root = str(tmp_path_factory.mktemp("prop_lio")) + "/vol"
+    vol = Volume.create(spark, root, info)
+    vol.local_io = data.draw(st.booleans())          # random writer
+    arr = rng.integers(0, 2**16, size=tuple(vol_shape), dtype="uint16")
+    vol.write(arr, tuple(offset))
+    # random sub-box (may poke outside the volume: zero-fill territory)
+    x0 = [data.draw(st.integers(-2, s - 1)) for s in vol_shape]
+    x1 = [data.draw(st.integers(lo + 1, s + 2)) for lo, s in zip(x0, vol_shape)]
+    box = tuple((o + a, o + b) for o, a, b in zip(offset, x0, x1))
+    vol.local_io = True
+    got_local, o1 = vol.cutout(box)
+    vol.local_io = False
+    got_spark, o2 = vol.cutout(box)
+    assert o1 == o2 and (got_local == got_spark).all()
+    # and both equal the zero-padded numpy oracle
+    want = np.zeros(ix.box_shape(box), dtype="uint16")
+    il = [max(0, a) for a in x0]
+    ih = [min(s, b) for s, b in zip(vol_shape, x1)]
+    if all(lo < hi for lo, hi in zip(il, ih)):
+        dst = tuple(slice(lo - a, hi - a)
+                    for lo, hi, a in zip(il, ih, x0))
+        want[dst] = arr[tuple(slice(lo, hi) for lo, hi in zip(il, ih))]
+    assert (got_local == want).all()

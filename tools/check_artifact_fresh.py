@@ -88,10 +88,22 @@ DOC_CLAIMS = (
     ("SCALE.md", r"sf0\.1→sf1 \(([0-9.]+)×, was 453", "SCALE_SF1.json",
      lambda a: a["queries"]["set_sim_join"]["ratio"],
      "set_sim_join sf1 ratio"),
-    ("SCALE.md", r"\*\*([0-9]+) queries, 0 super-linear", "SCALE_SF1.json",
-     lambda a: a["n_queries"], "scale-proof query count"),
-    ("README.md", r"all ([0-9]+) registered queries", "ORACLE_FULL.json",
-     lambda a: a["n_queries"], "registry query count"),
+    # NOT claimed: figures the docs stamp to a PAST round ("55 queries
+    # (r12 close)", "244 as of round 13") are history, not live claims
+    # — checking them against the current artifact would flag every
+    # legitimate registry growth.
+    ("SCALE.md", r"`streaming_curate` late/early \*\*([0-9.]+)\*\*",
+     "SCALE_STREAM.json",
+     lambda a: a["bridges"]["streaming_curate"]["late_vs_early"],
+     "streaming_curate late/early ratio"),
+    ("SCALE.md", r"`streaming_minhash_neardup`\s+\*\*([0-9.]+)\*\*",
+     "SCALE_STREAM.json",
+     lambda a: a["bridges"]["streaming_minhash_neardup"]["late_vs_early"],
+     "streaming_minhash_neardup late/early ratio"),
+    ("SCALE.md", r"`streaming_ann_ingest`\s+\*\*([0-9.]+)\*\*",
+     "SCALE_STREAM.json",
+     lambda a: a["bridges"]["streaming_ann_ingest"]["late_vs_early"],
+     "streaming_ann_ingest late/early ratio"),
 )
 
 
