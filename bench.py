@@ -223,9 +223,21 @@ def run_volume_distributed_bench(spark) -> dict[str, float]:
         total = vol.voxels().agg(F.sum("value").alias("s")).collect()[0].s
         r = time.time() - t0
         assert total > 0
+        # same aggregation through the voxel source's MAP-SIDE column
+        # pruning (voxels(columns=("value",)) — Catalyst can't push
+        # pruning through a Python batch fn, so the engine exposes it
+        # as an argument; a value-only read ships ~1/5 the Arrow bytes.
+        # Reported separately so the full-row and pruned paths are both
+        # on the record.
+        t0 = time.time()
+        total_p = (vol.voxels(columns=("value",))
+                   .agg(F.sum("value").alias("s")).collect()[0].s)
+        rp = time.time() - t0
+        assert total_p == total
         return {"dist_scan_mb_s": round(mb / s, 2),
                 "dist_ingest_mb_s": round(mb / w, 2),
-                "dist_read_mb_s": round(mb / r, 2)}
+                "dist_read_mb_s": round(mb / r, 2),
+                "dist_read_pruned_mb_s": round(mb / rp, 2)}
 
 
 def stage_scan_probe(spark, td: str):
