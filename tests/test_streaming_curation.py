@@ -327,3 +327,29 @@ def test_guarded_append_control_flow(spark, tmp_path):
     assert guarded_append(spark, out, 1, write1) is True
     assert calls == ["write", "repair", "write1"]
     assert spark.read.parquet(out).count() == 2
+
+
+def test_guarded_rows_append_partitions_and_guards(spark, tmp_path):
+    """The shared guarded-write layout (replay.guarded_rows_append):
+    rows land under batch_id=N directories, the exactly-once guard
+    sees them, and the guard's read plan prunes to the one batch's
+    partition."""
+    import os
+
+    from bigarrays_jl_spark.streaming.replay import (batch_already_in,
+                                                     guarded_rows_append)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    guarded_rows_append(df, out, 0)
+    guarded_rows_append(df.limit(1), out, 1)
+    names = sorted(n for n in os.listdir(out) if n.startswith("batch_id="))
+    assert names == ["batch_id=0", "batch_id=1"]
+    assert batch_already_in(spark, out, 0)
+    assert batch_already_in(spark, out, 1)
+    assert not batch_already_in(spark, out, 2)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    plan = (back.filter(F.col("batch_id") == 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "batch_id" in \
+        plan.split("PartitionFilters")[1].split("]")[0]
