@@ -146,12 +146,15 @@ def run_bridge(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != json_out]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    # argparse from the start (the r16 advice on check_oracle.py's
+    # hand-rolled loop applies to every tool: flags must parse the
+    # same wherever they appear)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", dest="json_out", metavar="OUT.json")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ns = ap.parse_args()
+    json_out, sf_dir = ns.json_out, ns.sf_dir
 
     from bigarrays_jl_spark.session import get_spark
     spark = get_spark("scale-stream-proof")
