@@ -1,5 +1,5 @@
 """Streaming scale proof (r16 verdict task 3): SCALE_SF1.json covers
-86 BATCH queries; this tool covers the streaming leg — the risk batch
+the BATCH queries; this tool covers the streaming leg — the risk batch
 ratios cannot see is a batch×index join whose cost creeps SUPER-LINEARLY
 as the durable index outgrows the batch.
 
