@@ -136,10 +136,56 @@ def guarded_rows_append(df: DataFrame, out_path: str,
     rereads) the whole corpus-sized output (r16 verdict task 2 — first
     applied to streaming_curate, then adopted by every guarded
     bridge).  Layout note: partitioned and unpartitioned appends must
-    not mix in one directory — a stream output created before this
-    layout must be drained or migrated, not appended to."""
+    not mix in one directory — migrate a stream output created before
+    this layout with ``migrate_to_partitioned`` (stream stopped)
+    before appending to it."""
     (df.withColumn("batch_id", F.lit(batch_id))
      .write.mode("append").partitionBy("batch_id").parquet(out_path))
+
+
+def migrate_to_partitioned(spark: SparkSession, path: str) -> int:
+    """One-time migration of a pre-partitioning guarded output (flat
+    parquet with a ``batch_id`` column) to the ``batch_id=N`` layout
+    ``guarded_rows_append`` writes.  Rewrites into a sibling temp dir
+    then swaps via two renames (the ``_rewrite_mip`` idiom: the crash
+    window leaves either the old dir or a complete new dir, never a
+    half state — ``.old`` is removed last).  Run it ONCE, with the
+    stream stopped.  Returns the number of rows migrated; no-op (0)
+    when the directory already has partition subdirs or does not
+    exist."""
+    from py4j.protocol import Py4JJavaError
+    df = read_index_or_none(spark, path)
+    if df is None:
+        return 0
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    try:
+        entries = fs.listStatus(jpath)
+    except Py4JJavaError:
+        return 0
+    if any(st.getPath().getName().startswith("batch_id=")
+           for st in entries):
+        return 0                        # already migrated
+    if "batch_id" not in df.columns:
+        raise ValueError(
+            f"{path} has no batch_id column — not a guarded output")
+    n = df.count()
+    tmp = path.rstrip("/") + ".migrating"
+    old = path.rstrip("/") + ".old"
+    (df.write.mode("overwrite").partitionBy("batch_id").parquet(tmp))
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise RuntimeError(f"rename {path} -> {old} failed")
+    if not fs.rename(jtmp, jpath):
+        # roll back so the reader never sees a missing dir
+        fs.rename(jold, jpath)
+        raise RuntimeError(f"rename {tmp} -> {path} failed; rolled back")
+    fs.delete(jold, True)
+    return n
 
 
 def merged_partials(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -353,3 +353,41 @@ def test_guarded_rows_append_partitions_and_guards(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "batch_id" in \
         plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_migrate_to_partitioned_roundtrip(spark, tmp_path):
+    """A pre-r17 flat guarded output migrates to the batch_id=N layout
+    with identical rows, the guard keeps working, and re-running the
+    migration is a no-op."""
+    import os
+
+    from bigarrays_jl_spark.streaming.replay import (batch_already_in,
+                                                     guarded_rows_append,
+                                                     migrate_to_partitioned)
+    out = str(tmp_path / "out")
+    legacy = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+        "k long, v string, batch_id long")
+    legacy.write.parquet(out)                       # old flat layout
+    assert migrate_to_partitioned(spark, out) == 3
+    assert sorted(n for n in os.listdir(out)
+                  if n.startswith("batch_id=")) == ["batch_id=0",
+                                                    "batch_id=1"]
+    got = {(r.k, r.v, int(r.batch_id))
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a", 0), (2, "b", 0), (3, "c", 1)}
+    assert batch_already_in(spark, out, 1)
+    assert not batch_already_in(spark, out, 2)
+    # idempotent, and the new writer appends cleanly afterwards
+    assert migrate_to_partitioned(spark, out) == 0
+    guarded_rows_append(
+        spark.createDataFrame([(4, "d")], "k long, v string"), out, 2)
+    assert batch_already_in(spark, out, 2)
+    assert spark.read.parquet(out).count() == 4
+    # missing dir and non-guarded tables are rejected/no-ops
+    assert migrate_to_partitioned(spark, str(tmp_path / "nope")) == 0
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "k long").write.parquet(plain)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no batch_id column"):
+        migrate_to_partitioned(spark, plain)
