@@ -202,16 +202,30 @@ IVFPQ_NPROBES = (1, 2, 4)
 
 
 def ann_ivfpq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from bigarrays_jl_spark.operators.similarity import (TOP_K, _pq_fit,
-                                                         ann_cosine_topk,
-                                                         ann_ivf_pq_topk)
+    from bigarrays_jl_spark.operators.similarity import (TOP_K,
+                                                         _ivf_pq_scored,
+                                                         _pq_fit,
+                                                         ann_cosine_topk)
+    from pyspark.sql import Window as W
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
     qids = brute.select("qid").distinct()
     fit = _pq_fit(spark, sf)             # ONE fit shared by all legs
+    # ONE code scan at max nprobe, probe rank r kept: a vector belongs
+    # to exactly one coarse cell and its ADC approx_dot is independent
+    # of which probe routed it, so filtering r <= nprobe reproduces each
+    # smaller leg's candidate set exactly (3 routing+scan passes -> 1).
+    scored = materialize(
+        _ivf_pq_scored(spark, sf, nprobe=max(IVFPQ_NPROBES), fit=fit,
+                       keep_rank=True)
+        .select("qid", "vec_id", "r", "approx_dot"), eager=False)
 
     def leg(nprobe: int) -> DataFrame:
-        approx = ann_ivf_pq_topk(spark, sf, nprobe=nprobe, fit=fit)
+        w = W.partitionBy("qid").orderBy(F.col("approx_dot").desc(),
+                                         F.col("vec_id"))
+        approx = (scored.filter(F.col("r") <= nprobe)
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K))
         hits = (approx.select("qid", "vec_id")
                 .join(brute, ["qid", "vec_id"], "left_semi")
                 .groupBy("qid").agg(F.count("*").alias("h")))

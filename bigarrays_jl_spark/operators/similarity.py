@@ -287,9 +287,16 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COS_THRESHOLD}
 _cosine = _cosine_fn
 
 
-def _ivf_routed(spark: SparkSession, sf: str, nprobe: int):
+def _ivf_routed(spark: SparkSession, sf: str, nprobe: int,
+                keep_rank: bool = False):
     """(corpus, routed) where routed holds each query's ``nprobe``
-    nearest coarse cells — the shared IVF search front-end."""
+    nearest coarse cells — the shared IVF search front-end.
+
+    ``keep_rank=True`` also returns the probe rank ``r`` (1 = nearest
+    cell), letting one max-nprobe scan serve every smaller-nprobe leg of
+    a recall sweep: a vector belongs to exactly one cell, so filtering
+    the scored candidates on ``r <= nprobe`` reproduces the smaller
+    leg's candidate set exactly (round16.ann_ivfpq_recall_audit)."""
     e = load(spark, sf, "embeddings")
     # coarse quantizer: per-label elementwise-mean centroid (two-level
     # reduction — the same plan shape a k-means E-step emits at scale)
@@ -308,7 +315,8 @@ def _ivf_routed(spark: SparkSession, sf: str, nprobe: int):
                .withColumn("r", F.row_number().over(
                    W.partitionBy("qid").orderBy(F.col("score").desc(), "label")))
                .filter(F.col("r") <= nprobe)
-               .select("qid", "qe", F.col("label").alias("probe")))
+               .select("qid", "qe", F.col("label").alias("probe"),
+                       *(["r"] if keep_rank else [])))
     return e, routed
 
 
@@ -775,6 +783,9 @@ def _pq_l2(a, b):
 
 
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    # (an A/B against min_by-over-struct aggregation measured the window
+    # FASTER here: the struct buffer carries the 16-dim subvector, which
+    # forces ObjectHashAggregate out of whole-stage codegen)
     return (sub.join(F.broadcast(cent), "s")
             .withColumn("d2", _pq_l2(F.col("sv"), F.col("centroid")))
             .withColumn("r", F.row_number().over(
@@ -789,7 +800,12 @@ def _pq_fit(spark: SparkSession, sf: str,
     all PQ_M subspace codebooks fit in ONE chain (subspace is just
     another grouping key).  Defaults are the oracle-paired demo config;
     tests pass a production-shaped ``pq_k`` (codebook size) to grade
-    recall on structured data."""
+    recall on structured data.
+
+    (A lineage-truncating localCheckpoint on the final ``cent`` was
+    A/B-measured slower here — Spark's ReuseExchange already shares the
+    Lloyd chain across the codes/LUT branches, so the checkpoint only
+    added a persist round trip.)"""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     sub = _pq_sub(e, pq_m).localCheckpoint(eager=False)  # reused every round
     cent = (sub.filter(F.col("vec_id") < pq_k)
@@ -998,17 +1014,17 @@ WHERE rank <= {TOP_K}
 # touches more than the probed cells' code rows.
 # --------------------------------------------------------------------------
 
-def ann_ivf_pq_topk(spark: SparkSession, sf: str,
-                    pq_k: int = PQ_K, iters: int = PQ_ITERS,
-                    pq_m: int = PQ_M, nprobe: int = 1,
-                    fit=None) -> DataFrame:
-    # ``nprobe`` is the standard recall/cost knob (cells scanned per
-    # query); ``fit`` lets an audit share ONE (sub, cent, codes) PQ fit
-    # across several nprobe legs (round16.ann_ivfpq_recall_audit —
-    # the dedup_audit_pr shared-table idiom)
+def _ivf_pq_scored(spark: SparkSession, sf: str,
+                   pq_k: int = PQ_K, iters: int = PQ_ITERS,
+                   pq_m: int = PQ_M, nprobe: int = 1,
+                   fit=None, keep_rank: bool = False) -> DataFrame:
+    """ADC-scored IVF-PQ candidates (qid, probe, vec_id, approx_dot
+    [, r]) BEFORE top-k ranking — shared by ann_ivf_pq_topk and the
+    recall audit's single max-nprobe scan (approx_dot depends only on
+    (qid, vec_id), never on which probe routed the cell)."""
     sub, cent, codes = fit if fit is not None else _pq_fit(
         spark, sf, pq_k, iters, pq_m)
-    e, routed = _ivf_routed(spark, sf, nprobe=nprobe)
+    e, routed = _ivf_routed(spark, sf, nprobe=nprobe, keep_rank=keep_rank)
     codesl = codes.join(e.select("vec_id", "label"), "vec_id")
     q = (sub.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qs")))
@@ -1018,12 +1034,24 @@ def ann_ivf_pq_topk(spark: SparkSession, sf: str,
                     .cast("decimal(28,9)").alias("pd")))
     # prune FIRST (cell membership), pay the LUT lookup only on
     # surviving code rows
-    pruned = (codesl.join(F.broadcast(routed.select("qid", "probe")),
+    keys = ["qid", "probe"] + (["r"] if keep_rank else [])
+    pruned = (codesl.join(F.broadcast(routed.select(*keys)),
                           codesl["label"] == F.col("probe"))
               .filter(F.col("vec_id") != F.col("qid")))
-    scored = (pruned.join(F.broadcast(lut), ["qid", "s", "cell"])
-              .groupBy("qid", "probe", "vec_id")
-              .agg(F.round(F.sum("pd").cast("double"), 6).alias("approx_dot")))
+    return (pruned.join(F.broadcast(lut), ["qid", "s", "cell"])
+            .groupBy(*keys, "vec_id")
+            .agg(F.round(F.sum("pd").cast("double"), 6).alias("approx_dot")))
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf: str,
+                    pq_k: int = PQ_K, iters: int = PQ_ITERS,
+                    pq_m: int = PQ_M, nprobe: int = 1,
+                    fit=None) -> DataFrame:
+    # ``nprobe`` is the standard recall/cost knob (cells scanned per
+    # query); ``fit`` lets an audit share ONE (sub, cent, codes) PQ fit
+    # across several nprobe legs (round16.ann_ivfpq_recall_audit —
+    # the dedup_audit_pr shared-table idiom)
+    scored = _ivf_pq_scored(spark, sf, pq_k, iters, pq_m, nprobe, fit)
     w = W.partitionBy("qid").orderBy(F.col("approx_dot").desc(),
                                      F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
