@@ -118,10 +118,106 @@ brute AS (SELECT qid, vec_id FROM ({ANN_COSINE_TOPK_SQL}) bb)
 ANN_PQ_RECALL_KNEE_SQL = _knee_sql()
 
 
+# --------------------------------------------------------------------------
+# dedup_span_excise — span-level duplicated-text EXCISION census (the
+# "deduplicating training data" substring family's removal step;
+# dedup_exact_substring only DETECTS shared runs between doc pairs).
+# First occurrence wins: for every distinct RUN_LEN-token window, the
+# globally earliest (doc_id, pos) occurrence is canonical; every other
+# occurrence — in later docs OR later in the same doc — marks its
+# RUN_LEN token positions for excision.  Output is the per-doc census
+# (n_tok, n_dup_win, n_excised, n_clean_tok) a curation pipeline uses
+# to decide span-dedup savings before rewriting text.
+#
+# Scale shape: NO pair join anywhere (the detection op needs a df cap
+# to bound its inverted-index self-join; excision doesn't — each
+# occurrence contributes exactly one row).  Shuffles are (1) one
+# window-hash groupBy + equi-join, O(total windows) compact md5 keys,
+# and (2) one per-doc distinct over covered positions, fan-out bounded
+# by the constant RUN_LEN.  A license header repeated a million times
+# costs a million rows — linear — not the million² a pair join pays.
+# --------------------------------------------------------------------------
+
+def dedup_span_excise(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.functions.expressions import (shingle_array,
+                                                          tokens)
+    from bigarrays_jl_spark.operators.dedup import RUN_LEN
+    from bigarrays_jl_spark.sources.tables import load
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens().alias("t"))
+    base = toks.select("doc_id", F.size("t").alias("n_tok"))
+    wins = (toks.filter(F.size("t") >= RUN_LEN)
+            .select("doc_id",
+                    F.posexplode(shingle_array("t", RUN_LEN))
+                     .alias("pos0", "w"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.md5("w").alias("h")))
+    # canonical occurrence per window content: lexicographic min
+    # (doc_id, pos) — identical to row_number ORDER BY doc_id, pos
+    canon = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("c"))
+    nc = (wins.join(canon, "h")
+          .filter((F.col("doc_id") != F.col("c.doc_id"))
+                  | (F.col("pos") != F.col("c.pos"))))
+    ndup = nc.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
+    cov = (nc.select("doc_id",
+                     F.explode(F.sequence(
+                         F.col("pos"),
+                         F.col("pos") + F.lit(RUN_LEN - 1))).alias("p"))
+           .distinct()
+           .groupBy("doc_id").agg(F.count("*").alias("n_excised")))
+    return (base.join(ndup, "doc_id", "left").join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tok").cast("bigint").alias("n_tok"),
+                    F.coalesce("n_dup_win", F.lit(0)).cast("bigint")
+                     .alias("n_dup_win"),
+                    F.coalesce("n_excised", F.lit(0)).cast("bigint")
+                     .alias("n_excised"),
+                    (F.col("n_tok") - F.coalesce("n_excised", F.lit(0)))
+                     .cast("bigint").alias("n_clean_tok")))
+
+
+def _span_excise_sql() -> str:
+    from bigarrays_jl_spark.operators.dedup import RUN_LEN
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (SELECT doc_id, len(t) AS n_tok FROM toks),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{RUN_LEN - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {RUN_LEN - 1})) u(i)
+  WHERE len(t) >= {RUN_LEN}),
+rn AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins),
+nc AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
+ndup AS (SELECT doc_id, count(*) AS n_dup_win FROM nc GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, count(*) AS n_excised FROM (
+    SELECT DISTINCT doc_id, pos + j AS p
+    FROM nc, UNNEST(generate_series(0, {RUN_LEN - 1})) v(j)) cp
+  GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(n.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+       CAST(coalesce(c.n_excised, 0) AS BIGINT) AS n_excised,
+       CAST(b.n_tok - coalesce(c.n_excised, 0) AS BIGINT) AS n_clean_tok
+FROM base b
+LEFT JOIN ndup n ON n.doc_id = b.doc_id
+LEFT JOIN cov c ON c.doc_id = b.doc_id
+"""
+
+
+DEDUP_SPAN_EXCISE_SQL = _span_excise_sql()
+
+
 QUERIES = {
     "ann_pq_recall_knee": ann_pq_recall_knee,
+    "dedup_span_excise": dedup_span_excise,
 }
 
 ORACLES = {
     "ann_pq_recall_knee": ANN_PQ_RECALL_KNEE_SQL,
+    "dedup_span_excise": DEDUP_SPAN_EXCISE_SQL,
 }
