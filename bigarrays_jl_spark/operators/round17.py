@@ -131,14 +131,22 @@ ANN_PQ_RECALL_KNEE_SQL = _knee_sql()
 #
 # Scale shape: NO pair join anywhere (the detection op needs a df cap
 # to bound its inverted-index self-join; excision doesn't — each
-# occurrence contributes exactly one row).  Shuffles are (1) one
-# window-hash groupBy + equi-join, O(total windows) compact md5 keys,
-# and (2) one per-doc distinct over covered positions, fan-out bounded
-# by the constant RUN_LEN.  A license header repeated a million times
-# costs a million rows — linear — not the million² a pair join pays.
+# occurrence contributes exactly one row).  Shuffles are (1) ONE
+# window-hash shuffle (the canonical-marking window below), O(total
+# windows) compact md5 keys, and (2) one per-doc distinct over covered
+# positions, fan-out bounded by the constant RUN_LEN.  A license header
+# repeated a million times costs a million rows — linear — not the
+# million² a pair join pays.  Hot-key note: a groupBy-min + join-back
+# alternative (AQE skew-splittable, map-side-combined canon) was
+# A/B-measured 1.7× slower at sf0.1 — it re-shuffles every window row
+# for the join anyway; the window form pays one sort per hash key
+# instead, so only a corpus DOMINATED by one verbatim span (one key
+# holding a meaningful fraction of all windows in a single sort task)
+# would prefer the join form.
 # --------------------------------------------------------------------------
 
 def dedup_span_excise(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
     from bigarrays_jl_spark.functions.expressions import (shingle_array,
                                                           tokens)
     from bigarrays_jl_spark.operators.dedup import RUN_LEN
@@ -152,12 +160,11 @@ def dedup_span_excise(spark: SparkSession, sf: str) -> DataFrame:
                      .alias("pos0", "w"))
             .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                     F.md5("w").alias("h")))
-    # canonical occurrence per window content: lexicographic min
-    # (doc_id, pos) — identical to row_number ORDER BY doc_id, pos
-    canon = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("c"))
-    nc = (wins.join(canon, "h")
-          .filter((F.col("doc_id") != F.col("c.doc_id"))
-                  | (F.col("pos") != F.col("c.pos"))))
+    # canonical occurrence per window content = rn 1 under
+    # (doc_id, pos) — everything later is a duplicated span
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "pos"))
+    nc = (wins.withColumn("rn", rn).filter(F.col("rn") > 1)
+          .select("doc_id", "pos"))
     ndup = nc.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
     cov = (nc.select("doc_id",
                      F.explode(F.sequence(

@@ -80,8 +80,8 @@ SLOW_SECONDARY = [
     # r16 registry additions
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
     "mm_decode_video",
-    # r17 registry addition
-    "ann_pq_recall_knee",
+    # r17 registry additions
+    "ann_pq_recall_knee", "dedup_span_excise",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
