@@ -10,6 +10,9 @@ bridges and record per-batch wall time:
 
   - ``streaming_curate``        (3 durable indexes: fp / grams / bitset)
   - ``streaming_minhash_neardup`` (band-signature index probe)
+  - ``streaming_span_excise``   (window-hash index probe — the index
+                                 grows by ~every batch window, the
+                                 largest per-batch index delta here)
   - ``streaming_ann_ingest``    (cell-partitioned index, append-only —
                                  flat by construction; included as the
                                  verdict named it)
@@ -119,6 +122,16 @@ def run_bridge(spark, name: str, sf_dir: str) -> dict:
                     s, os.path.join(wd, "idx"), os.path.join(wd, "out"),
                     os.path.join(wd, "ckpt")),
                 wd)
+        elif name == "streaming_span_excise":
+            from bigarrays_jl_spark.streaming.span import \
+                streaming_span_excise
+            batches = _batches_docs(spark, sf_dir)
+            times = _drive(
+                spark, batches, batches[0].schema,
+                lambda s: streaming_span_excise(
+                    s, os.path.join(wd, "idx"), os.path.join(wd, "out"),
+                    os.path.join(wd, "ckpt")),
+                wd)
         elif name == "streaming_ann_ingest":
             from bigarrays_jl_spark.operators.similarity import _kmeans_fit
             from bigarrays_jl_spark.streaming.ann import streaming_ann_ingest
@@ -160,7 +173,7 @@ def main() -> int:
     spark = get_spark("scale-stream-proof")
     report = {}
     for name in ("streaming_curate", "streaming_minhash_neardup",
-                 "streaming_ann_ingest"):
+                 "streaming_span_excise", "streaming_ann_ingest"):
         report[name] = run_bridge(spark, name, sf_dir)
         print(f"{name}: per-batch {report[name]['per_batch_s']} "
               f"late/early={report[name]['late_vs_early']} "
