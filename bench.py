@@ -84,6 +84,8 @@ SECONDARY = [
     # r16 additions
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
     "mm_decode_video",
+    # r17 additions
+    "ann_pq_recall_knee", "dedup_span_excise",
 ]
 
 

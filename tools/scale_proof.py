@@ -86,6 +86,9 @@ SLOW_SECONDARY = [
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
 RATIO_NOTES = {
+    "dedup_exact": "sub-second at BOTH sizes (0.3-0.8s): one digest "
+        "shuffle whose wall time is scheduling overhead, so the ratio "
+        "is a noise quotient of two floor measurements, not growth",
     "dedup_ngram_jaccard": "candidate-pair output grows with corpus "
         "dup saturation (r13: the sf1 corpus now draws from a "
         "Heaps-law vocab, 31→98 words, so saturation no longer "
