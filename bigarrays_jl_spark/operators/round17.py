@@ -33,15 +33,22 @@ KNEE_KS = (4, 8, 32)
 
 
 def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
-    from bigarrays_jl_spark.operators.similarity import (TOP_K,
+    from bigarrays_jl_spark.operators.similarity import (TOP_K, _pq_fit,
+                                                         _pq_sub,
                                                          ann_cosine_topk,
                                                          ann_pq_topk)
+    from bigarrays_jl_spark.sources.tables import load
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
     qids = brute.select("qid").distinct()
+    # ONE subvector table for every leg (it depends only on pq_m, not
+    # the swept codebook size); each leg fits its own codebook on it
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    sub = _pq_sub(e).localCheckpoint(eager=False)
 
     def leg(pq_k: int) -> DataFrame:
-        approx = ann_pq_topk(spark, sf, pq_k=pq_k)
+        approx = ann_pq_topk(spark, sf, pq_k=pq_k,
+                             fit=_pq_fit(spark, sf, pq_k=pq_k, sub=sub))
         hits = (approx.select("qid", "vec_id")
                 .join(brute, ["qid", "vec_id"], "left_semi")
                 .groupBy("qid").agg(F.count("*").alias("h")))

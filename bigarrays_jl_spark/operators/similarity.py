@@ -795,7 +795,8 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _pq_fit(spark: SparkSession, sf: str,
-            pq_k: int = PQ_K, iters: int = PQ_ITERS, pq_m: int = PQ_M):
+            pq_k: int = PQ_K, iters: int = PQ_ITERS, pq_m: int = PQ_M,
+            sub: DataFrame | None = None):
     """(sub, codebooks, codes) after ``iters`` grouped Lloyd's rounds —
     all PQ_M subspace codebooks fit in ONE chain (subspace is just
     another grouping key).  Defaults are the oracle-paired demo config;
@@ -806,8 +807,12 @@ def _pq_fit(spark: SparkSession, sf: str,
     A/B-measured slower here — Spark's ReuseExchange already shares the
     Lloyd chain across the codes/LUT branches, so the checkpoint only
     added a persist round trip.)"""
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    sub = _pq_sub(e, pq_m).localCheckpoint(eager=False)  # reused every round
+    if sub is None:
+        e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+        # reused every round — and shareable ACROSS fits: the subvector
+        # table depends only on pq_m, so a codebook-size sweep
+        # (round17.ann_pq_recall_knee) passes one table to every leg
+        sub = _pq_sub(e, pq_m).localCheckpoint(eager=False)
     cent = (sub.filter(F.col("vec_id") < pq_k)
             .select("s", F.col("vec_id").alias("cell"),
                     F.col("sv").alias("centroid")))
@@ -827,8 +832,11 @@ def _pq_fit(spark: SparkSession, sf: str,
 
 def ann_pq_topk(spark: SparkSession, sf: str,
                 pq_k: int = PQ_K, iters: int = PQ_ITERS,
-                pq_m: int = PQ_M) -> DataFrame:
-    sub, cent, codes = _pq_fit(spark, sf, pq_k, iters, pq_m)
+                pq_m: int = PQ_M, fit=None) -> DataFrame:
+    # ``fit`` lets a sweep share tables across legs (the knee shares
+    # ONE subvector table; each leg still fits its own codebook)
+    sub, cent, codes = fit if fit is not None else _pq_fit(
+        spark, sf, pq_k, iters, pq_m)
     q = (sub.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qs")))
     # ADC lookup table: N_QUERIES x PQ_M x PQ_K partial dots (tiny,
