@@ -85,7 +85,7 @@ SECONDARY = [
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
     "mm_decode_video",
     # r17 additions
-    "ann_pq_recall_knee", "dedup_span_excise",
+    "ann_pq_recall_knee", "dedup_span_excise", "pipeline_temperature_mix",
 ]
 
 

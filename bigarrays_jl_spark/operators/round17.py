@@ -226,12 +226,106 @@ LEFT JOIN cov c ON c.doc_id = b.doc_id
 DEDUP_SPAN_EXCISE_SQL = _span_excise_sql()
 
 
+# --------------------------------------------------------------------------
+# pipeline_temperature_mix — temperature-scaled language mixing (the
+# XLM-R/mT5 multilingual sampling knob): per-language share p_l is
+# re-weighted to p_l^(1/T) and renormalized, flattening head-language
+# dominance, then an integer BUDGET is allocated by largest-remainder
+# (floor every scaled weight, hand the leftover +1s to the largest
+# fractional parts, ties by language code) so allocations sum EXACTLY
+# to the budget.  The registry row pins T=2: p^(1/2) = sqrt(p), and
+# IEEE sqrt/division are correctly rounded on both engines, so the
+# integer allocation is bit-deterministic cross-engine (arbitrary T is
+# a library parameter; pow's last-ulp is libm-dependent, which is why
+# the committed oracle row uses the sqrt special case).  Weight sums
+# ride exact decimals (the repo's decimal-sum canon) so double
+# accumulation order cannot leak in.
+#
+# Scale shape: one groupBy(lang) over the corpus (map-side combined),
+# then everything downstream operates on the LANGUAGE DOMAIN (a
+# value-domain-bounded table): the two broadcast single-row joins and
+# the largest-remainder rank theta-join are lang-domain × lang-domain
+# — fixed cost at any corpus size, no SinglePartition window.
+# --------------------------------------------------------------------------
+
+MIX_T = 2.0
+MIX_BUDGET = 100_000
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf: str,
+                             temperature: float = MIX_T,
+                             budget: int = MIX_BUDGET) -> DataFrame:
+    from bigarrays_jl_spark.sources.tables import load
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    c = (load(spark, sf, "documents").groupBy("lang")
+         .agg(F.count("*").cast("bigint").alias("n_docs")))
+    tot = c.agg(F.sum("n_docs").cast("double").alias("N"))
+    inv = 1.0 / temperature
+    raw = (F.col("n_docs") / F.col("N")) if inv == 1.0 else (
+        F.sqrt(F.col("n_docs") / F.col("N")) if inv == 0.5 else
+        F.pow(F.col("n_docs") / F.col("N"), F.lit(inv)))
+    w = (c.crossJoin(F.broadcast(tot))
+         .withColumn("w9", F.round(raw, 9).cast("decimal(18,9)")))
+    z = w.agg(F.sum("w9").alias("Z"))
+    d = (w.crossJoin(F.broadcast(z))
+         .withColumn("wn", F.round(F.col("w9").cast("double")
+                                   / F.col("Z").cast("double"), 9))
+         .withColumn("x", F.lit(budget) * F.col("wn"))
+         .withColumn("fl", F.floor("x").cast("bigint"))
+         .withColumn("frac", F.round(F.col("x") - F.floor("x"), 9)))
+    rem = d.agg((F.lit(budget) - F.sum("fl")).cast("bigint").alias("rem"))
+    peers = d.select(F.col("lang").alias("l2"), F.col("frac").alias("f2"))
+    rnk = (d.join(F.broadcast(peers),
+                  (F.col("f2") > F.col("frac"))
+                  | ((F.col("f2") == F.col("frac"))
+                     & (F.col("l2") < F.col("lang"))), "left")
+           .groupBy("lang").agg(F.count("l2").alias("rnk")))
+    return (d.join(rnk, "lang").crossJoin(F.broadcast(rem))
+            .select("lang", "n_docs",
+                    F.round(F.col("n_docs") / F.col("N"), 6).alias("share"),
+                    F.round("wn", 6).alias("weight"),
+                    (F.col("fl") + F.when(F.col("rnk") < F.col("rem"), 1)
+                     .otherwise(0)).cast("bigint").alias("alloc")))
+
+
+PIPELINE_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM c),
+w AS (SELECT lang, n_docs,
+             CAST(round(sqrt(n_docs / N), 9) AS DECIMAL(18,9)) AS w9
+      FROM c, t),
+z AS (SELECT sum(w9) AS Z FROM w),
+d AS (SELECT lang, n_docs, round(CAST(w9 AS DOUBLE) / CAST(Z AS DOUBLE),
+             9) AS wn FROM w, z),
+f AS (SELECT lang, n_docs, wn,
+             CAST(floor({MIX_BUDGET} * wn) AS BIGINT) AS fl,
+             round({MIX_BUDGET} * wn - floor({MIX_BUDGET} * wn), 9)
+               AS frac
+      FROM d),
+r AS (SELECT CAST({MIX_BUDGET} - sum(fl) AS BIGINT) AS rem FROM f),
+rk AS (SELECT lang, (SELECT count(*) FROM f f2
+                     WHERE f2.frac > f.frac
+                        OR (f2.frac = f.frac AND f2.lang < f.lang))
+               AS rnk
+       FROM f)
+SELECT f.lang, f.n_docs, round(f.n_docs / t.N, 6) AS share,
+       round(f.wn, 6) AS weight,
+       CAST(f.fl + CASE WHEN rk.rnk < r.rem THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM f JOIN rk ON rk.lang = f.lang, r, t
+"""
+
+
 QUERIES = {
     "ann_pq_recall_knee": ann_pq_recall_knee,
     "dedup_span_excise": dedup_span_excise,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
 }
 
 ORACLES = {
     "ann_pq_recall_knee": ANN_PQ_RECALL_KNEE_SQL,
     "dedup_span_excise": DEDUP_SPAN_EXCISE_SQL,
+    "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
 }

@@ -84,3 +84,35 @@ def test_span_excise_plan_has_no_pair_join(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round17 import (
+        MIX_BUDGET, pipeline_temperature_mix)
+    rows = pipeline_temperature_mix(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == MIX_BUDGET
+    # T=2 flattens: the head language's weight drops below its raw
+    # share, tail languages rise above theirs
+    head = max(rows, key=lambda r: r.share)
+    tail = min(rows, key=lambda r: r.share)
+    assert head.weight < head.share
+    assert tail.weight > tail.share
+    # weights still order like shares (monotone transform)
+    by_share = sorted(rows, key=lambda r: (r.share, r.lang))
+    assert by_share == sorted(rows, key=lambda r: (r.weight, r.lang))
+
+
+def test_temperature_mix_t1_is_proportional(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round17 import (
+        pipeline_temperature_mix)
+    rows = pipeline_temperature_mix(spark, sf_dir, temperature=1.0) \
+        .collect()
+    for r in rows:
+        assert abs(r.weight - r.share) < 1e-6, (r.lang, r.share, r.weight)
+
+
+def test_temperature_mix_rejects_bad_temperature(spark, sf_dir):
+    from bigarrays_jl_spark.operators.round17 import (
+        pipeline_temperature_mix)
+    with pytest.raises(ValueError, match="positive"):
+        pipeline_temperature_mix(spark, sf_dir, temperature=0)

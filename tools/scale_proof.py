@@ -81,7 +81,7 @@ SLOW_SECONDARY = [
     "pipeline_e2e_curate", "mm_decode_audio", "ann_ivfpq_recall_audit",
     "mm_decode_video",
     # r17 registry additions
-    "ann_pq_recall_knee", "dedup_span_excise",
+    "ann_pq_recall_knee", "dedup_span_excise", "pipeline_temperature_mix",
 ]
 # per-query notes for artifact ratios > 2× — fixed overhead vs growth
 # (r11 verdict task 3); keyed by name, written into the artifact
