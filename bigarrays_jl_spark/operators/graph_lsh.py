@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.operators.graph import DAMPING, N_ITER, RANK_DIGITS
 from bigarrays_jl_spark.operators.similarity import (SIM_LSH_PAIRS_SQL,
                                                      sim_lsh_pairs)
@@ -74,8 +75,14 @@ def graph_pagerank_lsh(spark: SparkSession, sf: str) -> DataFrame:
     edges = _lsh_edges(spark, sf)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").cast("double").alias("n"))
-    base = (deg.select(F.col("src").alias("vec_id"), "deg")
-               .crossJoin(F.broadcast(n)))
+    # base is referenced once per unrolled iteration (N_ITER + 1 plan
+    # occurrences) — materialize the node-sized table once so the deg
+    # groupBy + count agg don't re-run per iteration in the one big
+    # lineage (the checkpointed edges table only deduped edge
+    # DISCOVERY, not this aggregate)
+    base = materialize(
+        deg.select(F.col("src").alias("vec_id"), "deg")
+           .crossJoin(F.broadcast(n)), eager=False)
     ranks = base.select("vec_id", "deg", "n",
                         F.round(F.lit(1.0) / F.col("n"), RANK_DIGITS)
                          .alias("rank"))

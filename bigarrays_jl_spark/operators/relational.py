@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.sources.tables import load, register_views
+from bigarrays_jl_spark.sources.tables import fan_out, load, register_views
 
 
 def _r2(c):  # round-to-2 canonical double
@@ -51,7 +51,18 @@ def _davg2(c):
 # --------------------------------------------------------------------------
 
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    l = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # fan_out: the testdata arrives as ONE split (single row group), so
+    # the 8-way decimal partial aggregation — q01's dominant cost —
+    # ran single-threaded (guide §2.5 "input skew: one unsplittable
+    # file").  The guard repartition parallelizes it; decimal sums are
+    # order-independent so partitioning is value-invisible.  A/B at
+    # sf0.1: 2.67 → 1.72 s; the sibling scan-light queries (q03, q07,
+    # q13, q22) A/B-measured SLOWER with the same treatment (their map
+    # stages are cheap scans — the shuffle would cost more than it
+    # buys) and deliberately keep the plain scan.  On a multi-split
+    # cluster source fan_out is a no-op guard.
+    l = fan_out(spark, load(spark, sf, "lineitem")
+                .filter(F.col("l_shipdate") <= F.lit("1998-09-02")))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (l.groupBy("l_returnflag", "l_linestatus").agg(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.functions import tokens as _tokens
 from bigarrays_jl_spark.operators.graph_lsh import _LSH_EDGES_CTE, _lsh_edges
 from bigarrays_jl_spark.sources.tables import load
@@ -125,9 +126,14 @@ MIN_PAIR_SUP = 2
 def basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     li = (load(spark, sf, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
-    freq = (li.groupBy("l_partkey")
-            .agg(F.count("*").alias("item_sup"))
-            .filter(F.col("item_sup") >= MIN_ITEM_SUP))
+    # freq is consumed three times (the semi-join prune + both lift
+    # joins); each broadcast build re-ran the corpus distinct+groupBy
+    # without this materialization (item-domain-sized, tiny)
+    freq = materialize(
+        li.groupBy("l_partkey")
+          .agg(F.count("*").alias("item_sup"))
+          .filter(F.col("item_sup") >= MIN_ITEM_SUP),
+        eager=False)
     li2 = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey",
                   "semi").localCheckpoint(eager=False)
     n = li2.select("l_orderkey").distinct().agg(

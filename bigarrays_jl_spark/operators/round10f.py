@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 EMB_Q = 1_000_000
 
@@ -49,16 +49,32 @@ def q71_quantile_screen(spark: SparkSession, sf: str) -> DataFrame:
     el = e.select("label", "i",
                   F.round(F.col("x").cast("double") * EMB_Q)
                    .cast("bigint").alias("xi"))
-    hist = el.groupBy("i", "xi").agg(F.count("*").alias("w"))
+    # fold the exploded elements to (label, i, xi) cells FIRST: the
+    # ecdf histogram is then a cheap second-level fold of the cells
+    # (Σv over labels), and the percentile join-back runs on cells
+    # instead of raw elements — one n×64-row explode+shuffle instead
+    # of two (el previously fed hist AND the join as separate
+    # evaluations), and the join side is the (smaller) cell table
+    # (guide §2.3 "aggregate before you shuffle").  The checkpoint on
+    # elc matters: ReuseExchange does NOT match its two consumers
+    # (A/B: 2.5 s unmaterialized vs 1.2 s with it), and the cell table
+    # is value-domain × label bounded, never corpus-sized.
+    from bigarrays_jl_spark.checkpointing import materialize
+    elc = materialize(
+        el.groupBy("label", "i", "xi").agg(F.count("*").alias("v")),
+        eager=False)
+    hist = elc.groupBy("i", "xi").agg(F.sum("v").alias("w"))
     w_cum = (Window.partitionBy("i").orderBy("xi")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ecdf = hist.withColumn("cum", F.sum("w").over(w_cum))
     n = load(spark, sf, "embeddings").agg(
         F.count("*").cast("bigint").alias("n"))
-    return (el.join(ecdf.select("i", "xi", "cum"), ["i", "xi"])
+    # Σcum over elements ≡ Σcum·v over cells; count(*) ≡ Σv — exact
+    # integer folds, so the one double division sees identical operands
+    return (elc.join(ecdf.select("i", "xi", "cum"), ["i", "xi"])
             .groupBy("label", (F.col("i") % 8).alias("dim_bucket"))
-            .agg(F.sum("cum").alias("sum_cum"),
-                 F.count("*").alias("n_elems"))
+            .agg(F.sum(F.col("cum") * F.col("v")).alias("sum_cum"),
+                 F.sum("v").alias("n_elems"))
             .crossJoin(F.broadcast(n))
             .select("label", "dim_bucket", "n_elems",
                     (F.col("sum_cum").cast("double")
@@ -110,26 +126,33 @@ def _lower_quantile(hist: DataFrame, num: int, den: int,
 
 
 def q72_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem").select(
+    # fan_out: parallelize the single-split (flag, cents) partial agg —
+    # the q70 treatment (A/B at sf0.1: 1.61 → 1.29 s)
+    li = fan_out(spark, load(spark, sf, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint")
-         .alias("cents"))
+         .alias("cents")))
     hist = (li.groupBy("l_returnflag", "cents")
             .agg(F.count("*").alias("w")).localCheckpoint(eager=False))
     p05 = _lower_quantile(hist, 1, 20, "lo")
     p95 = _lower_quantile(hist, 19, 20, "hi")
     fences = p05.join(p95, "l_returnflag")
-    return (li.join(F.broadcast(fences), "l_returnflag")
+    # winsorize over the CHECKPOINTED histogram instead of a third
+    # lineitem scan (the q70 fold-over-cells idiom): Σ clamp(cents)
+    # over rows ≡ Σ clamp(cents)·w over cells and n ≡ Σw, both exact
+    # integers, so the one double division sees identical operands
+    return (hist.join(F.broadcast(fences), "l_returnflag")
             .withColumn("cl", F.greatest(
                 F.least(F.col("cents"), F.col("hi")), F.col("lo")))
             .groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"),
+            .agg(F.sum("w").alias("n"),
                  (F.min("lo") / 100.0).alias("fence_lo"),
                  (F.min("hi") / 100.0).alias("fence_hi"),
-                 (F.sum("cl").cast("double") / F.count("*")
-                  / 100.0).alias("winsorized_mean"),
+                 (F.sum(F.col("cl") * F.col("w")).cast("double")
+                  / F.sum("w") / 100.0).alias("winsorized_mean"),
                  F.sum(F.when((F.col("cents") < F.col("lo"))
-                              | (F.col("cents") > F.col("hi")), 1)
+                              | (F.col("cents") > F.col("hi")),
+                              F.col("w"))
                         .otherwise(0)).alias("n_clamped")))
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.sources.tables import load
 
@@ -41,10 +42,15 @@ def leadtime_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority")
     days = F.datediff(F.col("l_shipdate").cast("date"),
                       F.col("o_orderdate").cast("date"))
-    hist = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .select("o_orderpriority", days.alias("d"))
-            .groupBy("o_orderpriority", "d")
-            .agg(F.count("*").alias("w")))
+    # hist feeds two picks + the totals row — materialize once, or the
+    # lineitem⋈orders join + day fold runs 3× (the q70/q72 checkpoint
+    # idiom; the day domain is ~120 cells so the checkpoint is tiny)
+    hist = materialize(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("o_orderpriority", days.alias("d"))
+          .groupBy("o_orderpriority", "d")
+          .agg(F.count("*").alias("w")),
+        eager=False)
     p50 = bucketed_quantile_pick(hist, "o_orderpriority", "d", "w",
                                  1, 2, "p50_days")
     p90 = bucketed_quantile_pick(hist, "o_orderpriority", "d", "w",
@@ -95,6 +101,12 @@ def basket_triples(spark: SparkSession, sf: str) -> DataFrame:
     a = li2.select("o", F.col("p").alias("pa"))
     b = li2.select("o", F.col("p").alias("pb"))
     c = li2.select("o", F.col("p").alias("pc"))
+    # NOT materialized: the in-order pair stream is consumed twice
+    # (level-2 support + the triple probe), but ReuseExchange shares
+    # the a/b shuffles between the two consumers and an A/B at sf0.1
+    # measured the explicit checkpoint neutral (3.30 vs 3.45 s) while
+    # adding executor storage for the LARGEST intermediate — the wrong
+    # trade at scale (r17 optimization round)
     pair_sup = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
                 .groupBy("pa", "pb").agg(F.count("*").alias("ps"))
                 .filter(F.col("ps") >= TRI_PAIR_SUP)

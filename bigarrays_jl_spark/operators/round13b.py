@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.operators.events import (SESSION_GAP_MIN,
                                                  sessionized)
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.sources.tables import load
 
@@ -107,9 +108,14 @@ def customer_reorder_gaps(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("gap_days")))
     seg = load(spark, sf, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-    hist = (gaps.join(seg, "o_custkey")
+    # hist feeds two picks + totals — materialize once or the lag
+    # window + segment join re-run 3× (the quantile-caller checkpoint
+    # idiom; the (segment, gap) domain is tiny)
+    hist = materialize(
+        gaps.join(seg, "o_custkey")
             .groupBy("c_mktsegment", "gap_days")
-            .agg(F.count("*").alias("n")))
+            .agg(F.count("*").alias("n")),
+        eager=False)
     p50 = bucketed_quantile_pick(hist, "c_mktsegment", "gap_days", "n",
                                  1, 2, "p50_gap_days")
     p90 = bucketed_quantile_pick(hist, "c_mktsegment", "gap_days", "n",

@@ -107,13 +107,21 @@ FROM f
 
 
 def dedup_audit_pr(spark: SparkSession, sf: str) -> DataFrame:
+    from bigarrays_jl_spark.checkpointing import materialize
     from bigarrays_jl_spark.operators.dedup import _bands
     bands = _bands(spark, sf)      # ONE signature table for both legs
-    pred = (dedup_minhash_pairs(spark, sf, bands=bands)
-            .filter(F.col("est_jaccard") >= AUDIT_T)
-            .select("doc_a", "doc_b"))
-    truth = dedup_ngram_jaccard(spark, sf, bands=bands).select("doc_a",
-                                                               "doc_b")
+    # pred and truth are each consumed twice (their own count + the hit
+    # semi-join) — without the checkpoints the band self-join and the
+    # exact n-gram verify each run twice end-to-end (the shared bands
+    # table only deduped the signature build, not the legs themselves)
+    pred = materialize(
+        dedup_minhash_pairs(spark, sf, bands=bands)
+        .filter(F.col("est_jaccard") >= AUDIT_T)
+        .select("doc_a", "doc_b"), eager=False)
+    truth = materialize(
+        dedup_ngram_jaccard(spark, sf, bands=bands).select("doc_a",
+                                                           "doc_b"),
+        eager=False)
     hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     np_ = pred.agg(F.count("*").cast("bigint").alias("n_predicted"))
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))

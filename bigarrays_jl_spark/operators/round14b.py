@@ -182,14 +182,42 @@ from bigarrays_jl_spark.operators.similarity import (ANN_COSINE_TOPK_SQL,
 
 
 def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from bigarrays_jl_spark.operators.similarity import (_cosine,
+                                                         _ivf_routed)
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
     qids = brute.select("qid").distinct()
+    # ONE routing fit + ONE cell scan at max nprobe, probe rank kept
+    # (the round16 ivfpq-audit trick, guide §2.4): a vector lives in
+    # exactly one cell and its cosine depends only on (qid, vec_id),
+    # so filtering r <= 1 reproduces the nprobe-1 candidate set exactly
+    # — the old shape ran the centroid fit, corpus scan, rank window
+    # and brute semi-join TWICE.  Filtering preserves the (cosine desc,
+    # vec_id) order, so each leg's row_number ≡ the running count of
+    # its rows; both counts ride one Window operator, and brute
+    # membership is attached once as a 0/1 flag.
+    e, routed = _ivf_routed(spark, sf, nprobe=2, keep_rank=True)
+    scored = (e.join(F.broadcast(routed), e["label"] == routed["probe"])
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("cosine", _cosine(F.col("qe"), F.col("embedding")))
+               .select("qid", "vec_id", "r", "cosine"))
+    w = (W.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                      F.col("vec_id"))
+         .rowsBetween(W.unboundedPreceding, 0))
+    scored = (scored
+              .withColumn("c1", F.sum(F.when(F.col("r") <= 1, 1)
+                                      .otherwise(0)).over(w))
+              .withColumn("c2", F.sum(F.lit(1)).over(w)))
+    ann = materialize(
+        scored.join(brute.withColumn("bhit", F.lit(1)),
+                    ["qid", "vec_id"], "left"), eager=False)
 
-    def leg(approx: DataFrame, variant: str) -> DataFrame:
-        hits = (approx.select("qid", "vec_id")
-                .join(brute, ["qid", "vec_id"], "left_semi")
-                .groupBy("qid").agg(F.count("*").alias("h")))
+    def leg(nprobe: int, variant: str) -> DataFrame:
+        cond = ((F.col("r") <= 1) & (F.col("c1") <= TOP_K) if nprobe == 1
+                else F.col("c2") <= TOP_K)
+        hits = (ann.filter(cond).groupBy("qid")
+                .agg(F.sum(F.coalesce("bhit", F.lit(0))).alias("h")))
         per = (qids.join(hits, "qid", "left")
                .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
         return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
@@ -202,9 +230,7 @@ def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
                         (F.col("min_hits").cast("double") / TOP_K)
                         .alias("min_recall")))
 
-    return (leg(ann_ivf_topk(spark, sf), "ivf_nprobe1")
-            .unionByName(leg(ann_ivf_nprobe2_topk(spark, sf),
-                             "ivf_nprobe2")))
+    return (leg(1, "ivf_nprobe1").unionByName(leg(2, "ivf_nprobe2")))
 
 
 def _recall_leg_sql(approx_sql: str, variant: str) -> str:

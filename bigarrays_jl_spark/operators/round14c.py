@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigarrays_jl_spark.checkpointing import materialize
 from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
 from bigarrays_jl_spark.sources.tables import load
 
@@ -66,8 +67,15 @@ def events_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("c"))
-    hist = (e.select("event_type", hdr_bucket_cents(F.col("c")).alias("lb"))
-            .groupBy("event_type", "lb").agg(F.count("*").alias("n")))
+    # the histogram feeds FOUR picks + the totals row; without the
+    # checkpoint each consumer re-runs the corpus scan + bucket fold
+    # (5 full event scans for one bounded ≤900-rows-per-key table —
+    # guide §2.4's "remove shuffles outright" on the repeated-subplan
+    # axis; ReuseExchange can't match across separate pick subtrees)
+    hist = materialize(
+        e.select("event_type", hdr_bucket_cents(F.col("c")).alias("lb"))
+         .groupBy("event_type", "lb").agg(F.count("*").alias("n")),
+        eager=False)
     p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
                                  1, 2, "p50_cents")
     p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
@@ -169,9 +177,14 @@ def events_hdr_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     s_even = sketch(e.filter(F.col("shard") == 0))
     s_odd = sketch(e.filter(F.col("shard") == 1))
-    merged = (s_even.unionByName(s_odd)
+    # merged sketch feeds THREE picks + totals — materialize once so
+    # the two shard scans of events run once, not 4× (same repeated-
+    # subplan fix as events_hdr_quantiles above)
+    merged = materialize(
+        s_even.unionByName(s_odd)
               .groupBy("event_type", "lb")
-              .agg(F.sum("n").alias("n")))
+              .agg(F.sum("n").alias("n")),
+        eager=False)
     p50 = bucketed_quantile_pick(merged, "event_type", "lb", "n",
                                  1, 2, "p50_cents")
     p99 = bucketed_quantile_pick(merged, "event_type", "lb", "n",

@@ -219,22 +219,49 @@ def bloom_bit_col() -> Column:
         .cast("bigint") % BLOOM_M)
 
 
+def bloom_bit_lit(j: int) -> Column:
+    """``bloom_bit_col`` with the hash index pinned to a literal —
+    byte-identical input string (``str(j) + ':' + s``), so the probe
+    side can compute its K positions as K map-side columns instead of
+    a K-way row explode."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 8), 16, 10)
+        .cast("bigint") % BLOOM_M)
+
+
 def bloom_screen_counts(tr_grams: DataFrame, bits: DataFrame) -> DataFrame:
     """(doc_id, s) train grams screened against a (j, bit) bitset →
     per-doc bloom-positive gram counts ``(doc_id, n_bloom_pos)`` — THE
     screen rule (K-of-K bit hits per gram), shared by the batch audit
     and the streaming bridge (streaming/bloom.py) so the two can never
-    silently diverge (r15 review)."""
-    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
-    probe = (tr_grams.select("doc_id", "s", F.explode(jarr).alias("j"))
-             .select("doc_id", "s", "j", bloom_bit_col().alias("bit")))
-    return (probe.join(F.broadcast(bits.select("j", "bit").distinct()),
-                       ["j", "bit"])
-            .groupBy("doc_id", "s")
-            .agg(F.count("*").alias("k_hit"))
-            .filter(F.col("k_hit") == BLOOM_K)
-            .groupBy("doc_id")
+    silently diverge (r15 review).
+
+    ``tr_grams`` must be (doc_id, s)-distinct (every caller explodes an
+    ``array_distinct`` per doc — the canon front-end).  The K-of-K test
+    runs as K chained broadcast LEFT SEMI probes on map-side-computed
+    bit columns: the old shape exploded each gram K ways and counted
+    k_hit through a (doc_id, s) shuffle — a corpus-grams-sized exchange
+    for a screen whose whole point is to be map-side (guide §2.4).  A
+    gram survives iff all K of its (j, bit_j) probes hit, exactly the
+    k_hit == K rule; the chain is one WholeStageCodegen span with zero
+    exchanges before the final per-doc fold."""
+    surv = _bloom_survivors(tr_grams, bits)
+    return (surv.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_bloom_pos")))
+
+
+def _bloom_survivors(tr_grams: DataFrame, bits: DataFrame) -> DataFrame:
+    """The K chained broadcast semi-probes shared by the count screen
+    above and round16's gram-emitting screen."""
+    from bigarrays_jl_spark.checkpointing import materialize
+    # one evaluation of the (distinct) bitset feeds K broadcast builds
+    bset = materialize(bits.select("j", "bit").distinct(), eager=False)
+    surv = tr_grams.select("doc_id", "s")
+    for j in range(BLOOM_K):
+        bj = bset.filter(F.col("j") == j).select("bit")
+        surv = surv.join(F.broadcast(bj),
+                         bloom_bit_lit(j) == F.col("bit"), "left_semi")
+    return surv
 
 
 BLOOM_DECONTAMINATE_SQL = rf"""

@@ -72,16 +72,10 @@ def _bloom_positive_grams(tr_grams: DataFrame,
     """(doc_id, s) train grams whose K-of-K Bloom bits all hit — the
     round15 screen rule (bloom_screen_counts) emitting the surviving
     GRAMS instead of per-doc counts, so the exact verify join can run
-    on bloom-positives only."""
-    jarr = F.array(*[F.lit(j) for j in range(BLOOM_K)])
-    probe = (tr_grams.select("doc_id", "s", F.explode(jarr).alias("j"))
-             .select("doc_id", "s", "j", bloom_bit_col().alias("bit")))
-    return (probe.join(F.broadcast(bits.select("j", "bit").distinct()),
-                       ["j", "bit"])
-            .groupBy("doc_id", "s")
-            .agg(F.count("*").alias("k_hit"))
-            .filter(F.col("k_hit") == BLOOM_K)
-            .select("doc_id", "s"))
+    on bloom-positives only.  Same K chained broadcast semi-probe
+    shape as round15's — map-side, no (doc_id, s) exchange."""
+    from bigarrays_jl_spark.operators.round15 import _bloom_survivors
+    return _bloom_survivors(tr_grams, bits)
 
 
 def _curated_survivors(spark: SparkSession, sf: str) -> DataFrame:
@@ -215,20 +209,33 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     # to exactly one coarse cell and its ADC approx_dot is independent
     # of which probe routed it, so filtering r <= nprobe reproduces each
     # smaller leg's candidate set exactly (3 routing+scan passes -> 1).
-    scored = materialize(
-        _ivf_pq_scored(spark, sf, nprobe=max(IVFPQ_NPROBES), fit=fit,
-                       keep_rank=True)
-        .select("qid", "vec_id", "r", "approx_dot"), eager=False)
+    scored = _ivf_pq_scored(spark, sf, nprobe=max(IVFPQ_NPROBES),
+                            fit=fit, keep_rank=True) \
+        .select("qid", "vec_id", "r", "approx_dot")
+    # ONE annotated pass replaces 3 per-leg window sorts + 3 brute
+    # semi-joins (guide §2.4): the legs differ only in the r <= nprobe
+    # filter, and filtering preserves the (approx_dot desc, vec_id)
+    # order, so row_number over leg np's filtered rows ≡ the running
+    # count of r <= np rows at that row.  All three running counts ride
+    # one Window operator (same partition/order spec), and brute
+    # membership is attached once as a 0/1 flag — per-leg hit counts
+    # are then cheap folds over the one materialized table.
+    w = (W.partitionBy("qid").orderBy(F.col("approx_dot").desc(),
+                                      F.col("vec_id"))
+         .rowsBetween(W.unboundedPreceding, 0))
+    for np_ in IVFPQ_NPROBES:
+        scored = scored.withColumn(
+            f"c{np_}",
+            F.sum(F.when(F.col("r") <= np_, 1).otherwise(0)).over(w))
+    ann = materialize(
+        scored.join(brute.withColumn("bhit", F.lit(1)),
+                    ["qid", "vec_id"], "left"), eager=False)
 
     def leg(nprobe: int) -> DataFrame:
-        w = W.partitionBy("qid").orderBy(F.col("approx_dot").desc(),
-                                         F.col("vec_id"))
-        approx = (scored.filter(F.col("r") <= nprobe)
-                  .withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= TOP_K))
-        hits = (approx.select("qid", "vec_id")
-                .join(brute, ["qid", "vec_id"], "left_semi")
-                .groupBy("qid").agg(F.count("*").alias("h")))
+        hits = (ann.filter((F.col("r") <= nprobe)
+                           & (F.col(f"c{nprobe}") <= TOP_K))
+                .groupBy("qid")
+                .agg(F.sum(F.coalesce("bhit", F.lit(0))).alias("h")))
         per = (qids.join(hits, "qid", "left")
                .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
         return (per.agg(F.count("*").cast("bigint").alias("n_queries"),

@@ -73,7 +73,12 @@ def hdr_merge_snapshot(spark: SparkSession,
 
 def _quantiles_of(hist: DataFrame) -> DataFrame:
     """(event_type, lb, n) histogram → the events_hdr_quantiles output
-    shape (shared by the single-stream and merged snapshots)."""
+    shape (shared by the single-stream and merged snapshots).  The
+    histogram feeds four picks + totals — materialize once so the
+    partial-table scan + replay-dedup fold run once, not 5× (the
+    events_hdr_quantiles checkpoint idiom)."""
+    from bigarrays_jl_spark.checkpointing import materialize
+    hist = materialize(hist, eager=False)
     p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
                                  1, 2, "p50_cents")
     p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
