@@ -68,14 +68,16 @@ def graph_hops_lsh(spark: SparkSession, sf: str) -> DataFrame:
         fr = (d.filter(F.col("dist").isNotNull())
               .select(F.col("vec_id").alias("f_id"),
                       F.col("dist").alias("f_d")))
-        cand = (edges.join(fr, edges.src == fr.f_id)
-                .groupBy("dst")
-                .agg((F.min("f_d") + F.lit(1)).cast("int").alias("nd")))
-        d = (d.join(cand, d.vec_id == cand.dst, "left")
-             .select(d.vec_id,
-                     F.when(F.col("dist").isNull(), F.col("nd"))
-                      .when(F.col("nd").isNull(), F.col("dist"))
-                      .otherwise(F.least("dist", "nd")).alias("dist"))
+        # relaxation folds in ONE vec_id shuffle: min ignores nulls, so
+        # union(current dists, per-in-edge f_d+1) + grouped min is the
+        # old least/when ladder without the per-round groupBy(dst) +
+        # left-join pair (min(f_d)+1 == min(f_d+1), +1 is monotone)
+        relax = (edges.join(fr, edges.src == fr.f_id)
+                 .select(F.col("dst").alias("vec_id"),
+                         (F.col("f_d") + F.lit(1)).cast("int")
+                          .alias("dist")))
+        d = (d.select("vec_id", "dist").union(relax)
+             .groupBy("vec_id").agg(F.min("dist").alias("dist"))
              .localCheckpoint(eager=False))
     return (d.groupBy(F.coalesce(F.col("dist"), F.lit(-1))
                        .cast("bigint").alias("hops"))

@@ -159,14 +159,14 @@ def graph_sssp_lsh(spark: SparkSession, sf: str) -> DataFrame:
         fr = (d.filter(F.col("dist").isNotNull())
               .select(F.col("vec_id").alias("f_id"),
                       F.col("dist").alias("f_d")))
-        cand = (edges.join(fr, edges.src == fr.f_id)
-                .groupBy("dst")
-                .agg(F.min(F.col("f_d") + F.col("w")).alias("nd")))
-        d = (d.join(cand, d.vec_id == cand.dst, "left")
-             .select(d.vec_id,
-                     F.when(F.col("dist").isNull(), F.col("nd"))
-                      .when(F.col("nd").isNull(), F.col("dist"))
-                      .otherwise(F.least("dist", "nd")).alias("dist"))
+        # one vec_id shuffle per round: union + grouped min replaces
+        # the groupBy(dst) + left-join pair (graph_hops_lsh idiom; min
+        # ignores nulls, so unreached nodes keep dist NULL)
+        relax = (edges.join(fr, edges.src == fr.f_id)
+                 .select(F.col("dst").alias("vec_id"),
+                         (F.col("f_d") + F.col("w")).alias("dist")))
+        d = (d.select("vec_id", "dist").union(relax)
+             .groupBy("vec_id").agg(F.min("dist").alias("dist"))
              .localCheckpoint(eager=False))
     return d.select("vec_id",
                     F.coalesce("dist", F.lit(-1)).alias("sssp_dist"))

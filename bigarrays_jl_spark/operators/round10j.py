@@ -60,15 +60,22 @@ def entity_res_golden(spark: SparkSession, sf: str) -> DataFrame:
               .withColumn("label", F.col("node")).localCheckpoint())
     changed = None
     for _ in range(ER_MAX_ROUNDS):
+        # the convergence check rides the SAME shuffle as the label
+        # fold: each node appears exactly once with own=1 (its previous
+        # label), so min(when(own)) recovers "old" without the
+        # join-back the first cut paid per round
         prop = (edges.join(labels, edges["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), "label"))
-        new = (labels.select("node", "label").union(prop)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"),
-                            "node")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new
+                .select(F.col("dst").alias("node"), "label",
+                        F.lit(0).alias("own")))
+        merged = (labels.select("node", "label", F.lit(1).alias("own"))
+                  .union(prop)
+                  .groupBy("node")
+                  .agg(F.min("label").alias("label"),
+                       F.min(F.when(F.col("own") == 1, F.col("label")))
+                        .alias("old"))
+                  .localCheckpoint())
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.functions import fingerprint, shingle_array
 from bigarrays_jl_spark.operators.ordering import bucketed_running
-from bigarrays_jl_spark.sources.tables import load
+from bigarrays_jl_spark.sources.tables import fan_out, load
 
 
 def lorenz_curve(spark: SparkSession, sf: str) -> DataFrame:
@@ -194,7 +194,11 @@ def leakage_matrix(sp: DataFrame) -> DataFrame:
 
 
 def cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
-    sp = (doc_shingles(load(spark, sf, "documents"))
+    # fan_out: the 8-gram md5 shingling is CPU-heavy map work on a
+    # single-split scan (q01 treatment); the streaming twin shares
+    # doc_shingles unchanged — its micro-batches are already parallel
+    sp = (doc_shingles(fan_out(spark, load(spark, sf, "documents")
+                               .select("source", "text")))
           .localCheckpoint(eager=False))      # sizes + pair join reuse
     return leakage_matrix(sp)
 

@@ -40,7 +40,17 @@ def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
     from bigarrays_jl_spark.sources.tables import load
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
-    qids = brute.select("qid").distinct()
+    # the per-qid fold the first cut ran per leg (groupBy qid + left
+    # join against the distinct-qid table + coalesce 0) only existed to
+    # COUNT the queries — zero-hit qids contribute nothing to sum_hits.
+    # n_queries is leg-invariant, so it is folded once here (tiny, one
+    # row) and each leg collapses to a single count over its semi-join:
+    # 2 shuffles/leg fewer, value-identical (sum of per-qid hit counts
+    # == total hit count; count of coalesced rows == distinct qids).
+    nq = materialize(
+        brute.select("qid").distinct()
+        .agg(F.count("*").cast("bigint").alias("n_queries")), eager=False)
+
     # ONE subvector table for every leg (it depends only on pq_m, not
     # the swept codebook size); each leg fits its own codebook on it
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -49,13 +59,10 @@ def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
     def leg(pq_k: int) -> DataFrame:
         approx = ann_pq_topk(spark, sf, pq_k=pq_k,
                              fit=_pq_fit(spark, sf, pq_k=pq_k, sub=sub))
-        hits = (approx.select("qid", "vec_id")
+        return (approx.select("qid", "vec_id")
                 .join(brute, ["qid", "vec_id"], "left_semi")
-                .groupBy("qid").agg(F.count("*").alias("h")))
-        per = (qids.join(hits, "qid", "left")
-               .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
-        return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
-                        F.sum("h").cast("bigint").alias("sum_hits"))
+                .agg(F.count("*").cast("bigint").alias("sum_hits"))
+                .crossJoin(F.broadcast(nq))
                 .select(F.lit(pq_k).cast("int").alias("pq_k"),
                         "n_queries", "sum_hits",
                         (F.col("sum_hits").cast("double")
