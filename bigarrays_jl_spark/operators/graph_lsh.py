@@ -89,15 +89,29 @@ def graph_pagerank_lsh(spark: SparkSession, sf: str) -> DataFrame:
     for _ in range(N_ITER):
         r = ranks.select(F.col("vec_id").alias("r_src"),
                          (F.col("rank") / F.col("deg")).alias("contrib"))
-        contrib = (edges.join(r, edges.src == r.r_src)
-                   .groupBy("dst")
-                   .agg(F.sum(F.col("contrib").cast("decimal(28,12)"))
-                         .alias("csum")))
-        ranks = (base.join(contrib, base.vec_id == contrib.dst, "left")
-                 .select(base.vec_id, base.deg, base.n,
-                         F.round((1.0 - DAMPING) / base.n
+        # per-iteration fold in ONE vec_id shuffle (the graph_hops_lsh
+        # idiom): base rows ride the same grouped agg as the edge
+        # contributions — min(deg)/min(n) recover the node attributes
+        # (exactly one base row per node), decimal sum ignores the base
+        # row's NULL contribution, and an all-NULL sum is NULL exactly
+        # where the old left join missed — replacing the per-iteration
+        # groupBy(dst) + join-back pair, bit-identical by construction
+        flows = (edges.join(r, edges.src == r.r_src)
+                 .select(F.col("dst").alias("vec_id"),
+                         F.lit(None).cast("bigint").alias("deg"),
+                         F.lit(None).cast("double").alias("n"),
+                         F.col("contrib").cast("decimal(28,12)")
+                          .alias("c")))
+        ranks = (base.select("vec_id", "deg", "n",
+                             F.lit(None).cast("decimal(28,12)").alias("c"))
+                 .union(flows)
+                 .groupBy("vec_id")
+                 .agg(F.min("deg").alias("deg"), F.min("n").alias("n"),
+                      F.sum("c").alias("csum"))
+                 .select("vec_id", "deg", "n",
+                         F.round((1.0 - DAMPING) / F.col("n")
                                  + DAMPING
-                                 * (F.coalesce(contrib.csum.cast("double"),
+                                 * (F.coalesce(F.col("csum").cast("double"),
                                                F.lit(0.0))),
                                  RANK_DIGITS).alias("rank")))
     return ranks.select("vec_id", F.col("rank").alias("pagerank"))

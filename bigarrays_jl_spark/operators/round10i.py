@@ -74,11 +74,17 @@ def graph_lpa_lsh(spark: SparkSession, sf: str) -> DataFrame:
     for _ in range(LPA_ROUNDS):
         cnt = (edges.join(labels, edges.src == labels.vec_id)
                .groupBy("dst", "label").agg(F.count("*").alias("cnt")))
-        w = Window.partitionBy("dst").orderBy(
-            F.col("cnt").desc(), F.col("label"))
-        labels = (cnt.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select(F.col("dst").alias("vec_id"), "label")
+        # the winner pick is a grouped min over (-cnt, label) structs —
+        # lexicographic struct order IS the old window's (cnt DESC,
+        # label ASC) sort, so the pick is identical while the sort-
+        # based Window (exchange + per-key sort + rn filter) becomes a
+        # map-side-combinable aggregate
+        labels = (cnt.groupBy("dst")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                      F.col("label").alias("l")))
+                        .alias("p"))
+                  .select(F.col("dst").alias("vec_id"),
+                          F.col("p.l").alias("label"))
                   .localCheckpoint(eager=False))
     return (labels.groupBy(F.col("label").alias("community"))
             .agg(F.count("*").cast("bigint").alias("n_members"),

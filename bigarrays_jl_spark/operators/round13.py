@@ -41,6 +41,7 @@ groupBys.  No collect, no cartesian, no single-partition window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.functions import fingerprint, shingle_array
@@ -118,14 +119,17 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     # below n tokens) and is the repo's one shingling definition; its
     # empty array for short docs drops in the explode
     tri = F.array_distinct(shingle_array("ws", 3))
-    e = (d.select("doc_id", "source", F.explode(tri).alias("g"))
-         .localCheckpoint(eager=False))       # firsts + probe reuse
-    firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
-    return (e.join(firsts, "g")
+    e = d.select("doc_id", "source", F.explode(tri).alias("g"))
+    # first_doc via a gram-keyed window min instead of groupBy + join
+    # back: the gram table shuffles ONCE and needs no checkpoint (one
+    # consumer), where the join form paid the grouped fold plus an SMJ
+    # build over the same exchange
+    novel = (F.min("doc_id").over(W.partitionBy("g"))
+             == F.col("doc_id")).cast("int")
+    return (e.withColumn("novel", novel)
             .groupBy("source")
             .agg(F.count("*").cast("bigint").alias("n_grams"),
-                 F.sum(novel).cast("bigint").alias("n_novel"))
+                 F.sum("novel").cast("bigint").alias("n_novel"))
             .select("source", "n_grams", "n_novel",
                     (F.col("n_novel").cast("double")
                      / F.col("n_grams").cast("double")).alias("novelty")))

@@ -219,18 +219,27 @@ def connected_components(vol: Volume, request: ix.Box | None = None,
            .withColumn("root", F.col("comp"))
            .localCheckpoint(eager=True))
     for _ in range(max_rounds):
+        # the convergence check rides the propagation shuffle (the
+        # entity_res_golden idiom): each comp appears exactly once with
+        # own=1 carrying its previous root, so min(when(own)) recovers
+        # "old" and the post-jump comparison needs no join-back
         nbr = (e.join(lab, e.b == lab.comp)
-               .select(F.col("a").alias("comp"), "root"))
-        nl = (lab.select("comp", "root").unionAll(nbr)
-              .groupBy("comp").agg(F.min("root").alias("root")))
+               .select(F.col("a").alias("comp"), "root",
+                       F.lit(0).alias("own")))
+        nl = (lab.select("comp", "root", F.lit(1).alias("own"))
+              .unionAll(nbr)
+              .groupBy("comp")
+              .agg(F.min("root").alias("root"),
+                   F.min(F.when(F.col("own") == 1, F.col("root")))
+                    .alias("old")))
         jump = nl.select(F.col("comp").alias("j_comp"),
                          F.col("root").alias("j_root"))
         nl = (nl.join(jump, nl.root == jump.j_comp, "left")
-              .select("comp", F.coalesce("j_root", "root").alias("root"))
+              .select("comp", F.coalesce("j_root", "root").alias("root"),
+                      "old")
               .localCheckpoint(eager=True))
-        changed = (nl.alias("n").join(lab.alias("o"), "comp")
-                   .filter(F.col("n.root") != F.col("o.root")).count())
-        lab = nl
+        changed = nl.filter(F.col("root") != F.col("old")).count()
+        lab = nl.select("comp", "root")
         if changed == 0:
             break
     else:
