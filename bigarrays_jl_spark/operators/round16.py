@@ -84,9 +84,16 @@ def _curated_survivors(spark: SparkSession, sf: str) -> DataFrame:
     the packer's eager prefix-sum checkpoint would otherwise hide."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
     # stage 1: Gopher quality gate over the TRAINING split (the eval
-    # split is the external benchmark set, never curated)
+    # split is the external benchmark set, never curated).  Gated docs
+    # materialize once: both stage-2 branches (the digest agg and the
+    # semi-join's left side) consume q, and without the checkpoint each
+    # branch re-runs the scan + the regex-heavy gate (§1.2 "don't
+    # compute things you throw away" — the shuffle stays digest-only
+    # either way, the payload never moves).
     g = _gopher_metrics(F.col("text"))
-    q = docs.filter((F.col("doc_id") % 10 != 0) & g["gopher_pass"])
+    q = materialize(
+        docs.filter((F.col("doc_id") % 10 != 0) & g["gopher_pass"]),
+        eager=False)
     # stage 2: exact dedup — min-doc_id representative per text digest
     keep = (q.groupBy(F.md5("text").alias("fp"))
             .agg(F.min("doc_id").alias("doc_id")))
@@ -231,28 +238,39 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
         scored.join(brute.withColumn("bhit", F.lit(1)),
                     ["qid", "vec_id"], "left"), eager=False)
 
-    def leg(nprobe: int) -> DataFrame:
-        hits = (ann.filter((F.col("r") <= nprobe)
-                           & (F.col(f"c{nprobe}") <= TOP_K))
-                .groupBy("qid")
-                .agg(F.sum(F.coalesce("bhit", F.lit(0))).alias("h")))
-        per = (qids.join(hits, "qid", "left")
-               .select("qid", F.coalesce("h", F.lit(0)).alias("h")))
-        return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
-                        F.sum("h").cast("bigint").alias("sum_hits"),
-                        F.min("h").cast("bigint").alias("min_hits"))
-                .select(F.lit(f"ivfpq_nprobe{nprobe}").alias("variant"),
-                        "n_queries", "sum_hits",
-                        (F.col("sum_hits").cast("double")
-                         / (F.col("n_queries") * TOP_K))
-                        .alias("mean_recall"),
-                        (F.col("min_hits").cast("double") / TOP_K)
-                        .alias("min_recall")))
-
-    out = leg(IVFPQ_NPROBES[0])
-    for np_ in IVFPQ_NPROBES[1:]:
-        out = out.unionByName(leg(np_))
-    return out
+    # ONE per-qid conditional fold serves every leg (the legs differ
+    # only in their (r <= np AND c_np <= TOP_K) predicate over the SAME
+    # materialized table, so the old per-leg filter+groupBy+qids-join+
+    # agg — 3 shuffles and a join per leg — collapses to one grouped
+    # aggregation with a conditional sum per leg, one qids join-back,
+    # and one final one-row fold unpivoted to the 3 output rows
+    # (§1.2 fewer passes, §2.4 one exchange where there were nine).
+    # Per-leg values are untouched: sum(when(cond, coalesce(bhit,0))
+    # else 0) over all rows ≡ the old filter(cond)+sum, and the
+    # left-join coalesce still zero-fills qids with no scored rows.
+    hits = ann.groupBy("qid").agg(*[
+        F.sum(F.when((F.col("r") <= np_) & (F.col(f"c{np_}") <= TOP_K),
+                     F.coalesce("bhit", F.lit(0))).otherwise(0))
+         .alias(f"h{np_}") for np_ in IVFPQ_NPROBES])
+    per = qids.join(hits, "qid", "left").select(
+        "qid", *[F.coalesce(f"h{np_}", F.lit(0)).alias(f"h{np_}")
+                 for np_ in IVFPQ_NPROBES])
+    stats = per.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        *[c for np_ in IVFPQ_NPROBES for c in (
+            F.sum(f"h{np_}").cast("bigint").alias(f"s{np_}"),
+            F.min(f"h{np_}").cast("bigint").alias(f"m{np_}"))])
+    legs = [F.struct(
+        F.lit(f"ivfpq_nprobe{np_}").alias("variant"),
+        F.col("n_queries").alias("n_queries"),
+        F.col(f"s{np_}").alias("sum_hits"),
+        (F.col(f"s{np_}").cast("double")
+         / (F.col("n_queries") * TOP_K)).alias("mean_recall"),
+        (F.col(f"m{np_}").cast("double") / TOP_K).alias("min_recall"))
+        for np_ in IVFPQ_NPROBES]
+    return (stats.select(F.explode(F.array(*legs)).alias("g"))
+            .select("g.variant", "g.n_queries", "g.sum_hits",
+                    "g.mean_recall", "g.min_recall"))
 
 
 def _ivfpq_sql(nprobe: int) -> str:

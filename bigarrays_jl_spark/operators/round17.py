@@ -33,10 +33,12 @@ KNEE_KS = (4, 8, 32)
 
 
 def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
-    from bigarrays_jl_spark.operators.similarity import (TOP_K, _pq_fit,
-                                                         _pq_sub,
-                                                         ann_cosine_topk,
-                                                         ann_pq_topk)
+    from pyspark.sql import Window as W
+    from bigarrays_jl_spark.functions import dot as _dot
+    from bigarrays_jl_spark.operators.similarity import (N_QUERIES,
+                                                         PQ_ITERS, TOP_K,
+                                                         _pq_l2, _pq_sub,
+                                                         ann_cosine_topk)
     from bigarrays_jl_spark.sources.tables import load
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
@@ -52,27 +54,83 @@ def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_queries")), eager=False)
 
     # ONE subvector table for every leg (it depends only on pq_m, not
-    # the swept codebook size); each leg fits its own codebook on it
+    # the swept codebook size) — and since the legs differ ONLY in the
+    # swept codebook size, ALL THREE fits run as ONE ``pk``-tagged
+    # grouped Lloyd's chain (pk = the leg's codebook size is just
+    # another grouping key, exactly as the subspace ``s`` already is):
+    # one assignment window, one mean-update reduction pair, one ADC
+    # LUT, one rank window and one brute semi-join serve every leg,
+    # where the per-leg form paid each of those 3× (§1.2 fewer passes —
+    # 9 subvector scans → 3; §2.4 one exchange per step instead of
+    # three; one centroid/LUT broadcast build per step instead of
+    # three).  Per-leg math is untouched: every expression below is the
+    # ann_pq_topk pipeline's, grouped/windowed by (pk, ...) so legs
+    # never mix.
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     sub = _pq_sub(e).localCheckpoint(eager=False)
 
-    def leg(pq_k: int) -> DataFrame:
-        approx = ann_pq_topk(spark, sf, pq_k=pq_k,
-                             fit=_pq_fit(spark, sf, pq_k=pq_k, sub=sub))
-        return (approx.select("qid", "vec_id")
-                .join(brute, ["qid", "vec_id"], "left_semi")
-                .agg(F.count("*").cast("bigint").alias("sum_hits"))
-                .crossJoin(F.broadcast(nq))
-                .select(F.lit(pq_k).cast("int").alias("pq_k"),
-                        "n_queries", "sum_hits",
-                        (F.col("sum_hits").cast("double")
-                         / (F.col("n_queries") * TOP_K))
-                        .alias("mean_recall")))
+    # seeded init per leg: vectors 0..pk-1, tagged with their leg key
+    cent = None
+    for k in KNEE_KS:
+        c0 = (sub.filter(F.col("vec_id") < k)
+              .select(F.lit(k).cast("int").alias("pk"), "s",
+                      F.col("vec_id").alias("cell"),
+                      F.col("sv").alias("centroid")))
+        cent = c0 if cent is None else cent.unionByName(c0)
 
-    out = leg(KNEE_KS[0])
-    for k in KNEE_KS[1:]:
-        out = out.unionByName(leg(k))
-    return out
+    def assign(cent_df: DataFrame) -> DataFrame:
+        a = (sub.join(F.broadcast(cent_df), "s")
+             .withColumn("d2", _pq_l2(F.col("sv"), F.col("centroid")))
+             .withColumn("r", F.row_number().over(
+                 W.partitionBy("pk", "vec_id", "s").orderBy("d2", "cell")))
+             .filter(F.col("r") == 1))
+        return a.select("pk", "vec_id", "s", "sv", "cell")
+
+    for _ in range(PQ_ITERS):
+        a = assign(cent)
+        expl = a.select("pk", "s", "cell",
+                        F.posexplode("sv").alias("pos", "v"))
+        dims = (expl.groupBy("pk", "s", "cell", "pos")
+                .agg((F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                      / F.count("*")).alias("m")))
+        cent = (dims.groupBy("pk", "s", "cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"]).alias("centroid")))
+    codes = assign(cent).select("pk", "vec_id", "s", "cell")
+
+    q = (sub.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), "s",
+                 F.col("sv").alias("qs")))
+    lut = (q.join(F.broadcast(cent), "s")
+           .select("pk", "qid", "s", "cell",
+                   F.round(_dot(F.col("qs"), F.col("centroid")), 9)
+                    .cast("decimal(28,9)").alias("pd")))
+    scored = (codes.join(F.broadcast(lut), ["pk", "s", "cell"])
+              .filter(F.col("vec_id") != F.col("qid"))
+              .groupBy("pk", "qid", "vec_id")
+              .agg(F.round(F.sum("pd").cast("double"), 6)
+                    .alias("approx_dot")))
+    w = W.partitionBy("pk", "qid").orderBy(F.col("approx_dot").desc(),
+                                           F.col("vec_id"))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K).select("pk", "qid", "vec_id"))
+    hits = (topk.join(brute, ["qid", "vec_id"], "left_semi")
+            .groupBy("pk")
+            .agg(F.count("*").cast("bigint").alias("hits")))
+    # k-domain join-back so a (theoretical) zero-hit leg still reports
+    # its row — the old per-leg agg-without-groupBy form always did
+    ks = (spark.range(1)
+          .select(F.explode(F.array([F.lit(k) for k in KNEE_KS]))
+                  .alias("pk"))
+          .select(F.col("pk").cast("int").alias("pk")))
+    return (ks.join(hits, "pk", "left").crossJoin(F.broadcast(nq))
+            .select(F.col("pk").alias("pq_k"), "n_queries",
+                    F.coalesce("hits", F.lit(0)).cast("bigint")
+                     .alias("sum_hits"),
+                    (F.coalesce("hits", F.lit(0)).cast("double")
+                     / (F.col("n_queries") * TOP_K))
+                    .alias("mean_recall")))
 
 
 def _pq_leg_sql(pq_k: int) -> str:
