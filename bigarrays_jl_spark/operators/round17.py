@@ -237,14 +237,21 @@ def dedup_span_excise(spark: SparkSession, sf: str) -> DataFrame:
     rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "pos"))
     nc = (wins.withColumn("rn", rn).filter(F.col("rn") > 1)
           .select("doc_id", "pos"))
-    ndup = nc.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
-    cov = (nc.select("doc_id",
-                     F.explode(F.sequence(
-                         F.col("pos"),
-                         F.col("pos") + F.lit(RUN_LEN - 1))).alias("p"))
-           .distinct()
-           .groupBy("doc_id").agg(F.count("*").alias("n_excised")))
-    return (base.join(ndup, "doc_id", "left").join(cov, "doc_id", "left")
+    # both censuses fold in ONE pass over nc (guide §1.2/§2.4): the old
+    # two-branch form (ndup groupBy + cov explode/distinct/groupBy) ran
+    # the h-window sort twice over the shared shingle+md5 exchange and
+    # paid two join-backs.  A (doc_id, pos) pair is unique in nc (one h
+    # per position), so n_dup_win == countDistinct(pos) survives the
+    # coverage explode, and n_excised == countDistinct(p) replaces the
+    # distinct+count pair — value-identical, one branch, one join.
+    census = (nc.select("doc_id", "pos",
+                        F.explode(F.sequence(
+                            F.col("pos"),
+                            F.col("pos") + F.lit(RUN_LEN - 1))).alias("p"))
+              .groupBy("doc_id")
+              .agg(F.countDistinct("pos").alias("n_dup_win"),
+                   F.countDistinct("p").alias("n_excised")))
+    return (base.join(census, "doc_id", "left")
             .select("doc_id",
                     F.col("n_tok").cast("bigint").alias("n_tok"),
                     F.coalesce("n_dup_win", F.lit(0)).cast("bigint")

@@ -111,18 +111,22 @@ def streaming_span_excise(docs: DataFrame, win_index_path: str,
                   .unionByName(fresh.withColumn("rn", rn)
                                .filter(F.col("rn") > 1)
                                .select("doc_id", "pos")))
-            ndup = nc.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
-            cov = (nc.select("doc_id",
-                             F.explode(F.sequence(
-                                 F.col("pos"),
-                                 F.col("pos") + F.lit(RUN_LEN - 1)))
-                             .alias("p"))
-                   .distinct()
-                   .groupBy("doc_id").agg(F.count("*").alias("n_excised")))
+            # both censuses in ONE pass over nc (the batch operator's
+            # r17 fold): a (doc_id, pos) pair is unique in nc — hit and
+            # fresh partition the batch's windows — so n_dup_win ==
+            # countDistinct(pos) survives the coverage explode and
+            # n_excised == countDistinct(p) replaces distinct+count
+            census = (nc.select("doc_id", "pos",
+                                F.explode(F.sequence(
+                                    F.col("pos"),
+                                    F.col("pos") + F.lit(RUN_LEN - 1)))
+                                .alias("p"))
+                      .groupBy("doc_id")
+                      .agg(F.countDistinct("pos").alias("n_dup_win"),
+                           F.countDistinct("p").alias("n_excised")))
             base = batch_df.select(
                 "doc_id", F.size(tokens()).alias("n_tok"))
-            out = (base.join(ndup, "doc_id", "left")
-                   .join(cov, "doc_id", "left")
+            out = (base.join(census, "doc_id", "left")
                    .select("doc_id",
                            F.col("n_tok").cast("bigint").alias("n_tok"),
                            F.coalesce("n_dup_win", F.lit(0)).cast("bigint")

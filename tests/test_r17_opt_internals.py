@@ -128,3 +128,46 @@ def test_q70_q72_histogram_fold_matches_row_fold(spark, sf_dir):
         assert r72.n_clamped == sum(1 for c in cents if c < lo or c > hi)
         wm = sum(max(min(c, hi), lo) for c in cents) / len(cents) / 100.0
         assert r72.winsorized_mean == pytest.approx(wm, rel=1e-12)
+
+
+def test_span_excise_single_pass_census(spark, sf_dir):
+    """The one-pass census fold (countDistinct(pos) + countDistinct(p)
+    over the exploded coverage) == the two-branch form it replaced
+    (ndup groupBy + cov explode/distinct/groupBy + two join-backs) —
+    and the executed plan carries exactly ONE left-outer join-back,
+    proving the branches actually collapsed."""
+    from pyspark.sql import Window as W
+    from bigarrays_jl_spark.functions.expressions import (shingle_array,
+                                                          tokens)
+    from bigarrays_jl_spark.operators.dedup import RUN_LEN
+    from bigarrays_jl_spark.operators.round17 import dedup_span_excise
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens().alias("t"))
+    wins = (toks.filter(F.size("t") >= RUN_LEN)
+            .select("doc_id",
+                    F.posexplode(shingle_array("t", RUN_LEN))
+                     .alias("pos0", "w"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.md5("w").alias("h")))
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "pos"))
+    nc = (wins.withColumn("rn", rn).filter(F.col("rn") > 1)
+          .select("doc_id", "pos"))
+    # the replaced two-branch definition
+    ndup = nc.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
+    cov = (nc.select("doc_id",
+                     F.explode(F.sequence(
+                         F.col("pos"),
+                         F.col("pos") + F.lit(RUN_LEN - 1))).alias("p"))
+           .distinct()
+           .groupBy("doc_id").agg(F.count("*").alias("n_excised")))
+    old = {(r["doc_id"]): (r["n_dup_win"], r["n_excised"])
+           for r in ndup.join(cov, "doc_id", "outer").fillna(0).collect()}
+    got = {r["doc_id"]: (r["n_dup_win"], r["n_excised"])
+           for r in dedup_span_excise(spark, sf_dir)
+           .filter(F.col("n_dup_win") > 0).collect()}
+    assert got == {d: v for d, v in old.items() if v[0] > 0}
+
+    plan = (dedup_span_excise(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("LeftOuter") == 1, plan
