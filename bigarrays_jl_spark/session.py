@@ -77,7 +77,15 @@ def get_spark(app_name: str = "bigarrays_jl_spark", master: str | None = None) -
         # this knob.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 12g (was 8g): one of three identical-code full-bench runs died
+        # with a heap OOM in the vectorized parquet reader while scanning
+        # the ~524 MB binary-payload probe table under GC pressure
+        # (WritableColumnVector reserve + "Retried waiting for GCLocker")
+        # — local[32] holds every concurrent task's column vectors plus
+        # all localCheckpoint storage in ONE JVM, so the local heap must
+        # cover what a cluster spreads across executors (guide §5).
+        # Parameterised: the env var stays the override knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # managed tables (bucketed layouts, scratch marts) land in a
