@@ -39,7 +39,7 @@ def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
                                                          PQ_ITERS, TOP_K,
                                                          _pq_l2, _pq_sub,
                                                          ann_cosine_topk)
-    from bigarrays_jl_spark.sources.tables import load
+    from bigarrays_jl_spark.sources.tables import fan_out, load
     brute = materialize(
         ann_cosine_topk(spark, sf).select("qid", "vec_id"), eager=False)
     # the per-qid fold the first cut ran per leg (groupBy qid + left
@@ -66,7 +66,12 @@ def ann_pq_recall_knee(spark: SparkSession, sf: str) -> DataFrame:
     # three).  Per-leg math is untouched: every expression below is the
     # ann_pq_topk pipeline's, grouped/windowed by (pk, ...) so legs
     # never mix.
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # fan_out before the subvector split + checkpoint (§2.5): same
+    # single-split guard as _pq_fit — the three legs' shared assign
+    # chain is CPU-heavy map work (44 cells × 3 legs of L2 evals per
+    # subvector row) that must not run on one task
+    e = fan_out(spark, load(spark, sf, "embeddings")).select(
+        "vec_id", "embedding")
     sub = _pq_sub(e).localCheckpoint(eager=False)
 
     # seeded init per leg: vectors 0..pk-1, tagged with their leg key

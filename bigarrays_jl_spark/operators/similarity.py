@@ -148,7 +148,12 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     q = (e.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
-    corpus = e.select("vec_id", "embedding")
+    # fan_out: the per-(vector, query) cosine below is CPU-heavy map
+    # work (N_QUERIES 64-dim dots per corpus row) and the local source
+    # is ONE split — without this the whole brute-force scoring runs
+    # single-threaded (§2.5 input skew; same shape as
+    # cross_source_leakage's shingling)
+    corpus = fan_out(spark, e).select("vec_id", "embedding")
     scored = (corpus.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .withColumn("cosine", F.round(
@@ -447,7 +452,12 @@ def _kmeans_fit(spark: SparkSession, sf: str,
     production-shaped ``k_cells`` to grade recall on structured data."""
     # reused every Lloyd's round (and by both callers' final assign) —
     # one materialization, as _pq_fit already does for its subvectors
-    e = (load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # fan_out before the checkpoint: each Lloyd's assign below is a
+    # broadcast join + k_cells 64-dim L2 evals per row — CPU-heavy
+    # map work that would otherwise run on the source's ONE split for
+    # every round (§2.5); the checkpoint pins the fanned layout
+    e = (fan_out(spark, load(spark, sf, "embeddings"))
+         .select("vec_id", "embedding")
          .localCheckpoint(eager=False))
     cent = (e.filter(F.col("vec_id") < k_cells)
             .select(F.col("vec_id").alias("cell"),
@@ -808,7 +818,13 @@ def _pq_fit(spark: SparkSession, sf: str,
     Lloyd chain across the codes/LUT branches, so the checkpoint only
     added a persist round trip.)"""
     if sub is None:
-        e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+        # fan_out before the subvector split + checkpoint: the
+        # normalize/slice expansion AND every Lloyd's assign (broadcast
+        # join + pq_k L2 evals per subvector row) are CPU-heavy map
+        # work on a single-split local source (§2.5); the checkpoint
+        # pins the fanned layout for all rounds
+        e = (fan_out(spark, load(spark, sf, "embeddings"))
+             .select("vec_id", "embedding"))
         # reused every round — and shareable ACROSS fits: the subvector
         # table depends only on pq_m, so a codebook-size sweep
         # (round17.ann_pq_recall_knee) passes one table to every leg
