@@ -261,9 +261,23 @@ def bucketed_quantile_pick(hist: DataFrame, group: str, val: str,
                            n_buckets: int = 256) -> DataFrame:
     """Smallest ``val`` per ``group`` with ``den·cum ≥ num·tot`` — the
     repo's exact integer quantile rule — WITHOUT a per-group
-    whole-value-domain window (r11: the q70/q72 windows funneled each
-    group's entire distinct-cents domain through one task, the only
-    >4× family in the sf1 scale proof).
+    whole-value-domain window.  Single-fraction wrapper over
+    ``bucketed_quantile_picks``; see there for the plan shape."""
+    return bucketed_quantile_picks(hist, group, val, cnt,
+                                   [(num, den, out)], n_buckets)
+
+
+def bucketed_quantile_picks(hist: DataFrame, group: str, val: str,
+                            cnt: str,
+                            specs: list[tuple[int, int, str]],
+                            n_buckets: int = 256) -> DataFrame:
+    """N exact quantile picks per ``group`` from ONE shared chain:
+    for each ``(num, den, out)`` in ``specs``, column ``out`` = the
+    smallest ``val`` with ``den·cum ≥ num·tot`` — the repo's exact
+    integer quantile rule — WITHOUT a per-group whole-value-domain
+    window (r11: the q70/q72 windows funneled each group's entire
+    distinct-cents domain through one task, the only >4× family in
+    the sf1 scale proof).
 
     Two-LEVEL windows, fully declarative (no construction-time driver
     actions — a first draft collected bucket totals to the driver and
@@ -277,9 +291,19 @@ def bucketed_quantile_pick(hist: DataFrame, group: str, val: str,
        (~domain/n_buckets cells per task) with the bucket offset
        making the local cumulative global.
 
-    Monotone bucketing ⇒ offset + local-cum ≡ global cum, so the
-    answer is bit-identical to the naive single-window formulation.
-    """
+    Monotone bucketing ⇒ offset + local-cum ≡ global cum, so each
+    pick is bit-identical to the naive single-window formulation; and
+    ``min(when(den·cum ≥ num·tot, v))`` ≡ ``filter + min`` (the last
+    cell always satisfies the rule, so no pick is ever NULL).
+
+    The multi-spec form exists because the histogram chain (range
+    aggregate, bucket assignment + its localCheckpoint, offset window,
+    in-bucket cumulative window) depends only on the histogram, NOT on
+    the fraction — r17 measured that per-pick checkpoints of the
+    identical ``wb`` block Catalyst's exchange reuse between picks, so
+    N independent picks paid the whole chain N times (guide §1.2:
+    don't compute things twice).  One chain + N conditional mins in
+    ONE final aggregation serves every fraction."""
     base = hist.select(F.col(group).alias("g"), F.col(val).alias("v"),
                        F.col(cnt).alias("w"))
     rng = base.groupBy("g").agg(F.min("v").alias("lo"),
@@ -302,11 +326,12 @@ def bucketed_quantile_pick(hist: DataFrame, group: str, val: str,
             .select("g", "b", "off"))
     w_in = (W.partitionBy("g", "b").orderBy("v")
             .rowsBetween(W.unboundedPreceding, 0))
-    return (wb.join(F.broadcast(offs), ["g", "b"])
+    cum = wb.join(F.broadcast(offs), ["g", "b"]) \
             .withColumn("cum", F.col("off") + F.sum("w").over(w_in))
-            .filter(den * F.col("cum") >= num * F.col("tot"))
-            .groupBy(F.col("g").alias(group))
-            .agg(F.min("v").alias(out)))
+    return (cum.groupBy(F.col("g").alias(group))
+            .agg(*[F.min(F.when(den * F.col("cum") >= num * F.col("tot"),
+                                F.col("v"))).alias(out)
+                   for num, den, out in specs]))
 
 
 def bucketed_running(df: DataFrame, value: str,

@@ -134,9 +134,11 @@ def q72_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
          .alias("cents")))
     hist = (li.groupBy("l_returnflag", "cents")
             .agg(F.count("*").alias("w")).localCheckpoint(eager=False))
-    p05 = _lower_quantile(hist, 1, 20, "lo")
-    p95 = _lower_quantile(hist, 19, 20, "hi")
-    fences = p05.join(p95, "l_returnflag")
+    # both fences ride ONE shared pick chain (r18: the per-pick form
+    # re-ran the bucket fold + its checkpoint per fraction)
+    from bigarrays_jl_spark.operators.ordering import bucketed_quantile_picks
+    fences = bucketed_quantile_picks(hist, "l_returnflag", "cents", "w",
+                                     [(1, 20, "lo"), (19, 20, "hi")])
     # winsorize over the CHECKPOINTED histogram instead of a third
     # lineitem scan (the q70 fold-over-cells idiom): Σ clamp(cents)
     # over rows ≡ Σ clamp(cents)·w over cells and n ≡ Σw, both exact

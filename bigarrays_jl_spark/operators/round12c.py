@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.checkpointing import materialize
-from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_picks
 from bigarrays_jl_spark.sources.tables import load
 
 TRI_ITEM_SUP = 2       # Apriori level-1 threshold
@@ -51,13 +51,15 @@ def leadtime_quantiles(spark: SparkSession, sf: str) -> DataFrame:
           .groupBy("o_orderpriority", "d")
           .agg(F.count("*").alias("w")),
         eager=False)
-    p50 = bucketed_quantile_pick(hist, "o_orderpriority", "d", "w",
-                                 1, 2, "p50_days")
-    p90 = bucketed_quantile_pick(hist, "o_orderpriority", "d", "w",
-                                 9, 10, "p90_days")
+    # both fractions ride ONE shared pick chain (r18: per-pick chains
+    # re-ran the bucket fold + checkpoint per fraction — see
+    # ordering.bucketed_quantile_picks)
+    picks = bucketed_quantile_picks(
+        hist, "o_orderpriority", "d", "w",
+        [(1, 2, "p50_days"), (9, 10, "p90_days")])
     tot = (hist.groupBy("o_orderpriority")
            .agg(F.sum("w").cast("bigint").alias("n_lineitems")))
-    return (tot.join(p50, "o_orderpriority").join(p90, "o_orderpriority")
+    return (tot.join(picks, "o_orderpriority")
             .select("o_orderpriority", "n_lineitems",
                     F.col("p50_days").cast("bigint").alias("p50_days"),
                     F.col("p90_days").cast("bigint").alias("p90_days")))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from bigarrays_jl_spark.operators.events import (SESSION_GAP_MIN,
                                                  sessionized)
 from bigarrays_jl_spark.checkpointing import materialize
-from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_picks
 from bigarrays_jl_spark.sources.tables import load
 
 BOILER_K = 8        # prefix words — production scale (r13 verdict task 2)
@@ -116,13 +116,14 @@ def customer_reorder_gaps(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("c_mktsegment", "gap_days")
             .agg(F.count("*").alias("n")),
         eager=False)
-    p50 = bucketed_quantile_pick(hist, "c_mktsegment", "gap_days", "n",
-                                 1, 2, "p50_gap_days")
-    p90 = bucketed_quantile_pick(hist, "c_mktsegment", "gap_days", "n",
-                                 9, 10, "p90_gap_days")
+    # both fractions ride ONE shared pick chain (r18: per-pick chains
+    # re-ran the bucket fold + checkpoint per fraction)
+    picks = bucketed_quantile_picks(
+        hist, "c_mktsegment", "gap_days", "n",
+        [(1, 2, "p50_gap_days"), (9, 10, "p90_gap_days")])
     tot = (hist.groupBy("c_mktsegment")
            .agg(F.sum("n").cast("bigint").alias("n_gaps")))
-    return (tot.join(p50, "c_mktsegment").join(p90, "c_mktsegment")
+    return (tot.join(picks, "c_mktsegment")
             .select("c_mktsegment", "n_gaps",
                     F.col("p50_gap_days").cast("bigint")
                     .alias("p50_gap_days"),

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigarrays_jl_spark.checkpointing import materialize
-from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_picks
 from bigarrays_jl_spark.sources.tables import load
 
 
@@ -76,19 +76,16 @@ def events_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         e.select("event_type", hdr_bucket_cents(F.col("c")).alias("lb"))
          .groupBy("event_type", "lb").agg(F.count("*").alias("n")),
         eager=False)
-    p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 1, 2, "p50_cents")
-    p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 9, 10, "p90_cents")
-    p99 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 99, 100, "p99_cents")
-    p999 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                  999, 1000, "p999_cents")
+    # all four fractions ride ONE shared pick chain (r18: per-pick
+    # chains re-ran the bucket fold + checkpoint per fraction)
+    picks = bucketed_quantile_picks(
+        hist, "event_type", "lb", "n",
+        [(1, 2, "p50_cents"), (9, 10, "p90_cents"),
+         (99, 100, "p99_cents"), (999, 1000, "p999_cents")])
     tot = (hist.groupBy("event_type")
            .agg(F.sum("n").cast("bigint").alias("n_events"),
                 F.count("*").cast("bigint").alias("n_buckets")))
-    return (tot.join(p50, "event_type").join(p90, "event_type")
-            .join(p99, "event_type").join(p999, "event_type")
+    return (tot.join(picks, "event_type")
             .select("event_type", "n_events", "n_buckets",
                     F.col("p50_cents").cast("bigint").alias("p50_cents"),
                     F.col("p90_cents").cast("bigint").alias("p90_cents"),
@@ -185,16 +182,14 @@ def events_hdr_merge(spark: SparkSession, sf: str) -> DataFrame:
               .groupBy("event_type", "lb")
               .agg(F.sum("n").alias("n")),
         eager=False)
-    p50 = bucketed_quantile_pick(merged, "event_type", "lb", "n",
-                                 1, 2, "p50_cents")
-    p99 = bucketed_quantile_pick(merged, "event_type", "lb", "n",
-                                 99, 100, "p99_cents")
-    p999 = bucketed_quantile_pick(merged, "event_type", "lb", "n",
-                                  999, 1000, "p999_cents")
+    # all three fractions ride ONE shared pick chain (r18)
+    picks = bucketed_quantile_picks(
+        merged, "event_type", "lb", "n",
+        [(1, 2, "p50_cents"), (99, 100, "p99_cents"),
+         (999, 1000, "p999_cents")])
     tot = (merged.groupBy("event_type")
            .agg(F.sum("n").cast("bigint").alias("n_events")))
-    return (tot.join(p50, "event_type").join(p99, "event_type")
-            .join(p999, "event_type")
+    return (tot.join(picks, "event_type")
             .select("event_type", "n_events",
                     F.col("p50_cents").cast("bigint").alias("p50_cents"),
                     F.col("p99_cents").cast("bigint").alias("p99_cents"),

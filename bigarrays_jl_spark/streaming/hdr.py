@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigarrays_jl_spark.operators.ordering import bucketed_quantile_pick
+from bigarrays_jl_spark.operators.ordering import bucketed_quantile_picks
 from bigarrays_jl_spark.operators.round14c import hdr_bucket_cents
 from bigarrays_jl_spark.streaming.replay import (guarded_append,
                                                  guarded_rows_append,
@@ -79,19 +79,17 @@ def _quantiles_of(hist: DataFrame) -> DataFrame:
     events_hdr_quantiles checkpoint idiom)."""
     from bigarrays_jl_spark.checkpointing import materialize
     hist = materialize(hist, eager=False)
-    p50 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 1, 2, "p50_cents")
-    p90 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 9, 10, "p90_cents")
-    p99 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                 99, 100, "p99_cents")
-    p999 = bucketed_quantile_pick(hist, "event_type", "lb", "n",
-                                  999, 1000, "p999_cents")
+    # all four fractions ride ONE shared pick chain (r18, same fold
+    # as the batch events_hdr_quantiles it must stay snapshot==batch
+    # identical to)
+    picks = bucketed_quantile_picks(
+        hist, "event_type", "lb", "n",
+        [(1, 2, "p50_cents"), (9, 10, "p90_cents"),
+         (99, 100, "p99_cents"), (999, 1000, "p999_cents")])
     tot = (hist.groupBy("event_type")
            .agg(F.sum("n").cast("bigint").alias("n_events"),
                 F.count("*").cast("bigint").alias("n_buckets")))
-    return (tot.join(p50, "event_type").join(p90, "event_type")
-            .join(p99, "event_type").join(p999, "event_type")
+    return (tot.join(picks, "event_type")
             .select("event_type", "n_events", "n_buckets",
                     F.col("p50_cents").cast("bigint").alias("p50_cents"),
                     F.col("p90_cents").cast("bigint").alias("p90_cents"),

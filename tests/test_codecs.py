@@ -25,6 +25,30 @@ def test_gzip_roundtrip(payload):
     assert c.decode(enc) == payload
 
 
+def test_gzip_adaptive_encode():
+    # r18: encode probes large payloads and emits a STORED-block gzip
+    # frame when deflate provably cannot pay — both branches must stay
+    # standard gzip (magic + exact round-trip), and compressible data
+    # must still actually compress at the old level-6 ratio.
+    c = codecs.get_codec("gzip")
+    rng = np.random.default_rng(7)
+    incompressible = rng.integers(0, 256, size=256 * 1024,
+                                  dtype=np.uint8).tobytes()
+    compressible = (np.arange(256 * 1024, dtype=np.uint32) // 1024) \
+        .astype(np.uint8).tobytes()
+    for data in (incompressible, compressible):
+        enc = c.encode(data)
+        assert enc[:3] == codecs.GZIP_MAGIC
+        assert c.decode(enc) == data
+    # the stored branch stays ~1:1 instead of inflating, the deflate
+    # branch keeps its real ratio
+    assert len(c.encode(incompressible)) < 1.01 * len(incompressible)
+    assert len(c.encode(compressible)) < 0.5 * len(compressible)
+    # payloads at/below the probe floor take the plain level-6 path
+    small = incompressible[:4 * 1024]
+    assert c.decode(c.encode(small)) == small
+
+
 def test_gzip_sniff_passthrough(payload):
     # src/Codings.jl:65-72: non-gzip input passes through unchanged
     c = codecs.get_codec("gzip")
