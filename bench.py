@@ -374,6 +374,17 @@ def main() -> None:
     floor_samples = [scan_probe_mb_s(probe_df, probe_mb)]
 
     def probe_tick():
+        # release the PREVIOUS batch's dead driver state (Python refs →
+        # py4j → ContextCleaner) before probing/timing the next one:
+        # without this the ~130-query board accumulates GBs of dead
+        # localCheckpoint blocks in the one local JVM (measured ~1 GB
+        # per ~30 queries) and late-board queries pay earlier queries'
+        # garbage — a long-lived cluster driver GCs this continuously.
+        # Runs OUTSIDE every timed window; the timed action and
+        # methodology are unchanged (r18).
+        import gc
+        gc.collect()
+        spark._jvm.System.gc()
         s = scan_probe_mb_s(probe_df, probe_mb)
         floor_samples.append(s)
         print(f"# floor probe: {s} MB/s", file=sys.stderr)
